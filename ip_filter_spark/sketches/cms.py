@@ -1,0 +1,85 @@
+"""Count-min sketch — frequency / heavy-hitter estimation.
+
+Cormode & Muthukrishnan 2005: a d x w counter matrix; point estimate is
+the row-wise min; overestimate <= eps*N with probability >= 1-delta for
+w = ceil(e/eps), d = ceil(ln(1/delta)). Merge = elementwise sum.
+
+Row hashes derive from the single per-key 64-bit hash via independent
+splitmix finalizers (hashing.rehash) — one vectorized mix per row.
+"""
+
+from __future__ import annotations
+
+from math import ceil, e, log
+from typing import Any
+
+import numpy as np
+
+from ip_filter_spark.sketches.base import Sketch
+from ip_filter_spark.sketches.hashing import rehash
+
+
+class CountMinSketch(Sketch):
+    NAME = "cms"
+
+    def __init__(
+        self,
+        eps: float = 1e-4,
+        delta: float = 1e-3,
+        width: int | None = None,
+        depth: int | None = None,
+        _table: np.ndarray | None = None,
+    ):
+        self.eps = float(eps)
+        self.delta = float(delta)
+        self.w = int(width) if width else int(ceil(e / eps))
+        self.d = int(depth) if depth else int(ceil(log(1.0 / delta)))
+        self.n_items = 0
+        self.table = _table if _table is not None else np.zeros((self.d, self.w), dtype=np.int64)
+
+    def _cols(self, h64: np.ndarray) -> np.ndarray:
+        """(d, n) column indices."""
+        return np.stack([rehash(h64, r) % np.uint64(self.w) for r in range(self.d)]).astype(np.int64)
+
+    def update_hashes(self, h64: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        if len(h64) == 0:
+            return self
+        cols = self._cols(h64)
+        if counts is None:
+            for r in range(self.d):
+                self.table[r] += np.bincount(cols[r], minlength=self.w)
+            self.n_items += len(h64)
+        else:
+            counts = counts.astype(np.int64)
+            for r in range(self.d):
+                self.table[r] += np.bincount(cols[r], weights=counts, minlength=self.w).astype(np.int64)
+            self.n_items += int(counts.sum())
+        return self
+
+    def query_hashes(self, h64: np.ndarray) -> np.ndarray:
+        """(n,) int64 upper-bound counts (row-wise min)."""
+        if len(h64) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(h64)
+        rows = np.arange(self.d)[:, None]
+        return self.table[rows, cols].min(axis=0)
+
+    def error_bound(self) -> float:
+        """Additive overestimate bound eps*N (holds w.p. >= 1-delta)."""
+        return (e / self.w) * self.n_items
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.w == other.w and self.d == other.d
+        self.table += other.table
+        self.n_items += other.n_items
+        return self
+
+    def _params(self) -> dict[str, Any]:
+        return {"eps": self.eps, "delta": self.delta, "w": self.w, "d": self.d}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"table": self.table}
+
+    @classmethod
+    def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "CountMinSketch":
+        return cls(eps=params["eps"], delta=params["delta"], width=params["w"], depth=params["d"], _table=arrays["table"])

@@ -1,0 +1,97 @@
+"""Counting Bloom filter — membership with deletes + duplicate heuristics.
+
+North-rule extension (no reference implementation; standard extension of
+the bit ops in /root/reference/prototype/bloomfilter.py): each slot is a
+saturating uint16 counter. Merge is saturating elementwise sum, so
+partition-local partials combine associatively. ``min_count`` gives the
+classic CMS-style upper-bound estimate of a key's multiplicity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ip_filter_spark.sketches.base import Sketch
+from ip_filter_spark.sketches.bloom import solve_params
+from ip_filter_spark.sketches.hashing import km_indices
+
+_MAX = np.iinfo(np.uint16).max
+
+
+class CountingBloomFilter(Sketch):
+    NAME = "cbf"
+
+    def __init__(
+        self,
+        fpp: float = 1e-4,
+        n: int = 1,
+        k: int | None = None,
+        num_counters: int | None = None,
+        _counters: np.ndarray | None = None,
+    ):
+        self.fpp = float(fpp)
+        self.k, self.m = solve_params(fpp, n, k, num_counters)
+        self.expected_n = int(n)
+        self.n_items = 0
+        self.counters = _counters if _counters is not None else np.zeros(self.m, dtype=np.uint16)
+
+    def _ix(self, h64: np.ndarray) -> np.ndarray:
+        return km_indices(h64, np.arange(self.k, dtype=np.uint64), self.m)
+
+    def update_hashes(self, h64: np.ndarray) -> "CountingBloomFilter":
+        if len(h64) == 0:
+            return self
+        ix = self._ix(h64).ravel().astype(np.int64)
+        # saturating add: bincount in int64 then clip
+        add = np.bincount(ix, minlength=self.m)
+        wide = self.counters.astype(np.int64) + add
+        np.clip(wide, 0, _MAX, out=wide)
+        self.counters = wide.astype(np.uint16)
+        self.n_items += len(h64)
+        return self
+
+    def remove_hashes(self, h64: np.ndarray) -> "CountingBloomFilter":
+        """Delete support — the whole point of counting over plain Bloom."""
+        if len(h64) == 0:
+            return self
+        ix = self._ix(h64).ravel().astype(np.int64)
+        sub = np.bincount(ix, minlength=self.m)
+        wide = self.counters.astype(np.int64) - sub
+        np.clip(wide, 0, _MAX, out=wide)
+        self.counters = wide.astype(np.uint16)
+        self.n_items = max(0, self.n_items - len(h64))
+        return self
+
+    def contains_hashes(self, h64: np.ndarray) -> np.ndarray:
+        if len(h64) == 0:
+            return np.zeros(0, dtype=bool)
+        return (self.counters[self._ix(h64).astype(np.int64)] > 0).all(axis=1)
+
+    def min_count(self, h64: np.ndarray) -> np.ndarray:
+        """Upper bound on each key's insert multiplicity."""
+        if len(h64) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self.counters[self._ix(h64).astype(np.int64)].min(axis=1).astype(np.int64)
+
+    def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        assert self.m == other.m and self.k == other.k
+        wide = self.counters.astype(np.int64) + other.counters.astype(np.int64)
+        np.clip(wide, 0, _MAX, out=wide)
+        self.counters = wide.astype(np.uint16)
+        self.n_items += other.n_items
+        return self
+
+    def _params(self) -> dict[str, Any]:
+        return {"fpp": self.fpp, "k": self.k, "m": self.m, "expected_n": self.expected_n}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"counters": self.counters}
+
+    @classmethod
+    def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "CountingBloomFilter":
+        return cls(
+            fpp=params["fpp"], n=params["expected_n"], k=params["k"],
+            num_counters=params["m"], _counters=arrays["counters"],
+        )

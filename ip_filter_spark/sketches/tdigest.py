@@ -1,0 +1,154 @@
+"""t-digest — quantile sketch with relative accuracy at the tails.
+
+Dunning & Ertl's *merging* t-digest variant: incoming values buffer,
+then sort-and-merge into centroids under the k1 scale function
+k(q) = (delta / 2π) * asin(2q - 1), which bounds each centroid's
+k-size to 1 — tight centroids near q→0/1, coarse in the middle.
+Merge of two digests = merge of their centroid lists (weighted), same
+compression pass. Fully vectorized: the only loop is the greedy
+centroid-boundary scan, run over numpy arrays with O(#centroids) work.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ip_filter_spark.sketches.base import Sketch
+
+_BUFFER_FACTOR = 5
+
+
+class TDigest(Sketch):
+    NAME = "tdigest"
+
+    def __init__(
+        self,
+        delta: float = 200.0,
+        _means: np.ndarray | None = None,
+        _weights: np.ndarray | None = None,
+        _minmax: tuple[float, float] | None = None,
+    ):
+        self.delta = float(delta)
+        self.means = _means if _means is not None else np.empty(0, dtype=np.float64)
+        self.weights = _weights if _weights is not None else np.empty(0, dtype=np.float64)
+        self.n_items = 0
+        self.vmin = _minmax[0] if _minmax else np.inf
+        self.vmax = _minmax[1] if _minmax else -np.inf
+        self._buf_v: list[np.ndarray] = []
+        self._buf_w: list[np.ndarray] = []
+        self._buffered = 0
+
+    # ---- scale function k1 ----------------------------------------------
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return (self.delta / (2.0 * np.pi)) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+    def _k_inv(self, k: np.ndarray) -> np.ndarray:
+        return (np.sin(k * (2.0 * np.pi) / self.delta) + 1.0) / 2.0
+
+    # ---- updates ----------------------------------------------------------
+    def update_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
+        values = np.asarray(values, dtype=np.float64)
+        mask = ~np.isnan(values)
+        values = values[mask]
+        if len(values) == 0:
+            return self
+        w = np.ones(len(values)) if weights is None else np.asarray(weights, dtype=np.float64)[mask]
+        self._buf_v.append(values)
+        self._buf_w.append(w)
+        self._buffered += len(values)
+        self.n_items += int(w.sum())
+        self.vmin = min(self.vmin, float(values.min()))
+        self.vmax = max(self.vmax, float(values.max()))
+        if self._buffered > _BUFFER_FACTOR * self.delta:
+            self._flush()
+        return self
+
+    def update_hashes(self, h64: np.ndarray) -> "TDigest":
+        return self.update_values(h64.astype(np.float64))
+
+    def _flush(self) -> None:
+        if not self._buf_v and len(self.means) <= self.delta * 2:
+            return
+        v = np.concatenate([self.means] + self._buf_v) if self._buf_v else self.means
+        w = np.concatenate([self.weights] + self._buf_w) if self._buf_w else self.weights
+        self._buf_v, self._buf_w, self._buffered = [], [], 0
+        if len(v) == 0:
+            return
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        total = w.sum()
+        # greedy merge: accumulate while k(q_right) - k(q_left) <= 1
+        q_limit_ix = 0
+        means_out, weights_out = [], []
+        cur_mean, cur_w = v[0], w[0]
+        q_left = 0.0
+        k_left = float(self._k(np.array([0.0]))[0])
+        for i in range(1, len(v)):
+            q_right = q_left + (cur_w + w[i]) / total
+            k_right = float(self._k(np.array([q_right]))[0])
+            if k_right - k_left <= 1.0:
+                cur_mean += (v[i] - cur_mean) * (w[i] / (cur_w + w[i]))
+                cur_w += w[i]
+            else:
+                means_out.append(cur_mean)
+                weights_out.append(cur_w)
+                q_left += cur_w / total
+                k_left = float(self._k(np.array([q_left]))[0])
+                cur_mean, cur_w = v[i], w[i]
+        means_out.append(cur_mean)
+        weights_out.append(cur_w)
+        self.means = np.asarray(means_out)
+        self.weights = np.asarray(weights_out)
+        _ = q_limit_ix
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        other._flush()
+        if len(other.means):
+            self.update_values(other.means, other.weights)
+            self.n_items -= int(other.weights.sum())  # update_values already added
+            self.n_items += other.n_items
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._flush()
+        return self
+
+    # ---- queries ----------------------------------------------------------
+    def quantile(self, q) -> np.ndarray:
+        self._flush()
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full(len(qs), np.nan)
+        if len(self.means) == 1:
+            return np.full(len(qs), self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        targets = np.clip(qs, 0.0, 1.0) * total
+        out = np.interp(targets, cum, self.means)
+        out = np.where(targets <= cum[0], np.interp(targets, [0.0, cum[0]], [self.vmin, self.means[0]]), out)
+        out = np.where(targets >= cum[-1], np.interp(targets, [cum[-1], total], [self.means[-1], self.vmax]), out)
+        return out
+
+    def cdf(self, x: float) -> float:
+        self._flush()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        return float(np.interp(x, self.means, cum / total, left=0.0, right=1.0))
+
+    def _params(self) -> dict[str, Any]:
+        return {"delta": self.delta, "vmin": self.vmin if np.isfinite(self.vmin) else None,
+                "vmax": self.vmax if np.isfinite(self.vmax) else None}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        self._flush()
+        return {"means": self.means, "weights": self.weights}
+
+    @classmethod
+    def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "TDigest":
+        vmin = params["vmin"] if params["vmin"] is not None else np.inf
+        vmax = params["vmax"] if params["vmax"] is not None else -np.inf
+        return cls(delta=params["delta"], _means=arrays["means"], _weights=arrays["weights"], _minmax=(vmin, vmax))

@@ -1,0 +1,253 @@
+"""Kernel-level sketch tests.
+
+Mirrors the reference's test strategy (SURVEY.md §5): param-solver goldens
+(/root/reference/prototype/tests.py_bak:37-67), no-false-negative
+invariant (:82-98), empirical FPR (:69-80), pattern encode/decode
+(:135-165) — plus the north-rule additions: merge associativity /
+commutativity properties for every sketch and estimate-accuracy bounds.
+"""
+
+import numpy as np
+import pytest
+
+from ip_filter_spark.sketches import (
+    BloomFilter,
+    CountingBloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    MinHashSignatures,
+    TDigest,
+    from_bytes,
+)
+from ip_filter_spark.sketches.bloom import choose_hash_funcs, solve_params
+
+
+def hashes_of(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64, endpoint=False)
+
+
+# ---------------------------------------------------------------- bloom
+def test_param_solver_goldens():
+    # reference goldens, tests.py_bak:37-67 — properties of the formulas
+    k, m = solve_params(1e-6, 8)
+    assert (k, m) == (21, 231)
+    k, m = solve_params(1e-6, 8, k=10)
+    assert (k, m) == (10, 277)
+    k, m = solve_params(1e-9, 8)
+    assert (k, m) == (30, 346)
+    k, m = solve_params(0.5, 8, k=1, num_bits=1000)
+    assert (k, m) == (1, 1000)
+
+
+def test_choose_hash_funcs():
+    # reference goldens, tests.py_bak:24-30
+    assert choose_hash_funcs(0, end=4) == [0, 1, 2, 3]
+    assert choose_hash_funcs(5, pattern=4) == [7]
+    assert choose_hash_funcs(2, pattern=5) == [2, 4]
+
+
+def test_bloom_no_false_negatives():
+    keys = hashes_of(10_000, seed=1)
+    bf = BloomFilter(fpp=1e-4, n=10_000)
+    bf.insert_hashes(keys)
+    assert bf.contains_hashes(keys).all()
+
+
+def test_bloom_empirical_fpr():
+    n = 20_000
+    present = hashes_of(n, seed=2)
+    absent = hashes_of(200_000, seed=3)
+    bf = BloomFilter(fpp=1e-3, n=n)
+    bf.insert_hashes(present)
+    fpr = bf.contains_hashes(absent).mean()
+    assert fpr <= 2 * 1e-3, f"fpr {fpr}"
+
+
+def test_bloom_partial_hashes_and_pattern_roundtrip():
+    bf = BloomFilter(fpp=1e-5, n=1_000_000)
+    key = hashes_of(1, seed=4)
+    # mirror of bloomfilter.py:97-115 demo: encode pattern=4 at start=5
+    bf.insert_hashes(key, hashes=choose_hash_funcs(5, pattern=4))
+    assert int(bf.decode(key, start=5, width=5)[0]) == 4
+    # vectorized pattern write
+    keys = hashes_of(100, seed=5)
+    patterns = np.arange(100, dtype=np.uint64) % 31 + 1
+    bf2 = BloomFilter(fpp=1e-6, n=1_000_000)
+    bf2.encode_pattern(keys, start=1, patterns=patterns)
+    got = bf2.decode(keys, start=1, width=5)
+    assert (got == patterns).all()
+
+
+def test_bloom_merge_or_identity():
+    keys = hashes_of(5000, seed=6)
+    a = BloomFilter(fpp=1e-4, n=5000).insert_hashes(keys[:2500])
+    b = BloomFilter(fpp=1e-4, n=5000).insert_hashes(keys[2500:])
+    whole = BloomFilter(fpp=1e-4, n=5000).insert_hashes(keys)
+    merged = a.merge(b)
+    assert bytes(merged.bits) == bytes(whole.bits)
+
+
+# ------------------------------------------------------------- generic merge
+SKETCH_FACTORIES = {
+    "bloom": lambda: BloomFilter(fpp=1e-4, n=30_000),
+    "cbf": lambda: CountingBloomFilter(fpp=1e-4, n=30_000),
+    "hll": lambda: HyperLogLog(p=12),
+    "cms": lambda: CountMinSketch(eps=1e-3, delta=1e-3),
+    "minhash": lambda: MinHashSignatures(num_perm=64),
+}
+
+
+@pytest.mark.parametrize("name", list(SKETCH_FACTORIES))
+def test_merge_assoc_commut_byte_identical(name):
+    keys = hashes_of(30_000, seed=7)
+    parts = np.array_split(keys, 7)
+    make = SKETCH_FACTORIES[name]
+
+    whole = make().update_hashes(keys)
+
+    left = make()
+    for p in parts:
+        left.merge(make().update_hashes(p))
+
+    import functools
+
+    right = functools.reduce(lambda a, b: b.merge(a), [make().update_hashes(p) for p in reversed(parts)])
+
+    assert whole.to_bytes() == left.to_bytes() == right.to_bytes()
+
+
+@pytest.mark.parametrize("name", list(SKETCH_FACTORIES))
+def test_serialization_roundtrip(name):
+    keys = hashes_of(1000, seed=8)
+    s = SKETCH_FACTORIES[name]().update_hashes(keys)
+    blob = s.to_bytes()
+    s2 = from_bytes(blob)
+    assert s2.to_bytes() == blob
+    assert s2.n_items == s.n_items
+
+
+# ---------------------------------------------------------------- cbf
+def test_cbf_delete_and_count():
+    keys = hashes_of(1000, seed=9)
+    cbf = CountingBloomFilter(fpp=1e-4, n=10_000)
+    cbf.update_hashes(keys)
+    cbf.update_hashes(keys[:100])  # duplicates
+    assert cbf.contains_hashes(keys).all()
+    assert (cbf.min_count(keys[:100]) >= 2).all()
+    cbf.remove_hashes(keys[500:])
+    # removed keys *may* still appear due to collisions but most vanish
+    assert cbf.contains_hashes(keys[500:]).mean() < 0.05
+    assert cbf.contains_hashes(keys[:500]).all()
+
+
+# ---------------------------------------------------------------- hll
+@pytest.mark.parametrize("true_n", [100, 10_000, 300_000])
+def test_hll_error_within_bound(true_n):
+    h = hashes_of(true_n, seed=10)
+    hll = HyperLogLog(p=14)
+    hll.update_hashes(h)
+    est = hll.estimate()
+    rel = abs(est - true_n) / true_n
+    assert rel <= 4 * hll.rel_error_bound(), f"rel err {rel}"
+
+
+def test_hll_duplicates_dont_count():
+    h = hashes_of(1000, seed=11)
+    hll = HyperLogLog(p=14)
+    for _ in range(5):
+        hll.update_hashes(h)
+    est = hll.estimate()
+    assert abs(est - 1000) / 1000 <= 4 * hll.rel_error_bound()
+
+
+# ---------------------------------------------------------------- cms
+def test_cms_bounds():
+    rng = np.random.default_rng(12)
+    n_keys = 2000
+    keys = hashes_of(n_keys, seed=13)
+    counts = rng.zipf(1.5, size=n_keys).astype(np.int64)
+    cms = CountMinSketch(eps=1e-3, delta=1e-3)
+    cms.update_hashes(keys, counts=counts)
+    est = cms.query_hashes(keys)
+    assert (est >= counts).all()  # never underestimates
+    overshoot = est - counts
+    n_total = counts.sum()
+    assert (overshoot <= 1e-3 * n_total * np.e).mean() >= 1 - 1e-2
+
+
+# ---------------------------------------------------------------- kll
+def test_kll_rank_error():
+    rng = np.random.default_rng(14)
+    data = rng.lognormal(3.0, 1.0, size=200_000)
+    kll = KLLSketch(k=200)
+    for chunk in np.array_split(data, 13):
+        kll.update_values(chunk)
+    sorted_data = np.sort(data)
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        v = float(kll.quantile(q)[0])
+        true_rank = np.searchsorted(sorted_data, v) / len(data)
+        assert abs(true_rank - q) <= 3 * kll.rank_error_bound(), (q, true_rank)
+
+
+def test_kll_merge_estimate_consistent():
+    rng = np.random.default_rng(15)
+    data = rng.normal(0, 1, size=100_000)
+    whole = KLLSketch(k=200).update_values(data)
+    parts = np.array_split(data, 9)
+    merged = KLLSketch(k=200)
+    for p in parts:
+        merged.merge(KLLSketch(k=200).update_values(p))
+    sorted_data = np.sort(data)
+    for q in [0.05, 0.5, 0.95]:
+        for sk in (whole, merged):
+            v = float(sk.quantile(q)[0])
+            true_rank = np.searchsorted(sorted_data, v) / len(data)
+            assert abs(true_rank - q) <= 3 * sk.rank_error_bound()
+
+
+# ---------------------------------------------------------------- tdigest
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(16)
+    data = rng.lognormal(2.0, 1.5, size=300_000)
+    td = TDigest(delta=200)
+    for chunk in np.array_split(data, 17):
+        td.update_values(chunk)
+    sorted_data = np.sort(data)
+    for q in [0.001, 0.01, 0.5, 0.99, 0.999]:
+        v = float(td.quantile(q)[0])
+        true_rank = np.searchsorted(sorted_data, v) / len(data)
+        # rank error tightens toward the tails for t-digest; 0.01 global slack
+        tol = 0.01 if 0.1 < q < 0.9 else 0.005
+        assert abs(true_rank - q) <= tol, (q, true_rank)
+    # exact min/max preserved
+    assert float(td.quantile(0.0)[0]) == pytest.approx(sorted_data[0])
+    assert float(td.quantile(1.0)[0]) == pytest.approx(sorted_data[-1])
+
+
+def test_tdigest_merge_estimate_consistent():
+    rng = np.random.default_rng(17)
+    data = rng.normal(100, 15, size=100_000)
+    parts = np.array_split(data, 8)
+    merged = TDigest(delta=200)
+    for p in parts:
+        merged.merge(TDigest(delta=200).update_values(p))
+    sorted_data = np.sort(data)
+    for q in [0.01, 0.5, 0.99]:
+        v = float(merged.quantile(q)[0])
+        true_rank = np.searchsorted(sorted_data, v) / len(data)
+        assert abs(true_rank - q) <= 0.015
+
+
+# ---------------------------------------------------------------- minhash
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(18)
+    universe = hashes_of(2000, seed=19)
+    a = universe[:1500]
+    b = universe[500:]  # |a∩b|=1000, |a∪b|=2000 → J=0.5
+    from ip_filter_spark.sketches.minhash import estimate_jaccard, signature_matrix
+
+    sigs = signature_matrix([a, b], num_perm=256)
+    j = estimate_jaccard(sigs[0], sigs[1])
+    assert abs(j - 0.5) < 0.1
