@@ -1,0 +1,322 @@
+"""Distributed sketch lifecycle: build → tree-merge → probe → checkpoint.
+
+The Spark-first re-expression of the reference's single-thread lifecycle
+(/root/reference/prototype/ipfilter.py:124-143 build,
+:265-276 lookup, /root/reference/setup.py:63-84 pipeline):
+
+    build:  scan → [salted repartition] → mapInPandas(build partials)
+            → sketch-row DataFrame (one row per sketch per partition)
+    merge:  hierarchical applyInPandas reduce, fanout F per level
+            (depth ceil(log_F P)) — the treeAggregate pattern without
+            ever shipping row data to the driver
+    probe:  broadcast merged blob → mapInPandas vectorized probe
+    ckpt:   sketch-row DataFrame ↔ parquet (BinaryType payload + lineage)
+
+Scale notes (100 TB / 1000 executors design point):
+- partials are KB–MB regardless of input size; the merge tree moves
+  O(P · blob) bytes total with no skew (group keys are dense ints);
+- the only full-data pass is the build scan, which reads exactly the
+  key/value columns (column pruning) and keeps all per-row work inside
+  one Arrow batch loop — no per-row Python, no driver collect of rows;
+- skewed corpus keys (giant repos) are defused *before* the build scan
+  with an explicit salted repartition so every task sees ~equal rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Iterator
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ip_filter_spark.sketches import from_bytes, make_sketch
+from ip_filter_spark.sketches.base import Sketch
+from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+
+SKETCH_ROW_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("params", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("rows_seen", LongType(), False),
+        StructField("wall_ms", DoubleType(), False),
+        StructField("params_hash", StringType(), False),
+    ]
+)
+
+DIGEST_COL = "__digest"
+VALUE_COL = "__value"
+
+
+def sha256_digest(col) -> "F.Column":
+    """32-byte sha256(content) digest, computed JVM-side (whole-stage
+    codegen) — the per-row hashing invariant from BASELINE.json."""
+    return F.unhex(F.sha2(col, 256))
+
+
+def _params_hash(spec_params: dict) -> str:
+    import json
+
+    return hashlib.sha256(json.dumps(spec_params, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class SketchSpec:
+    """Declarative sketch request: name, constructor params, and which
+    input it consumes ('hash' of the key digest, or 'value' double)."""
+
+    def __init__(self, sketch: str, params: dict[str, Any] | None = None, on: str = "hash"):
+        assert on in ("hash", "value")
+        self.sketch = sketch
+        self.params = dict(params or {})
+        self.on = on
+
+    def make(self) -> Sketch:
+        return make_sketch(self.sketch, **self.params)
+
+    def key(self) -> str:
+        return f"{self.sketch}:{_params_hash(self.params)}"
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    *key_cols,
+    salt_buckets: int = 64,
+    entropy_cols: list | None = None,
+) -> DataFrame:
+    """Skew defusal: spread hot keys over ``salt_buckets`` sub-keys before a
+    keyed stage (north_rule requirement — giant repos must not pin a task).
+
+    The salt must vary *within* a key, so it is hashed from
+    ``entropy_cols`` (default: every column of ``df``) — hashing the key
+    alone would map each key to one salt and spread nothing. Deterministic:
+    same rows → same placement (resume-safe), unlike ``rand()``-salting."""
+    entropy = entropy_cols if entropy_cols is not None else [F.col(c) for c in df.columns]
+    salt = (F.xxhash64(*entropy) % salt_buckets + salt_buckets) % salt_buckets
+    return df.repartition(num_partitions, *key_cols, salt.alias("__salt"))
+
+
+def build_partials(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    key: "F.Column | str" = None,
+    value: "F.Column | str" = None,
+    num_partitions: int | None = None,
+    key_is_digest: bool = False,
+) -> DataFrame:
+    """Per-partition sketch build.
+
+    key: column/expr whose sha256 digest feeds hash sketches (by default
+         the digest is computed JVM-side via sha2). If ``key_is_digest``,
+         the column already holds 32-byte digests.
+    value: numeric column feeding quantile sketches (KLL / t-digest).
+
+    Returns the sketch-row DataFrame (one row per spec per partition).
+    """
+    cols = []
+    needs_hash = any(s.on == "hash" for s in specs)
+    needs_value = any(s.on == "value" for s in specs)
+    if needs_hash:
+        kc = F.col(key) if isinstance(key, str) else key
+        cols.append((kc if key_is_digest else sha256_digest(kc)).alias(DIGEST_COL))
+    if needs_value:
+        vc = F.col(value) if isinstance(value, str) else value
+        cols.append(vc.cast("double").alias(VALUE_COL))
+    proj = df.select(*cols)
+    if num_partitions:
+        proj = proj.repartition(num_partitions)
+
+    spec_list = [(s.sketch, s.params, s.on) for s in specs]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.monotonic()
+        sketches = [make_sketch(name, **params) for name, params, _ in spec_list]
+        rows_seen = 0
+        for batch in batches:
+            rows_seen += len(batch)
+            h64 = None
+            if DIGEST_COL in batch.columns and len(batch):
+                h64 = fnv1a64(digests_to_matrix(batch[DIGEST_COL]))
+            vals = batch[VALUE_COL].to_numpy() if VALUE_COL in batch.columns else None
+            for sk, (_, _, on) in zip(sketches, spec_list):
+                if on == "hash" and h64 is not None:
+                    sk.update_hashes(h64)
+                elif on == "value" and vals is not None:
+                    sk.update_values(vals)
+        pid = TaskContext.get().partitionId()
+        wall = (time.monotonic() - t0) * 1000.0
+        out = pd.DataFrame(
+            {
+                "name": [s.NAME for s in sketches],
+                "params": [s.params_json() for s in sketches],
+                "payload": [s.to_bytes() for s in sketches],
+                "n_items": [s.n_items for s in sketches],
+                "partition_id": [pid] * len(sketches),
+                "rows_seen": [rows_seen] * len(sketches),
+                "wall_ms": [wall] * len(sketches),
+                "params_hash": [_params_hash(p) for _, p, _ in spec_list],
+            }
+        )
+        yield out
+
+    return proj.mapInPandas(build, schema=SKETCH_ROW_SCHEMA)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    sk = from_bytes(pdf.payload.iloc[0])
+    for blob in pdf.payload.iloc[1:]:
+        sk = sk.merge(from_bytes(blob))
+    first = pdf.iloc[0]
+    return pd.DataFrame(
+        {
+            "name": [first["name"]],
+            "params": [first["params"]],
+            "payload": [sk.to_bytes()],
+            "n_items": [int(sk.n_items)],
+            "partition_id": [int(pdf.partition_id.min())],
+            "rows_seen": [int(pdf.rows_seen.sum())],
+            "wall_ms": [float(pdf.wall_ms.sum())],
+            "params_hash": [first["params_hash"]],
+        }
+    )
+
+
+def tree_merge(sketch_rows: DataFrame, fanout: int = 64, levels: int = 2) -> DataFrame:
+    """Hierarchical merge of partials: each level groups ``fanout``
+    partials per (sketch, group) and merges them in one applyInPandas
+    task. ``levels=2`` with fanout 64 handles 4096 partials; at 1000
+    executors the shuffle volume per level is O(P · blob_size) with
+    dense int group keys (no skew)."""
+    out = sketch_rows
+    for _ in range(levels):
+        out = (
+            out.withColumn("__grp", (F.col("partition_id") / fanout).cast("int"))
+            .groupBy("name", "params_hash", "__grp")
+            .applyInPandas(lambda pdf: _merge_group(pdf.drop(columns="__grp")), schema=SKETCH_ROW_SCHEMA)
+        )
+    # final squeeze to exactly one row per sketch
+    out = out.groupBy("name", "params_hash").applyInPandas(_merge_group, schema=SKETCH_ROW_SCHEMA)
+    return out
+
+
+def collect_sketches(merged: DataFrame) -> dict[str, Sketch]:
+    """Driver-side: {name:params_hash → Sketch} from a merged sketch DF."""
+    out: dict[str, Sketch] = {}
+    for row in merged.collect():
+        sk = from_bytes(bytes(row.payload))
+        key = f"{row.name}:{row.params_hash}"
+        out[key] = sk.merge(out[key]) if key in out else sk
+    return out
+
+
+def build_and_merge(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    key=None,
+    value=None,
+    num_partitions: int | None = None,
+    key_is_digest: bool = False,
+) -> dict[str, Sketch]:
+    partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions, key_is_digest=key_is_digest)
+    merged = tree_merge(partials)
+    sketches = collect_sketches(merged)
+    # map back to spec order
+    return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}
+
+
+# --------------------------------------------------------------------- probe
+def probe_membership(
+    df: DataFrame,
+    key,
+    sketch: Sketch,
+    out_col: str = "bloom_hit",
+    key_is_digest: bool = False,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Vectorized membership probe: broadcast the merged blob, probe each
+    Arrow batch with one gather. Keeps all original columns."""
+    spark = df.sparkSession
+    blob_bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    kc = F.col(key) if isinstance(key, str) else key
+    dcol = (kc if key_is_digest else sha256_digest(kc)).alias(DIGEST_COL)
+    src = df.withColumn(DIGEST_COL, dcol)
+    keep_fields = [f for f in src.schema.fields if f.name != DIGEST_COL]
+    out_schema = StructType(keep_fields + [StructField(out_col, BooleanType(), True)])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = from_bytes(blob_bc.value)
+        for batch in batches:
+            if len(batch):
+                h64 = fnv1a64(digests_to_matrix(batch[DIGEST_COL]))
+                hit = sk.contains_hashes(h64)
+            else:
+                hit = np.zeros(0, dtype=bool)
+            res = batch.drop(columns=[DIGEST_COL])
+            res[out_col] = hit
+            yield res
+
+    return src.mapInPandas(probe, schema=out_schema)
+
+
+# ---------------------------------------------------------------- checkpoint
+def checkpoint_partials(partials: DataFrame, path: str) -> None:
+    """Persist per-partition sketch blobs + lineage for resumable runs."""
+    partials.write.mode("append").parquet(path)
+
+
+def resume_or_build(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: list[SketchSpec],
+    ckpt_path: str,
+    key=None,
+    value=None,
+    num_partitions: int | None = None,
+) -> dict[str, Sketch]:
+    """Resume a sketch build from checkpointed partials.
+
+    Partition ids are stable for a deterministic input partitioning (same
+    files, same num_partitions). Completed (params_hash, partition_id)
+    pairs are skipped via an anti-join-style filter; only missing
+    partitions are rebuilt, then all partials merge together.
+    """
+    try:
+        existing = spark.read.parquet(ckpt_path)
+        done_ids = {(r.params_hash, r.partition_id) for r in existing.select("params_hash", "partition_id").distinct().collect()}
+    except Exception:
+        existing, done_ids = None, set()
+
+    if existing is not None and done_ids:
+        done_pids = {pid for _, pid in done_ids}
+        all_partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions)
+        fresh = all_partials.filter(~F.col("partition_id").isin(list(done_pids)))
+        if fresh.limit(1).count() > 0:
+            checkpoint_partials(fresh, ckpt_path)
+        partials = spark.read.parquet(ckpt_path)
+    else:
+        partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions)
+        checkpoint_partials(partials, ckpt_path)
+        partials = spark.read.parquet(ckpt_path)
+
+    merged = tree_merge(partials)
+    sketches = collect_sketches(merged)
+    return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}

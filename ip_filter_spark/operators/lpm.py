@@ -1,0 +1,616 @@
+"""Guided longest-prefix-match over path prefixes — the reference's core.
+
+The reference's domain is IP prefixes (length 0-32/128); ours is
+'/'-separated path prefixes over the corpus (depth = component count) —
+same algebra: a prefix table, a query stream, and LPM = deepest table
+entry that prefixes the query.
+
+Three lookup engines, all returning *exactly* the same answers:
+
+- ``exact_lpm``: pure DataFrame formulation (explode candidate depths →
+  broadcast join → max depth). The DuckDB-expressible oracle, mirroring
+  the reference's FIB-only oracle (/root/reference/prototype/
+  tests.py_bak:229-248).
+- ``PathLPM.lookup(mode='linear')``: Bloom-probe every domain depth from
+  deepest down with all k hashes, confirm hits in the exact FIB set
+  (/root/reference/prototype/ipfilter.py:145-175 vectorized).
+- ``PathLPM.lookup(mode='guided')``: descend the guide BST probing only
+  hash 0; decode the best-matching-prefix *pointer* hidden in spare hash
+  slots; validate with the remaining hashes + FIB; fall back to linear
+  below the deepest hit on any inconsistency
+  (/root/reference/prototype/ipfilter.py:184-238 vectorized,
+  level-synchronous across each Arrow batch).
+
+Build is the order-dependent reference algorithm
+(/root/reference/prototype/ipfilter.py:78-122) re-derived as a two-pass
+distributed job (SURVEY.md §7.3): membership/marker bits are
+order-independent (OR-mergeable), and the BMP pointer of each prefix is
+computed exactly via a self-join against *all* shorter prefixes — valid
+because the reference's ascending insertion order guarantees every
+candidate BMP precedes its descendants, so "filter so far" ≡ "complete
+table at shorter depths" (invariant pinned at
+/root/reference/prototype/ipfilter.py:67-69).
+
+Exactness note: the reference can return a genuine-but-not-longest match
+when false-positive noise corrupts the decoded pointer and the corrupted
+hypothesis happens to be a real route (same failure mode it documents at
+doc/tex/report.tex:288-305). We close that hole: an accepted hypothesis
+h < hit additionally verifies the (h, hit] depth interval, so guided ≡
+linear ≡ exact always — making the operator oracle-checkable — while
+keeping the probe-count savings (the interval is almost always empty).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ip_filter_spark.plans.obst import GuideTree
+from ip_filter_spark.sketches.bloom import BloomFilter
+from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+
+SEP = "/"
+_KEY_SEP = "\x1f"
+_MAGIC = b"IFLPM1"
+
+
+def _digest_expr(path_col, depth_col):
+    """32-byte digest of a (prefix, depth) pair, JVM-side — the analog of
+    the reference's encoded key ``(len << b) + prefix``
+    (/root/reference/prototype/utils.py:53-56) with sha256 as the
+    per-row hashing invariant."""
+    return F.unhex(F.sha2(F.concat_ws(_KEY_SEP, depth_col.cast("string"), path_col), 256))
+
+
+def _trunc(path_col, depth):
+    """First ``depth`` components of a path (depth: int or Column)."""
+    d = depth if hasattr(depth, "cast") else F.lit(depth)
+    return F.call_function("substring_index", path_col, F.lit(SEP), d.cast("int"))
+
+
+def path_depth(path_col):
+    return F.size(F.split(path_col, SEP))
+
+
+def derive_prefix_table(corpus: DataFrame, path_col: str = "path", max_depth: int = 3, every: int = 2) -> DataFrame:
+    """Deterministic route table from corpus paths: all distinct depth-1/2
+    truncations plus a hash-selected subset of deeper ones (so some
+    queries hit deep routes, some shallow, some only the default)."""
+    parts = []
+    for d in range(1, max_depth + 1):
+        t = corpus.select(_trunc(F.col(path_col), d).alias("prefix")).where(path_depth(F.col(path_col)) >= d).distinct()
+        if d > 1:
+            t = t.where((F.abs(F.xxhash64("prefix")) % every) == 0)
+        parts.append(t.withColumn("depth", F.lit(d)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("prefix", "depth")
+
+
+def exact_lpm(queries: DataFrame, prefix_df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Exact LPM via explode + broadcast join + groupBy max — the oracle.
+
+    Scale shape: candidate explosion is bounded by the (small) distinct
+    depth count; the join broadcasts the route table; one shuffle for the
+    per-query max. Returns queries + (lpm_depth int, lpm_prefix string).
+    """
+    depths = [r.depth for r in prefix_df.select("depth").distinct().collect()]
+    qid = F.monotonically_increasing_id()
+    q = queries.withColumn("__qid", qid)
+    cand = q.select(
+        "__qid",
+        F.col(path_col),
+        F.explode(F.array(*[F.lit(d) for d in sorted(depths)])).alias("__d"),
+    ).where(path_depth(F.col(path_col)) >= F.col("__d"))
+    cand = cand.select("__qid", F.col("__d"), _trunc(F.col(path_col), F.col("__d")).alias("__prefix"))
+    joined = cand.join(
+        F.broadcast(prefix_df.withColumnRenamed("prefix", "__prefix").withColumnRenamed("depth", "__d")),
+        on=["__prefix", "__d"],
+        how="inner",
+    )
+    best = joined.groupBy("__qid").agg(F.max("__d").alias("lpm_depth"))
+    out = (
+        q.join(best, on="__qid", how="left")
+        .withColumn("lpm_depth", F.coalesce(F.col("lpm_depth"), F.lit(0)).cast("int"))
+        .withColumn(
+            "lpm_prefix",
+            F.when(F.col("lpm_depth") > 0, _trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),
+        )
+        .drop("__qid")
+    )
+    return out
+
+
+class PathLPM:
+    """Immutable LPM engine: Bloom filter + guide tree + exact FIB set."""
+
+    def __init__(
+        self,
+        bf: BloomFilter,
+        tree: GuideTree,
+        depths: list[int],
+        fib: np.ndarray,  # (n_routes, 32) uint8 digests, lexicographically sorted rows
+        enc_bits: int,
+    ):
+        self.bf = bf
+        self.tree = tree
+        self.depths = list(depths)  # sorted distinct route depths
+        self.ix2len = [0] + self.depths
+        self.len2ix = {l: i for i, l in enumerate(self.ix2len)}
+        self.fib = fib
+        self.enc_bits = enc_bits
+
+    # ----------------------------------------------------------------- build
+    @staticmethod
+    def required_k(n_depths: int, tree_height: int) -> tuple[int, int]:
+        enc_bits = (n_depths + 1).bit_length()
+        k = tree_height + enc_bits + 4
+        return k, enc_bits
+
+    @classmethod
+    def build(
+        cls,
+        prefix_df: DataFrame,
+        fpp: float = 1e-4,
+        k: int | None = None,
+        num_bits: int | None = None,
+        weighting: str = "by_count",
+        num_partitions: int = 32,
+        bits_per_route: int | None = 40,
+    ) -> "PathLPM":
+        """Two-pass distributed guided build (see module docstring).
+
+        The filter is deliberately sparse (``bits_per_route`` bits/route
+        by default) — the reference's own finding: hash-0 markers and
+        pointer slots are only trustworthy in a sparse filter
+        (/root/reference/doc/tex/report.tex:548-569, 'keep it sparse').
+        """
+        spark = prefix_df.sparkSession
+        stats_rows = prefix_df.groupBy("depth").count().orderBy("depth").collect()
+        depths = [int(r.depth) for r in stats_rows]
+        counts = [int(r["count"]) for r in stats_rows]
+        n_routes = sum(counts)
+        weights = counts if weighting == "by_count" else [1.0] * len(depths)
+        tree = GuideTree.from_weights(depths, weights)
+        k_auto, enc_bits = cls.required_k(len(depths), tree.height())
+        k = k or k_auto
+        if num_bits is None and bits_per_route:
+            num_bits = max(1024, bits_per_route * n_routes)
+
+        # walk plans per route depth: right-turn nodes carry (node_val, count_hit)
+        walk_rows = []
+        for L in depths:
+            cnt = 0
+            for v, turn in tree.walk(L):
+                if turn == "R":
+                    cnt += 1
+                    walk_rows.append((L, v, cnt))
+        walk_df = spark.createDataFrame(walk_rows or [(None, None, None)], "depth int, node_val int, count_hit int").where(
+            F.col("depth").isNotNull()
+        )
+
+        # exact BMP per route: deepest *strictly shorter* route that
+        # prefixes it (the reference finds this against the filter-so-far,
+        # ipfilter.py:98; sorted order makes the full-table self-join
+        # equivalent — SURVEY.md §7.3)
+        cand = (
+            prefix_df.withColumnRenamed("prefix", "p")
+            .withColumn("__d", F.explode(F.array(*[F.lit(d) for d in depths])))
+            .where(F.col("__d") < F.col("depth"))
+            .select("p", "depth", "__d", _trunc(F.col("p"), F.col("__d")).alias("__prefix"))
+        )
+        bmp_join = cand.join(
+            F.broadcast(prefix_df.select(F.col("prefix").alias("__prefix"), F.col("depth").alias("__d"))),
+            on=["__prefix", "__d"],
+            how="inner",
+        ).groupBy("p", "depth").agg(F.max("__d").alias("bmp_depth"))
+        with_bmp = prefix_df.withColumnRenamed("prefix", "p").join(bmp_join, on=["p", "depth"], how="left").withColumn(
+            "bmp_depth", F.coalesce("bmp_depth", F.lit(0))
+        )
+        len2ix = {l: i for i, l in enumerate([0] + depths)}
+        bmp_ix_expr = F.element_at(
+            F.array(*[F.lit(len2ix.get(d, 0)) for d in [0] + depths]),
+            F.coalesce(
+                F.array_position(F.array(*[F.lit(d) for d in [0] + depths]), F.col("bmp_depth")), F.lit(1)
+            ).cast("int"),
+        )
+        routes = with_bmp.withColumn("bmp_ix", bmp_ix_expr.cast("long"))
+
+        # insert rows: kind 0 = full (all k hashes), 1 = marker (hash 0),
+        # 2 = pointer pattern (hashes [count_hit, ...) encoding bmp_ix)
+        full_rows = routes.select(
+            _digest_expr(F.col("p"), F.col("depth")).alias("digest"),
+            F.lit(0).alias("kind"),
+            F.lit(0).alias("count_hit"),
+            F.lit(0).cast("long").alias("pattern"),
+        )
+        marked = routes.join(walk_df, on="depth", how="inner").select(
+            _digest_expr(_trunc(F.col("p"), F.col("node_val")), F.col("node_val")).alias("digest"),
+            F.col("count_hit"),
+            F.col("bmp_ix"),
+        )
+        marker_rows = marked.select(
+            "digest", F.lit(1).alias("kind"), F.lit(0).alias("count_hit"), F.lit(0).cast("long").alias("pattern")
+        )
+        pattern_rows = marked.where(F.col("bmp_ix") > 0).select(
+            "digest", F.lit(2).alias("kind"), F.col("count_hit"), F.col("bmp_ix").alias("pattern")
+        )
+        inserts = full_rows.unionByName(marker_rows).unionByName(pattern_rows).repartition(num_partitions)
+
+        bf_params = dict(fpp=fpp, n=max(n_routes, 1), k=k, num_bits=num_bits)
+
+        def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bf = BloomFilter(**bf_params)
+            for b in batches:
+                if not len(b):
+                    continue
+                h64 = fnv1a64(digests_to_matrix(b["digest"]))
+                kind = b["kind"].to_numpy()
+                full = kind == 0
+                if full.any():
+                    bf.insert_hashes(h64[full])
+                mark = kind == 1
+                if mark.any():
+                    bf.insert_hashes(h64[mark], hashes=[0])
+                    bf.n_items -= int(mark.sum())  # markers aren't items
+                pat = kind == 2
+                if pat.any():
+                    ch = b["count_hit"].to_numpy()[pat]
+                    pt = b["pattern"].to_numpy()[pat].astype(np.uint64)
+                    hp = h64[pat]
+                    for c in np.unique(ch):
+                        sel = ch == c
+                        bf.encode_pattern(hp[sel], start=int(c), patterns=pt[sel])
+            yield pd.DataFrame({"payload": [bf.to_bytes()]})
+
+        partial_blobs = inserts.mapInPandas(build_partials, schema="payload binary").collect()
+        from ip_filter_spark.sketches import from_bytes
+
+        bf = from_bytes(bytes(partial_blobs[0].payload))
+        for r in partial_blobs[1:]:
+            bf = bf.merge(from_bytes(bytes(r.payload)))
+
+        fib_rows = prefix_df.select(_digest_expr(F.col("prefix"), F.col("depth")).alias("d")).collect()
+        fib = digests_to_matrix([bytes(r.d) for r in fib_rows])
+        fib = fib[np.lexsort(fib.T[::-1])]
+        return cls(bf, tree, depths, fib, enc_bits)
+
+    # --------------------------------------------------------------- helpers
+    def _fib_contains(self, digs: np.ndarray) -> np.ndarray:
+        """Exact membership of (n, 32) digest rows in the sorted FIB matrix
+        — two-column searchsorted prefilter + full-row verify, all numpy."""
+        if len(digs) == 0:
+            return np.zeros(0, dtype=bool)
+        fib64 = self.fib[:, :8].copy().view(">u8").ravel()
+        cand64 = np.ascontiguousarray(digs[:, :8]).view(">u8").ravel()
+        lo = np.searchsorted(fib64, cand64, side="left")
+        hi = np.searchsorted(fib64, cand64, side="right")
+        out = np.zeros(len(digs), dtype=bool)
+        pending = np.nonzero(hi > lo)[0]
+        # verify full 32 bytes for prefilter survivors (max multiplicity is
+        # tiny: 8-byte prefix collisions are ~n^2/2^64)
+        for width in range(int((hi - lo).max()) if len(pending) else 0):
+            idx = pending[(hi[pending] - lo[pending]) > width]
+            if len(idx) == 0:
+                break
+            match = (self.fib[lo[idx] + width] == digs[idx]).all(axis=1)
+            out[idx] |= match
+        return out
+
+    def _probe_slots(self, h64: np.ndarray, slots: np.ndarray) -> np.ndarray:
+        """Gather filter bits for per-row slot matrices (n, s)."""
+        h1 = h64 & np.uint64(0xFFFFFFFF)
+        h2 = (h64 >> np.uint64(32)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            ix = (h1[:, None] + slots.astype(np.uint64) * h2[:, None]) % np.uint64(self.bf.m)
+        byte = self.bf.bits[(ix >> 3).astype(np.int64)]
+        return (byte >> (ix & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+
+    # ---------------------------------------------------------------- lookup
+    def lookup(self, df: DataFrame, path_col: str = "path", mode: str = "guided") -> DataFrame:
+        """Batch LPM: returns df + (lpm_depth, lpm_prefix, bit_lookups,
+        fib_probes, fell_back). The blob+tree+FIB broadcast once; each
+        Arrow batch is probed with pure numpy matrix ops."""
+        assert mode in ("guided", "linear")
+        spark = df.sparkSession
+        payload = self.to_bytes()
+        bc = spark.sparkContext.broadcast(payload)
+        depths = self.depths
+
+        dig_cols = F.array(*[_digest_expr(_trunc(F.col(path_col), d), F.lit(d)) for d in depths])
+        src = df.withColumn("__digs", dig_cols)
+        keep = [f for f in src.schema.fields if f.name != "__digs"]
+        out_schema = StructType(
+            keep
+            + [
+                StructField("lpm_depth", IntegerType(), False),
+                StructField("bit_lookups", LongType(), False),
+                StructField("fib_probes", LongType(), False),
+                StructField("fell_back", BooleanType(), False),
+            ]
+        )
+        mode_guided = mode == "guided"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            eng = PathLPM.from_bytes(bc.value)
+            for b in batches:
+                res = b.drop(columns="__digs")
+                if not len(b):
+                    for c, dt in (("lpm_depth", "int32"), ("bit_lookups", "int64"), ("fib_probes", "int64")):
+                        res[c] = np.zeros(0, dtype=dt)
+                    res["fell_back"] = np.zeros(0, dtype=bool)
+                    yield res
+                    continue
+                flat = b["__digs"].explode()
+                digs = digests_to_matrix(flat).reshape(len(b), len(eng.depths), 32)
+                ans, bits, fibp, fell = (
+                    eng._lookup_batch_guided(digs) if mode_guided else eng._lookup_batch_linear(digs)
+                )
+                res["lpm_depth"] = ans.astype(np.int32)
+                res["bit_lookups"] = bits
+                res["fib_probes"] = fibp
+                res["fell_back"] = fell
+                yield res
+
+        out = src.mapInPandas(run, schema=out_schema)
+        return out.withColumn(
+            "lpm_prefix",
+            F.when(F.col("lpm_depth") > 0, _trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),
+        )
+
+    # ------------------------------------------------------- batch kernels
+    def _hash_cols(self, digs: np.ndarray) -> np.ndarray:
+        n, D, _ = digs.shape
+        return fnv1a64(digs.reshape(n * D, 32)).reshape(n, D)
+
+    def _scan_below(
+        self, digs: np.ndarray, H: np.ndarray, rows: np.ndarray, cap_col: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized linear scan: for each row in ``rows``, find the deepest
+        domain depth with column index <= cap_col whose key passes all k
+        Bloom hashes AND the exact FIB — the reference's linear fallback
+        (/root/reference/prototype/ipfilter.py:145-159) batched.
+        Returns (answer_depth, bit_lookups, fib_probes) per row."""
+        D = len(self.depths)
+        k = self.bf.k
+        nr = len(rows)
+        if nr == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        hsub = H[rows]  # (nr, D)
+        slots = np.arange(k, dtype=np.uint64)
+        hit_all = np.ones((nr, D), dtype=bool)
+        bitcount = np.zeros(nr, dtype=np.int64)
+        valid = np.arange(D)[None, :] <= cap_col[:, None]
+        for j in range(D):
+            act = valid[:, j]
+            if not act.any():
+                continue
+            bitsj = self._probe_slots(hsub[act, j], np.broadcast_to(slots, (int(act.sum()), k)))
+            hit_all[act, j] = bitsj.all(axis=1)
+            # branchless batch probe: count all k per candidate (upper bound;
+            # scalar early-exit doesn't vectorize)
+            bitcount[act] += k
+        hit_all &= valid
+        # FIB-confirm bloom hits, deepest first
+        ans = np.zeros(nr, dtype=np.int64)
+        fibp = np.zeros(nr, dtype=np.int64)
+        unresolved = np.ones(nr, dtype=bool)
+        for j in range(D - 1, -1, -1):
+            chk = unresolved & hit_all[:, j]
+            if not chk.any():
+                continue
+            rows_chk = np.nonzero(chk)[0]
+            ok = self._fib_contains(digs[rows[rows_chk], j])
+            fibp[rows_chk] += 1
+            got = rows_chk[ok]
+            ans[got] = self.depths[j]
+            unresolved[got] = False
+        return ans, bitcount, fibp
+
+    def _lookup_batch_linear(self, digs: np.ndarray):
+        n = digs.shape[0]
+        H = self._hash_cols(digs)
+        cap = np.full(n, len(self.depths) - 1, dtype=np.int64)
+        ans, bits, fibp = self._scan_below(digs, H, np.arange(n), cap)
+        return ans, bits, fibp, np.zeros(n, dtype=bool)
+
+    def _lookup_batch_guided(self, digs: np.ndarray):
+        n, D, _ = digs.shape
+        H = self._hash_cols(digs)
+        tree, bf = self.tree, self.bf
+        col_of_val = {int(v): j for j, v in enumerate(self.depths)}
+        node_col = np.array([col_of_val[int(v)] for v in tree.val], dtype=np.int64)
+
+        cur = np.full(n, tree.root, dtype=np.int64)
+        count_hit = np.zeros(n, dtype=np.int64)
+        hit_col = np.full(n, -1, dtype=np.int64)
+        bits_used = np.zeros(n, dtype=np.int64)
+
+        # level-synchronous BST descent probing hash 0 only
+        # (/root/reference/prototype/ipfilter.py:195-203)
+        while True:
+            active = cur >= 0
+            if not active.any():
+                break
+            rows = np.nonzero(active)[0]
+            cols = node_col[cur[rows]]
+            h = H[rows, cols]
+            bit0 = self._probe_slots(h, np.zeros((len(rows), 1), dtype=np.uint64))[:, 0].astype(bool)
+            bits_used[rows] += 1
+            count_hit[rows[bit0]] += 1
+            hit_col[rows[bit0]] = cols[bit0]
+            nxt = np.where(bit0, tree.right[cur[rows]], tree.left[cur[rows]])
+            cur[rows] = nxt
+
+        ans = np.zeros(n, dtype=np.int64)
+        fibp = np.zeros(n, dtype=np.int64)
+        fell = np.zeros(n, dtype=bool)
+        hit_rows = np.nonzero(hit_col >= 0)[0]
+        if len(hit_rows) == 0:
+            return ans, bits_used, fibp, fell
+
+        E = self.enc_bits
+        k = bf.k
+        depths_arr = np.array(self.depths, dtype=np.int64)
+        ix2len_arr = np.array(self.ix2len, dtype=np.int64)
+
+        # decode the BMP pointer from slots [count_hit, count_hit+E)
+        hh = H[hit_rows, hit_col[hit_rows]]
+        slot0 = count_hit[hit_rows]
+        slots = slot0[:, None] + np.arange(E, dtype=np.int64)[None, :]
+        ptr_bits = self._probe_slots(hh, slots)
+        bits_used[hit_rows] += E
+        bmp_ix = (ptr_bits.astype(np.int64) * (1 << np.arange(E, dtype=np.int64))[None, :]).sum(axis=1)
+
+        hit_depth = depths_arr[hit_col[hit_rows]]
+        all_ones = bmp_ix == (1 << E) - 1
+        valid_ix = bmp_ix < len(ix2len_arr)
+        hyp_depth = np.where(valid_ix, ix2len_arr[np.clip(bmp_ix, 0, len(ix2len_arr) - 1)], hit_depth)
+        hyp_depth = np.where(all_ones, hit_depth, hyp_depth)
+
+        # candidate accept: hypothesis must exist (depth>0) and be
+        # self (all-ones) or strictly shorter (ipfilter.py:227)
+        cand = (all_ones | (hyp_depth < hit_depth)) & (hyp_depth > 0)
+        accepted = np.zeros(len(hit_rows), dtype=bool)
+        if cand.any():
+            c = np.nonzero(cand)[0]
+            hyp_col = np.searchsorted(depths_arr, hyp_depth[c])
+            hch = H[hit_rows[c], hyp_col]
+            # remaining validation hashes [count_hit+E, k) (ipfilter.py:228-230)
+            width = k - (slot0[c] + E)
+            maxw = int(width.max()) if len(width) else 0
+            ok = np.ones(len(c), dtype=bool)
+            if maxw > 0:
+                vs = (slot0[c] + E)[:, None] + np.arange(maxw, dtype=np.int64)[None, :]
+                vbits = self._probe_slots(hch, vs)
+                in_range = np.arange(maxw)[None, :] < width[:, None]
+                ok = (vbits.astype(bool) | ~in_range).all(axis=1)
+                bits_used[hit_rows[c]] += width
+            # exact FIB confirm (ipfilter.py:231)
+            fib_ok = self._fib_contains(digs[hit_rows[c], hyp_col])
+            fibp[hit_rows[c]] += 1
+            accept = ok & fib_ok
+            accepted[c] = accept
+            acc = c[accept]
+            ans[hit_rows[acc]] = hyp_depth[acc]
+            # exactness patch: verify nothing deeper in (hyp, hit]
+            gap = acc[hyp_depth[acc] < hit_depth[acc]]
+            if len(gap):
+                cap_col = hit_col[hit_rows[gap]]
+                lo_col = np.searchsorted(depths_arr, hyp_depth[gap])
+                deeper, gb, gf = self._scan_interval(digs, H, hit_rows[gap], lo_col, cap_col)
+                bits_used[hit_rows[gap]] += gb
+                fibp[hit_rows[gap]] += gf
+                upd = deeper > 0
+                ans[hit_rows[gap[upd]]] = deeper[upd]
+
+        # fallback: linear scan strictly below the deepest hit
+        # (ipfilter.py:234-236)
+        fb = np.nonzero(~accepted)[0]
+        if len(fb):
+            fell[hit_rows[fb]] = True
+            cap_col = hit_col[hit_rows[fb]] - 1
+            has = cap_col >= 0
+            fbh = fb[has]
+            if len(fbh):
+                a2, b2, f2 = self._scan_below(digs, H, hit_rows[fbh], cap_col[has])
+                ans[hit_rows[fbh]] = a2
+                bits_used[hit_rows[fbh]] += b2
+                fibp[hit_rows[fbh]] += f2
+        return ans, bits_used, fibp, fell
+
+    def _scan_interval(self, digs, H, rows, lo_col, cap_col):
+        """FIB-backed scan of domain columns in (lo_col, cap_col]."""
+        D = len(self.depths)
+        nr = len(rows)
+        ans = np.zeros(nr, dtype=np.int64)
+        bits = np.zeros(nr, dtype=np.int64)
+        fibp = np.zeros(nr, dtype=np.int64)
+        unresolved = np.ones(nr, dtype=bool)
+        k = self.bf.k
+        slots = np.arange(k, dtype=np.uint64)
+        for j in range(D - 1, -1, -1):
+            act = unresolved & (lo_col < j) & (j <= cap_col)
+            if not act.any():
+                continue
+            r = np.nonzero(act)[0]
+            bj = self._probe_slots(H[rows[r], j], np.broadcast_to(slots, (len(r), k)))
+            bits[r] += k
+            hit = bj.all(axis=1)
+            hr = r[hit]
+            if len(hr):
+                ok = self._fib_contains(digs[rows[hr], j])
+                fibp[hr] += 1
+                got = hr[ok]
+                ans[got] = self.depths[j]
+                unresolved[got] = False
+        return ans, bits, fibp
+
+    # ------------------------------------------------------------ serialization
+    def to_bytes(self) -> bytes:
+        meta = {
+            "depths": self.depths,
+            "enc_bits": self.enc_bits,
+            "bf_params": self.bf._params(),
+            "bf_n_items": self.bf.n_items,
+            "root": self.tree.root,
+        }
+        mj = json.dumps(meta, separators=(",", ":")).encode()
+        arrs = [
+            self.bf.bits,
+            self.tree.val.astype(np.int64),
+            self.tree.left.astype(np.int64),
+            self.tree.right.astype(np.int64),
+            np.ascontiguousarray(self.fib),
+        ]
+        head = [_MAGIC, struct.pack("<I", len(mj)), mj, struct.pack("<I", len(arrs))]
+        for a in arrs:
+            head.append(struct.pack("<cI", a.dtype.char.encode(), a.shape[0]))
+            head.append(struct.pack("<I", a.shape[1] if a.ndim > 1 else 0))
+            head.append(a.tobytes())
+        return b"".join(head)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "PathLPM":
+        assert blob[: len(_MAGIC)] == _MAGIC
+        off = len(_MAGIC)
+        (mlen,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        meta = json.loads(blob[off : off + mlen])
+        off += mlen
+        (n_arr,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        arrs = []
+        for _ in range(n_arr):
+            ch, n0 = struct.unpack_from("<cI", blob, off)
+            off += 5
+            (n1,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            dt = np.dtype(ch.decode())
+            count = n0 * (n1 if n1 else 1)
+            a = np.frombuffer(blob[off : off + count * dt.itemsize], dtype=dt)
+            if n1:
+                a = a.reshape(n0, n1)
+            arrs.append(a.copy())
+            off += count * dt.itemsize
+        bp = meta["bf_params"]
+        bf = BloomFilter(fpp=bp["fpp"], n=bp["expected_n"], k=bp["k"], num_bits=bp["m"], _bits=arrs[0])
+        bf.n_items = meta["bf_n_items"]
+        tree = GuideTree(arrs[1], arrs[2], arrs[3], meta["root"])
+        return cls(bf, tree, meta["depths"], arrs[4], meta["enc_bits"])

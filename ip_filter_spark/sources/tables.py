@@ -1,0 +1,35 @@
+"""Parquet table sources for the driver testdata star schema."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
+    base = base_dir or sf_dir()
+    return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, base_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, base_dir) for t in TABLES}

@@ -1,0 +1,118 @@
+"""Distributed lifecycle tests: Spark build/merge ≡ local single-pass build,
+probe correctness, checkpoint/resume, sha256 invariant, skew repartition."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ip_filter_spark.engine import (
+    SketchSpec,
+    build_and_merge,
+    build_partials,
+    checkpoint_partials,
+    probe_membership,
+    resume_or_build,
+    salted_repartition,
+    tree_merge,
+)
+from ip_filter_spark.sketches import BloomFilter, HyperLogLog, KLLSketch
+from ip_filter_spark.sketches.hashing import fnv1a64, series_sha256
+from ip_filter_spark.sources.corpus import synthesize_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synthesize_corpus(spark, n_rows=5000, n_repos=50, seed=7, num_partitions=8)
+    df.cache().count()
+    return df
+
+
+def local_hashes(df):
+    contents = [r.content for r in df.select("content").collect()]
+    return fnv1a64(series_sha256(contents)), contents
+
+
+def test_sha256_invariant(spark, corpus):
+    """Spark-side sha2 digest == hashlib.sha256 per row (input_hint)."""
+    rows = corpus.select("content", F.sha2("content", 256).alias("d")).limit(100).collect()
+    for r in rows:
+        assert r.d == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_distributed_bloom_equals_local(spark, corpus):
+    h64, _ = local_hashes(corpus)
+    specs = [SketchSpec("bloom", {"fpp": 1e-4, "n": 5000})]
+    got = build_and_merge(corpus, specs, key="content")[specs[0].key()]
+    want = BloomFilter(fpp=1e-4, n=5000).insert_hashes(h64)
+    assert bytes(got.bits) == bytes(want.bits)
+    assert got.n_items == 5000
+
+
+def test_distributed_hll_and_kll(spark, corpus):
+    specs = [
+        SketchSpec("hll", {"p": 13}),
+        SketchSpec("kll", {"k": 200}, on="value"),
+    ]
+    got = build_and_merge(corpus, specs, key="content", value=F.length("content"))
+    hll = got[specs[0].key()]
+    true_distinct = corpus.select(F.countDistinct("content")).first()[0]
+    assert abs(hll.estimate() - true_distinct) / true_distinct < 4 * hll.rel_error_bound()
+
+    kll = got[specs[1].key()]
+    lens = np.array([r[0] for r in corpus.select(F.length("content")).collect()], dtype=float)
+    med = float(kll.quantile(0.5)[0])
+    # discrete data with heavy ties: the true rank of a value is an interval
+    rank_lo = (lens < med).mean()
+    rank_hi = (lens <= med).mean()
+    tol = 3 * kll.rank_error_bound()
+    assert rank_lo - tol <= 0.5 <= rank_hi + tol, (rank_lo, rank_hi)
+
+
+def test_probe_membership(spark, corpus):
+    specs = [SketchSpec("bloom", {"fpp": 1e-5, "n": 5000})]
+    bf = build_and_merge(corpus, specs, key="content")[specs[0].key()]
+    probed = probe_membership(corpus.limit(500), "content", bf)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0  # no false negatives
+    absent = spark.range(2000).select(F.concat(F.lit("absent-"), F.col("id").cast("string")).alias("content"))
+    fp = probe_membership(absent, "content", bf).filter(F.col("bloom_hit")).count()
+    assert fp <= 5
+
+
+def test_tree_merge_multilevel(spark, corpus):
+    specs = [SketchSpec("bloom", {"fpp": 1e-4, "n": 5000})]
+    partials = build_partials(corpus, specs, key="content", num_partitions=16)
+    assert partials.count() == 16
+    merged = tree_merge(partials, fanout=2, levels=3).collect()
+    assert len(merged) == 1
+    h64, _ = local_hashes(corpus)
+    want = BloomFilter(fpp=1e-4, n=5000).insert_hashes(h64)
+    from ip_filter_spark.sketches import from_bytes
+
+    assert bytes(from_bytes(bytes(merged[0].payload)).bits) == bytes(want.bits)
+    assert merged[0].rows_seen == 5000
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    specs = [SketchSpec("hll", {"p": 12})]
+    first = resume_or_build(spark, corpus, specs, ckpt, key="content")
+    # resume with same input: no rebuild needed, same estimate
+    second = resume_or_build(spark, corpus, specs, ckpt, key="content")
+    assert first[specs[0].key()].estimate() == second[specs[0].key()].estimate()
+    # checkpoint has lineage columns
+    lineage = spark.read.parquet(ckpt)
+    assert {"partition_id", "rows_seen", "wall_ms", "params_hash"} <= set(lineage.columns)
+
+
+def test_salted_repartition_balances_skew(spark, corpus):
+    """Zipf repo sizes: salting must bound the max partition size."""
+    df = salted_repartition(corpus, 16, F.col("repo"), salt_buckets=64)
+    sizes = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    counts = [r["count"] for r in sizes]
+    # salted placement must be near-uniform even with Zipf repo sizes
+    assert max(counts) <= 1.6 * (5000 / 16), counts
+    # and strictly better than partitioning on the raw key
+    raw = corpus.repartition(16, "repo").groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    assert max(counts) <= max(r["count"] for r in raw)
