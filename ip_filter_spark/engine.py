@@ -200,13 +200,23 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def tree_merge(sketch_rows: DataFrame, fanout: int = 64, levels: int = 2) -> DataFrame:
+def tree_merge(sketch_rows: DataFrame, fanout: int = 64, levels: int | None = None) -> DataFrame:
     """Hierarchical merge of partials: each level groups ``fanout``
     partials per (sketch, group) and merges them in one applyInPandas
-    task. ``levels=2`` with fanout 64 handles 4096 partials; at 1000
-    executors the shuffle volume per level is O(P · blob_size) with
-    dense int group keys (no skew)."""
+    task. With fanout 64, one level handles 4096 partials before the
+    final squeeze; at 1000 executors the shuffle volume per level is
+    O(P · blob_size) with dense int group keys (no skew).
+
+    ``levels=None`` sizes the tree from the DataFrame's partition count:
+    P <= fanout partials go straight to the final squeeze (1 stage) —
+    extra levels are pure latency at small P."""
     out = sketch_rows
+    if levels is None:
+        p = sketch_rows.rdd.getNumPartitions()
+        levels = 0
+        while p > fanout:
+            levels += 1
+            p = (p + fanout - 1) // fanout
     for _ in range(levels):
         out = (
             out.withColumn("__grp", (F.col("partition_id") / fanout).cast("int"))

@@ -17,7 +17,7 @@ import numpy as np
 
 from ip_filter_spark.sketches.base import Sketch
 
-_BUFFER_FACTOR = 5
+_BUFFER_FACTOR = 25
 
 
 class TDigest(Sketch):
@@ -69,6 +69,14 @@ class TDigest(Sketch):
         return self.update_values(h64.astype(np.float64))
 
     def _flush(self) -> None:
+        """Compress buffered points + existing centroids.
+
+        Vectorized k-cell clustering: each sorted point lands in the unit
+        cell floor(k(q_mid)) of the k1 scale; consecutive same-cell points
+        merge into one centroid (weighted mean via add.reduceat). Every
+        cell spans <= 1 k-unit, so the t-digest size bound holds; this is
+        the standard fast variant of Dunning's greedy merge (the per-point
+        Python loop was ~15x the cost of every other sketch combined)."""
         if not self._buf_v and len(self.means) <= self.delta * 2:
             return
         v = np.concatenate([self.means] + self._buf_v) if self._buf_v else self.means
@@ -79,29 +87,13 @@ class TDigest(Sketch):
         order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
         total = w.sum()
-        # greedy merge: accumulate while k(q_right) - k(q_left) <= 1
-        q_limit_ix = 0
-        means_out, weights_out = [], []
-        cur_mean, cur_w = v[0], w[0]
-        q_left = 0.0
-        k_left = float(self._k(np.array([0.0]))[0])
-        for i in range(1, len(v)):
-            q_right = q_left + (cur_w + w[i]) / total
-            k_right = float(self._k(np.array([q_right]))[0])
-            if k_right - k_left <= 1.0:
-                cur_mean += (v[i] - cur_mean) * (w[i] / (cur_w + w[i]))
-                cur_w += w[i]
-            else:
-                means_out.append(cur_mean)
-                weights_out.append(cur_w)
-                q_left += cur_w / total
-                k_left = float(self._k(np.array([q_left]))[0])
-                cur_mean, cur_w = v[i], w[i]
-        means_out.append(cur_mean)
-        weights_out.append(cur_w)
-        self.means = np.asarray(means_out)
-        self.weights = np.asarray(weights_out)
-        _ = q_limit_ix
+        q_mid = (np.cumsum(w) - w / 2.0) / total
+        cell = np.floor(self._k(q_mid))
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ws = np.add.reduceat(w, starts)
+        vs = np.add.reduceat(v * w, starts) / ws
+        self.means = vs
+        self.weights = ws
 
     def merge(self, other: "TDigest") -> "TDigest":
         assert self.delta == other.delta

@@ -1,0 +1,43 @@
+"""Seeded sampling generators — the reference's traffic-synthesis analogs.
+
+The reference generates probe traffic three ways (uniform random,
+reservoir-sampled proportional to address-space share, proportional to
+prefix count — /root/reference/data/generate_traffic.py:39-131). Spark
+gives all three as one-liners over the corpus; everything is seeded
+(the reference's unseeded shuffle at prototype/utils.py:87 is a known
+nondeterminism we deliberately do not reproduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Uniform traffic (generate_traffic.py:39-52 analog)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def sample_by_key_share(df: DataFrame, key_col: str, total_fraction: float, seed: int = 42) -> DataFrame:
+    """Sample proportional to each key's row share (the 'traffic ∝
+    prefix-count' generator, generate_traffic.py:112-131): a plain
+    uniform sample already yields key proportions equal to row shares,
+    so this is uniform sampling with explicit naming."""
+    return df.sample(fraction=total_fraction, seed=seed).withColumn("__sampled_by", F.lit(key_col))
+
+
+def stratified_sample(df: DataFrame, key_col: str, fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum sampling fractions (the 'by address-space share'
+    reservoir analog, generate_traffic.py:54-84): key → fraction, e.g.
+    over-sampling rare languages or deep paths."""
+    return df.sampleBy(key_col, fractions=fractions, seed=seed)
+
+
+def weighted_key_fractions(df: DataFrame, key_col: str, target_rows: int) -> dict:
+    """Derive per-key fractions so each key contributes ~equally
+    (inverse-frequency weighting) totalling ~target_rows."""
+    counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()}
+    k = len(counts) or 1
+    per_key = target_rows / k
+    return {key: min(1.0, per_key / n) for key, n in counts.items()}

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+These lock in the plan shape, not timings: filters reach the parquet
+scan (PushedFilters), projections prune columns (ReadSchema), expression
+pipelines run in whole-stage codegen, small dimensions broadcast, and the
+sketch build is shuffle-free when it rides the scan partitioning.
+"""
+
+from pyspark.sql import functions as F
+
+from ip_filter_spark.engine import SketchSpec, build_partials
+from ip_filter_spark.queries import q3_shipping_priority, q5_nation_revenue
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # only the 3 referenced columns are read, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema, read_schema
+
+
+def test_join_strategy_broadcasts_dimensions(spark, sf_dir):
+    df = q5_nation_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # codegen spans only appear in the executed (AQE-final) plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, executed  # WholeStageCodegen stage markers
+
+
+def test_topk_uses_single_shuffle_window(spark, sf_dir):
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # customer side broadcast
+
+
+def test_sketch_build_is_shuffle_free(spark, sf_dir):
+    """Partial build must ride the scan partitioning: no Exchange between
+    the parquet scan and the python runner when num_partitions is None."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    partials = build_partials(li, [SketchSpec("hll", {"p": 12})], key=F.col("l_orderkey").cast("string"))
+    plan = _plan(partials)
+    scan_to_python = plan.split("MapInPandas")[0] if "MapInPandas" in plan else plan
+    assert "Exchange" not in scan_to_python, plan
+    # sha2 digest computed JVM-side (in the projection, not in python)
+    assert "sha2" in plan
+
+
+def test_lpm_probe_plan_shape(spark, sf_dir):
+    """LPM probe: digest prep is a plain projection over the scan (no
+    shuffle, no join) feeding one python stage."""
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    routes = spark.createDataFrame([("a", 1), ("a/b", 2)], "prefix string, depth int")
+    eng = PathLPM.build(routes, num_partitions=2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(F.col("source").alias("path"))
+    plan = _plan(eng.lookup(docs))
+    before_python = plan.split("MapInPandas")[0]
+    assert "Exchange" not in before_python, plan
