@@ -3,5 +3,11 @@ from ip_filter_spark.streaming.sketch_stream import (
     stream_sketch_build,
     windowed_event_counts,
 )
+from ip_filter_spark.streaming.stateful import running_distinct_by_key
 
-__all__ = ["stream_sketch_build", "merged_sketches_from_store", "windowed_event_counts"]
+__all__ = [
+    "stream_sketch_build",
+    "merged_sketches_from_store",
+    "windowed_event_counts",
+    "running_distinct_by_key",
+]

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ip_filter_spark.engine import SketchSpec
 from ip_filter_spark.streaming import (
     merged_sketches_from_store,
+    running_distinct_by_key,
     stream_sketch_build,
     windowed_event_counts,
 )
@@ -42,6 +43,39 @@ def test_stream_sketch_build_matches_batch(spark, sf_dir, events_stream_dir, tmp
     # partial store carries batch lineage
     lineage = spark.read.parquet(store)
     assert lineage.select("batch_id").distinct().count() >= 2  # multiple micro-batches
+
+
+def test_stateful_running_distinct(spark, events_stream_dir, tmp_path):
+    """applyInPandasWithState custom operator: per-event-type running HLL
+    distinct-user estimates converge to the batch exact counts."""
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(events_stream_dir)
+    out = running_distinct_by_key(stream, "event_type", "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_distinct")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "select key, estimate, rows_seen from ("
+        " select *, row_number() over (partition by key order by rows_seen desc) rn"
+        " from running_distinct) where rn = 1"
+    ).collect()
+    got = {r.key: r for r in rows}
+    exact = {
+        r.event_type: (r.n_users, r.n_rows)
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key, (n_users, n_rows) in exact.items():
+        assert got[key].rows_seen == n_rows  # state accumulated across all micro-batches
+        assert abs(got[key].estimate - n_users) / n_users <= 0.1  # p=12 → 1.6% σ
 
 
 def test_windowed_event_counts_matches_batch(spark, events_stream_dir, tmp_path):
