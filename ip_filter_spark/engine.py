@@ -71,6 +71,15 @@ def sha256_digest(col) -> "F.Column":
     return F.unhex(F.sha2(col, 256))
 
 
+def _hashable(df: DataFrame, col) -> "F.Column":
+    """Resolve ``col`` against ``df`` and make it sha2-compatible:
+    string/binary pass through, anything else casts to its canonical
+    string form (so users can feed bigint keys directly)."""
+    kc = F.col(col) if isinstance(col, str) else col
+    dt = df.select(kc.alias("__k")).schema[0].dataType.typeName()
+    return kc if dt in ("string", "binary") else kc.cast("string")
+
+
 def _params_hash(spec_params: dict) -> str:
     import json
 
@@ -135,7 +144,7 @@ def build_partials(
     needs_value = any(s.on == "value" for s in specs)
     if needs_hash:
         kc = F.col(key) if isinstance(key, str) else key
-        cols.append((kc if key_is_digest else sha256_digest(kc)).alias(DIGEST_COL))
+        cols.append((kc if key_is_digest else sha256_digest(_hashable(df, kc))).alias(DIGEST_COL))
     if needs_value:
         vc = F.col(value) if isinstance(value, str) else value
         cols.append(vc.cast("double").alias(VALUE_COL))
@@ -267,7 +276,7 @@ def probe_membership(
     spark = df.sparkSession
     blob_bc = spark.sparkContext.broadcast(sketch.to_bytes())
     kc = F.col(key) if isinstance(key, str) else key
-    dcol = (kc if key_is_digest else sha256_digest(kc)).alias(DIGEST_COL)
+    dcol = (kc if key_is_digest else sha256_digest(_hashable(df, kc))).alias(DIGEST_COL)
     src = df.withColumn(DIGEST_COL, dcol)
     keep_fields = [f for f in src.schema.fields if f.name != DIGEST_COL]
     out_schema = StructType(keep_fields + [StructField(out_col, BooleanType(), True)])

@@ -43,17 +43,27 @@ def _dec_sum(col, alias):
 # Relational core (TPC-H-shaped: scan/filter/agg/join/window coverage)
 # =====================================================================
 def q1_pricing_summary(spark, sf_dir):
+    """Exact-decimal arithmetic end-to-end: every money/rate input is a
+    2-decimal value stored as double, so casting each FACTOR to decimal
+    before multiplying makes the products exact rationals — identical in
+    Spark and DuckDB regardless of their double→decimal rounding rules
+    (multiplying doubles first and rounding the product is what diverged
+    in round 1: Spark rounds the shortest-repr, DuckDB the binary value)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
+    one_p_tax = F.lit(1).cast("decimal(8,2)") + F.col("l_tax").cast("decimal(8,2)")
+    # D(12,2) x D(9,2) -> D(22,4) exact; x D(9,2) -> D(32,6) exact
+    disc = price * one_m_disc
+    charge = disc * one_p_tax
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _dec_sum(disc, "sum_disc_price"),
-            _dec_sum(charge, "sum_charge"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -63,8 +73,11 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+                * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
@@ -229,7 +242,8 @@ WITH g AS (
   SELECT user_id,
          CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
   FROM events)
-SELECT user_id, COUNT(*) AS n_events, SUM(gap_s) AS total_gap_s, MAX(gap_s) AS max_gap_s
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(gap_s) AS BIGINT) AS total_gap_s, MAX(gap_s) AS max_gap_s
 FROM g GROUP BY user_id
 """
 
@@ -294,8 +308,8 @@ def token_stats_by_lang(spark, sf_dir):
 
 TOKEN_STATS_SQL = f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len({_SQL_TOKENS})) AS total_tokens,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -364,8 +378,8 @@ def fingerprint_docs(spark, sf_dir):
 
 FINGERPRINT_SQL = f"""
 SELECT doc_id,
-       list_sum(list_transform({_SQL_TOKENS},
-                (x, i) -> (i * ((length(x) * 131 + ascii(x)) % {MOD})) % {MOD})) % {MOD} AS fp
+       CAST(COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                (x, i) -> (i * ((length(x) * 131 + ascii(x)) % {MOD})) % {MOD})) % {MOD}, 0) AS BIGINT) AS fp
 FROM documents
 """
 
