@@ -64,17 +64,74 @@ def shingles_expr(text_col, n: int = 3):
     return F.array_distinct(F.when(n_sh >= 1, grams).otherwise(whole))
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne): keeps all family arithmetic < 2^62
+_BAND_K = 1_000_003  # band-key polynomial base
+
+
+def minhash_coeffs(num_perm: int, seed: int = 11) -> tuple[list[int], list[int]]:
+    """Deterministic affine-family coefficients (a_p, b_p) mod MINHASH_P,
+    from a fixed LCG so the DuckDB oracle SQL (queries.minhash_lsh_sql)
+    can embed the exact same integers."""
+    a, b = [], []
+    x = seed & 0x7FFFFFFFFFFFFFFF
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+        a.append(1 + (x % (MINHASH_P - 1)))
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+        b.append(x % MINHASH_P)
+    return a, b
+
+
+def shingle_hash31(sh_col, hash_fn: str = "sha"):
+    """Base hash of a shingle in [0, MINHASH_P), computed ONCE per shingle.
+
+    'sha': first 60 bits of sha256 (hex → bigint) mod P — expressible
+    verbatim in DuckDB (``CAST('0x' || substr(sha256(sh),1,15) AS
+    BIGINT) % P``), which is what makes the whole LSH pipeline
+    oracle-checkable. 'xx': xxhash64 mod P — cheapest JVM path."""
+    if hash_fn == "sha":
+        return F.conv(F.substring(F.sha2(sh_col, 256), 1, 15), 16, 10).cast("bigint") % F.lit(MINHASH_P)
+    return F.pmod(F.xxhash64(sh_col), F.lit(MINHASH_P))
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 128, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    shingle_n: int = 3,
+    hash_fn: str = "sha",
+    seed: int = 11,
 ) -> DataFrame:
     """(id, sig: array<long>[num_perm]) — component p is
-    min(xxhash64(shingle, seed_p)) over the doc's distinct shingles."""
+    min((a_p * h(shingle) + b_p) mod P) over the doc's distinct shingles.
+
+    One base hash per shingle + num_perm cheap integer affine maps —
+    replaces round 1's num_perm independent string hashes per shingle
+    (the whole-bench hot spot: 128 xxhash64(str) aggregates were 67% of
+    BENCH_r01). The affine family over a Mersenne prime is the textbook
+    universal-hash construction, so the MinHash estimator guarantees are
+    unchanged."""
+    a_c, b_c = minhash_coeffs(num_perm, seed)
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
-    )
-    aggs = [F.min(F.xxhash64("sh", F.lit(1_000_003 + p))).alias(f"s{p}") for p in range(num_perm)]
+    ).select("id", shingle_hash31(F.col("sh"), hash_fn).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a_c[p]) + F.lit(b_c[p])) % F.lit(MINHASH_P)).alias(f"s{p}")
+        for p in range(num_perm)
+    ]
     sig = ex.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"s{p}" for p in range(num_perm)]).alias("sig"))
+
+
+def band_key_expr(sig_col, band: int, r: int):
+    """Polynomial fold of signature slice [band*r, band*r + r) mod P —
+    SQL-expressible band bucket key (round 1 used xxhash64, which DuckDB
+    can't compute)."""
+    acc = F.lit(band + 1).cast("long")
+    for j in range(r):
+        acc = (acc * F.lit(_BAND_K) + F.element_at(sig_col, band * r + j + 1)) % F.lit(MINHASH_P)
+    return acc
 
 
 def minhash_lsh_pairs(
@@ -86,36 +143,44 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    hash_fn: str = "sha",
+    seed: int = 11,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard >= threshold).
 
     est_jaccard is the MinHash agreement fraction — an unbiased Jaccard
-    estimator with sd sqrt(J(1-J)/num_perm)."""
+    estimator with sd sqrt(J(1-J)/num_perm). With hash_fn='sha' the whole
+    pipeline (shingle hash, affine family, band keys, bucket cap,
+    agreement fraction) is replicated verbatim by the DuckDB oracle
+    (queries.minhash_lsh_sql)."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_fn, seed).cache()
 
-    band_keys = F.array(
-        *[F.xxhash64(F.lit(b), *[F.element_at("sig", b * r + j + 1) for j in range(r)]) for b in range(bands)]
+    # candidate pairs in ONE shuffle: group band rows into buckets,
+    # drop singletons (can't pair) and cap hot buckets (boilerplate —
+    # bounded blow-up, not silent: the cap is an explicit parameter),
+    # then emit in-bucket pairs JVM-side from the sorted id list.
+    # Round 1 did count-groupBy + prune-join + self-join — three
+    # shuffles over the 16x-exploded band table; this is one.
+    band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
+    banded = sig.select("id", F.posexplode(band_keys).alias("band", "key"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    banded = sig.select("id", F.posexplode(band_keys).alias("band", "key")).cache()
-    bucket_sizes = banded.groupBy("band", "key").count()
-    # singleton buckets can't produce pairs and dominate the band table —
-    # pruning them shrinks the self-join input by orders of magnitude;
-    # oversized buckets (boilerplate shingles) are capped, not silent:
-    # they're visible via bucket_sizes in the plan and bounded by design
-    ok_buckets = bucket_sizes.where((F.col("count") >= 2) & (F.col("count") <= max_bucket)).select("band", "key")
-    # cache the pruned table: it feeds BOTH sides of the self-join and is
-    # orders of magnitude smaller than the full band table
-    banded = banded.join(ok_buckets, on=["band", "key"], how="inner").cache()
-
-    pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "key"], how="inner")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    ids_sorted = F.array_sort("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.id_a", "p.id_b").distinct()
     verified = (
         pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
@@ -143,33 +208,53 @@ def _bit_mask(j: int):
     return F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str, seed: int = 7) -> DataFrame:
+SIMHASH_BITS = {"xx": 64, "sha": 60}
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 7, hash_fn: str = "sha"
+) -> DataFrame:
     """(id, simhash long). Uses explode+groupBy (one shuffle) instead of a
-    64-term aggregate expression per row — Catalyst folds the 64 bit-sums
-    into a single pass over the exploded tokens."""
+    64-term aggregate expression per row — Catalyst folds the bit-sums
+    into a single pass over the exploded tokens.
+
+    hash_fn 'sha' votes over the first 60 bits of sha256(token) — the
+    per-token hash DuckDB can replicate (hex-slice → BIGINT), making the
+    signature (and therefore the pairs output) fully oracle-checkable;
+    'xx' is the 64-bit xxhash64 fast path."""
+    nbits = SIMHASH_BITS[hash_fn]
     ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
-    ex = ex.withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    if hash_fn == "sha":
+        h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64("tok", F.lit(seed))
+    ex = ex.withColumn("h", h)
     aggs = [
         F.sum(F.when(F.col("h").bitwiseAND(_bit_mask(j)) != 0, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     votes = ex.groupBy("id").agg(*aggs)
     sim = None
-    for j in range(64):
+    for j in range(nbits):
         term = F.when(F.col(f"v{j}") > 0, _bit_mask(j)).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else (sim + term)
     return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 7
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 7, hash_fn: str = "sha"
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming (<= 3 for
     the 4-chunk pigeonhole blocking to be lossless)."""
     assert max_hamming <= 3, "4-chunk blocking guarantees recall only for hamming <= 3"
-    sig = simhash_signatures(df, id_col, text_col, seed).cache()
+    nbits = SIMHASH_BITS[hash_fn]
+    chunk_w = nbits // 4
+    sig = simhash_signatures(df, id_col, text_col, seed, hash_fn).cache()
     chunks = F.array(
-        *[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF).cast("long")) for c in range(4)]
+        *[
+            F.shiftright("simhash", chunk_w * c).bitwiseAND(F.lit((1 << chunk_w) - 1).cast("long"))
+            for c in range(4)
+        ]
     )
     blocked = sig.select("id", "simhash", F.posexplode(chunks).alias("chunk_ix", "chunk"))
     pairs = (

@@ -569,16 +569,111 @@ WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.05
 """
 
 
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB expression for the distinct token n-gram shingle list —
+    exact twin of operators.dedup.shingles_expr."""
+    t = _SQL_TOKENS
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {n} "
+        f"THEN list_transform(range(1, len({t}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END)"
+    )
+
+
+def minhash_lsh_sql(
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    seed: int = 11,
+) -> str:
+    """Full DuckDB replica of minhash_lsh_pairs(hash_fn='sha'): same
+    shingles, same sha-derived base hash, same affine family coefficients
+    (embedded as literals), same polynomial band keys, same bucket
+    pruning/cap, same agreement-fraction estimate. The oracle checks the
+    ALGORITHM, not just plausibility of its output."""
+    from ip_filter_spark.operators.dedup import _BAND_K, MINHASH_P, minhash_coeffs
+
+    a_c, b_c = minhash_coeffs(num_perm, seed)
+    r = num_perm // bands
+    P = MINHASH_P
+    sig_cols = ",\n       ".join(f"MIN((h * {a_c[p]} + {b_c[p]}) % {P}) AS s{p}" for p in range(num_perm))
+
+    def key_expr(b: int) -> str:
+        acc = str(b + 1)
+        for j in range(r):
+            acc = f"(({acc}) * {_BAND_K} + s{b * r + j}) % {P}"
+        return acc
+
+    banded = "\n  UNION ALL\n".join(f"  SELECT id, {b} AS band, {key_expr(b)} AS key FROM sig" for b in range(bands))
+    sig_list = ", ".join(f"s{p}" for p in range(num_perm))
+    # a flat num_perm-term "+" chain trips DuckDB's 128-deep binder
+    # recursion limit; list_transform over a signature LIST does not
+    return f"""
+WITH shg AS (
+  SELECT DISTINCT doc_id AS id, unnest({_sql_shingles(shingle_n)}) AS sh FROM documents),
+h AS (SELECT id, CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) % {P} AS h FROM shg),
+sig AS (SELECT id,
+       {sig_cols}
+FROM h GROUP BY id),
+sigl AS (SELECT id, [{sig_list}] AS sl FROM sig),
+banded AS (
+{banded}),
+ok AS (SELECT band, key FROM banded GROUP BY band, key
+       HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN ok USING (band, key)
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+est AS (
+  SELECT id_a, id_b,
+         ROUND(list_sum(list_transform(range(1, {num_perm + 1}),
+               i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / {float(num_perm)}, 6) AS est_jaccard
+  FROM cand JOIN sigl sa ON sa.id = cand.id_a JOIN sigl sb ON sb.id = cand.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of simhash_pairs(hash_fn='sha') — but formulated
+    ALL-PAIRS, so a hash-match additionally proves the Spark side's
+    4-chunk pigeonhole blocking is lossless at hamming <= 3."""
+    from ip_filter_spark.operators.dedup import SIMHASH_BITS
+
+    nbits = SIMHASH_BITS["sha"]
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(nbits)
+    )
+    sim = " + ".join(f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(nbits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS t FROM documents),
+h AS (SELECT id, CAST('0x' || substr(sha256(t), 1, 15) AS BIGINT) AS h FROM tok),
+votes AS (SELECT id,
+       {votes}
+FROM h GROUP BY id),
+sig AS (SELECT id, {sim} AS sim FROM votes)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
 def minhash_pairs_docs(spark, sf_dir):
     from ip_filter_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=128, bands=32, threshold=0.5)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=128, bands=32, threshold=0.5, hash_fn="sha"
+    )
 
 
 def simhash_pairs_docs(spark, sf_dir):
     from ip_filter_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_fn="sha")
 
 
 # =====================================================================
@@ -758,4 +853,6 @@ ORACLES = {
     "cosine_topk_exact": COSINE_TOPK_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
+    "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
+    "simhash_pairs_docs": simhash_sql(max_hamming=3),
 }

