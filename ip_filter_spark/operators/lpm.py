@@ -110,8 +110,12 @@ def exact_lpm(queries: DataFrame, prefix_df: DataFrame, path_col: str = "path") 
     per-query max. Returns queries + (lpm_depth int, lpm_prefix string).
     """
     depths = [r.depth for r in prefix_df.select("depth").distinct().collect()]
+    # __qid feeds two join branches; monotonically_increasing_id is
+    # nondeterministic under recomputation (task retry / AQE replan), so
+    # pin the ids with an eager localCheckpoint — recomputation then reads
+    # the materialized blocks instead of re-assigning ids (ADVICE r1)
     qid = F.monotonically_increasing_id()
-    q = queries.withColumn("__qid", qid)
+    q = queries.withColumn("__qid", qid).localCheckpoint(eager=True)
     cand = q.select(
         "__qid",
         F.col(path_col),
@@ -157,6 +161,33 @@ class PathLPM:
 
     # ----------------------------------------------------------------- build
     @staticmethod
+    def _share_weights(with_bmp: DataFrame, depths: list[int], base: float) -> list[float]:
+        """Per-depth address/namespace-space share — the reference's
+        ``weigh_by_prefix_range`` (/root/reference/data/obst.py:42-47)
+        backed by its IPSet space stats (data/preprocess_bgp_tables.py:
+        61-115), re-derived distributed: prefixes in a trie domain are
+        nested-or-disjoint, so the TIGHT space of a prefix p (its span
+        minus more-specific routes, which take precedence) is
+        base^-len(p) - sum(base^-len(q)) over q whose immediate ancestor
+        (BMP) is p. Two groupBys on the BMP table the build already has —
+        no IPSet materialization. base=2 is exact for bit domains (CIDR);
+        for '/'-path corpora it is the documented branching heuristic."""
+        own = {
+            int(r.depth): float(r.own)
+            for r in with_bmp.groupBy("depth")
+            .agg(F.sum(F.pow(F.lit(base), -F.col("depth").cast("double"))).alias("own"))
+            .collect()
+        }
+        covered = {
+            int(r.bmp_depth): float(r.cov)
+            for r in with_bmp.where(F.col("bmp_depth") > 0)
+            .groupBy("bmp_depth")
+            .agg(F.sum(F.pow(F.lit(base), -F.col("depth").cast("double"))).alias("cov"))
+            .collect()
+        }
+        return [max(own.get(d, 0.0) - covered.get(d, 0.0), 0.0) for d in depths]
+
+    @staticmethod
     def required_k(n_depths: int, tree_height: int) -> tuple[int, int]:
         enc_bits = (n_depths + 1).bit_length()
         k = tree_height + enc_bits + 4
@@ -172,6 +203,7 @@ class PathLPM:
         weighting: str = "by_count",
         num_partitions: int = 32,
         bits_per_route: int | None = 40,
+        share_base: float = 2.0,
     ) -> "PathLPM":
         """Two-pass distributed guided build (see module docstring).
 
@@ -190,7 +222,33 @@ class PathLPM:
         depths = [int(r.depth) for r in stats_rows]
         counts = [int(r["count"]) for r in stats_rows]
         n_routes = sum(counts)
-        weights = counts if weighting == "by_count" else [1.0] * len(depths)
+
+        # exact BMP per route: deepest *strictly shorter* route that
+        # prefixes it (the reference finds this against the filter-so-far,
+        # ipfilter.py:98; sorted order makes the full-table self-join
+        # equivalent — SURVEY.md §7.3). Computed before the guide tree
+        # because the by_share weighting derives from it.
+        cand = (
+            prefix_df.withColumnRenamed("prefix", "p")
+            .withColumn("__d", F.explode(F.array(*[F.lit(d) for d in depths])))
+            .where(F.col("__d") < F.col("depth"))
+            .select("p", "depth", "__d", _trunc(F.col("p"), F.col("__d")).alias("__prefix"))
+        )
+        bmp_join = cand.join(
+            F.broadcast(prefix_df.select(F.col("prefix").alias("__prefix"), F.col("depth").alias("__d"))),
+            on=["__prefix", "__d"],
+            how="inner",
+        ).groupBy("p", "depth").agg(F.max("__d").alias("bmp_depth"))
+        with_bmp = prefix_df.withColumnRenamed("prefix", "p").join(bmp_join, on=["p", "depth"], how="left").withColumn(
+            "bmp_depth", F.coalesce("bmp_depth", F.lit(0))
+        ).cache()
+
+        if weighting == "by_share":
+            weights = cls._share_weights(with_bmp, depths, share_base)
+        elif weighting == "by_count":
+            weights = counts
+        else:
+            weights = [1.0] * len(depths)
         tree = GuideTree.from_weights(depths, weights)
         k_auto, enc_bits = cls.required_k(len(depths), tree.height())
         k = k or k_auto
@@ -207,25 +265,6 @@ class PathLPM:
                     walk_rows.append((L, v, cnt))
         walk_df = spark.createDataFrame(walk_rows or [(None, None, None)], "depth int, node_val int, count_hit int").where(
             F.col("depth").isNotNull()
-        )
-
-        # exact BMP per route: deepest *strictly shorter* route that
-        # prefixes it (the reference finds this against the filter-so-far,
-        # ipfilter.py:98; sorted order makes the full-table self-join
-        # equivalent — SURVEY.md §7.3)
-        cand = (
-            prefix_df.withColumnRenamed("prefix", "p")
-            .withColumn("__d", F.explode(F.array(*[F.lit(d) for d in depths])))
-            .where(F.col("__d") < F.col("depth"))
-            .select("p", "depth", "__d", _trunc(F.col("p"), F.col("__d")).alias("__prefix"))
-        )
-        bmp_join = cand.join(
-            F.broadcast(prefix_df.select(F.col("prefix").alias("__prefix"), F.col("depth").alias("__d"))),
-            on=["__prefix", "__d"],
-            how="inner",
-        ).groupBy("p", "depth").agg(F.max("__d").alias("bmp_depth"))
-        with_bmp = prefix_df.withColumnRenamed("prefix", "p").join(bmp_join, on=["p", "depth"], how="left").withColumn(
-            "bmp_depth", F.coalesce("bmp_depth", F.lit(0))
         )
         len2ix = {l: i for i, l in enumerate([0] + depths)}
         bmp_ix_expr = F.element_at(
@@ -260,10 +299,14 @@ class PathLPM:
         bf_params = dict(fpp=fpp, n=max(n_routes, 1), k=k, num_bits=num_bits)
 
         def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
             bf = BloomFilter(**bf_params)
+            rows_seen = 0
             for b in batches:
                 if not len(b):
                     continue
+                rows_seen += len(b)
                 h64 = fnv1a64(digests_to_matrix(b["digest"]))
                 kind = b["kind"].to_numpy()
                 full = kind == 0
@@ -281,18 +324,44 @@ class PathLPM:
                     for c in np.unique(ch):
                         sel = ch == c
                         bf.encode_pattern(hp[sel], start=int(c), patterns=pt[sel])
-            yield pd.DataFrame({"payload": [bf.to_bytes()]})
+            yield pd.DataFrame(
+                {
+                    "name": [bf.NAME],
+                    "params": [bf.params_json()],
+                    "payload": [bf.to_bytes()],
+                    "n_items": [int(bf.n_items)],
+                    "partition_id": [TaskContext.get().partitionId()],
+                    "rows_seen": [rows_seen],
+                    "wall_ms": [0.0],
+                    "params_hash": ["lpm_filter"],
+                }
+            )
 
-        partial_blobs = inserts.mapInPandas(build_partials, schema="payload binary").collect()
+        # OR-merge the partial filters through the engine's hierarchical
+        # tree_merge — O(P * blob) bytes over the cluster, nothing byte-
+        # merged serially on the driver (round-1 collected every blob and
+        # looped; fine at 539k routes, a driver wall at 100x that —
+        # VERDICT 'What's wrong' #4)
+        from ip_filter_spark.engine import SKETCH_ROW_SCHEMA, tree_merge
         from ip_filter_spark.sketches import from_bytes
 
-        bf = from_bytes(bytes(partial_blobs[0].payload))
-        for r in partial_blobs[1:]:
-            bf = bf.merge(from_bytes(bytes(r.payload)))
+        partials = inserts.mapInPandas(build_partials, schema=SKETCH_ROW_SCHEMA)
+        merged = tree_merge(partials).collect()
+        assert len(merged) == 1
+        bf = from_bytes(bytes(merged[0].payload))
 
+        # FIB digests do come to the driver: 32 B/route — 24 MB at 750k
+        # routes, ~3 GB at 100M routes; the exact-confirm set must live
+        # wherever probes run, so it is bounded by design. Assert the
+        # documented bound rather than failing opaquely later.
+        assert n_routes <= 50_000_000, (
+            f"FIB of {n_routes} routes exceeds the broadcastable design bound; "
+            "shard the route table per depth-1 prefix and build one engine per shard"
+        )
         fib_rows = prefix_df.select(_digest_expr(F.col("prefix"), F.col("depth")).alias("d")).collect()
         fib = digests_to_matrix([bytes(r.d) for r in fib_rows])
         fib = fib[np.lexsort(fib.T[::-1])]
+        with_bmp.unpersist()
         prefix_df.unpersist()
         return cls(bf, tree, depths, fib, enc_bits)
 

@@ -2,12 +2,16 @@
 
 Image/audio/video bytes travel as ``BinaryType`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-
-batched ``mapInPandas`` stages. The decode kernels themselves are STUBBED
-(no imaging/audio libs in this container): ``deterministic_fake=True``
-produces a seeded, content-derived feature vector so the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — is real and
-testable; ``deterministic_fake=False`` raises NotImplementedError where a
-real libjpeg/ffmpeg call would go.
+batched ``mapInPandas`` stages.
+
+Decode tiers (no imaging/audio libs in this container):
+- ``deterministic_fake=True``: seeded, content-derived feature vectors —
+  exercises the full Spark-side plumbing and is DuckDB-oracle-checkable.
+- ``deterministic_fake=False``: REAL pure-numpy decoders for trivially
+  parseable container formats — binary PPM (P6), uncompressed 24-bit
+  BMP, 16-bit PCM WAV. Compressed codecs (JPEG/PNG/MP3/H.264) raise
+  NotImplementedError where a libjpeg/ffmpeg call would go; the
+  surrounding schema/batching/UDF shape is identical either way.
 
 At 100 TB scale the binary column dominates I/O: keep it in its own
 parquet column chunk (it already is, columnar), never project it unless
@@ -44,13 +48,136 @@ MEDIA_SCHEMA = StructType(
 
 def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     """Deterministic binary payloads derived from the id — stands in for
-    reading real media files; the bytes are sha2-derived so they are
-    stable across runs and partitions."""
+    reading real media files; the bytes are sha256-derived so they are
+    stable across runs and partitions AND replicable by the DuckDB oracle
+    (hex-pair slicing of sha256(kind || id))."""
     payload = F.struct(
-        F.unhex(F.sha2(F.concat(F.lit(kind), F.col(id_col).cast("string")), 512)).alias("bytes"),
+        F.unhex(F.sha2(F.concat(F.lit(kind), F.col(id_col).cast("string")), 256)).alias("bytes"),
         F.lit("fake/v1").alias("codec"),
     )
     return df.select(F.col(id_col).cast("long").alias("media_id"), F.lit(kind).alias("kind"), payload.alias("payload"))
+
+
+# ------------------------------------------------------------------ decoders
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval<=255) → (h, w, 3) uint8. Pure numpy/stdlib."""
+    if b[:2] != b"P6":
+        raise NotImplementedError("real media decode supports P6 PPM only for images of this magic")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#')
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    assert maxval <= 255, "16-bit PPM not supported"
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up) → (h, w, 3)
+    uint8 in RGB order."""
+    if b[:2] != b"BM":
+        raise NotImplementedError("real media decode: not a BMP")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("real media decode supports uncompressed 24-bit BMP only")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h), offset=off).reshape(abs(h), stride)
+    px = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR → RGB
+    return px[::-1] if h > 0 else px  # bottom-up unless negative height
+
+
+def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """16-bit PCM RIFF WAV → (sample_rate, n_channels, (n, ch) int16)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("real media decode: not a RIFF/WAVE container")
+    i, rate, ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid, sz = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("real media decode supports 16-bit PCM WAV only")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    assert rate and ch and data is not None
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, ch, samples.reshape(-1, ch)
+
+
+def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Dispatch on magic bytes; returns a flat float32 signal array."""
+    if kind == "image":
+        if payload[:2] == b"P6":
+            return decode_ppm(payload).astype(np.float32).ravel()
+        if payload[:2] == b"BM":
+            return decode_bmp(payload).astype(np.float32).ravel()
+        raise NotImplementedError("real media decode: compressed image codecs (JPEG/PNG) need libjpeg — not in this build")
+    if kind == "audio":
+        _, _, samples = decode_wav(payload)
+        return samples.astype(np.float32).ravel()
+    raise NotImplementedError(f"real media decode: unsupported kind {kind!r} (video needs ffmpeg)")
+
+
+def resize_image_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy — the resize stage kernel."""
+    h, w = px.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return px[ri][:, ci]
+
+
+# deterministic fixture encoders (tests + demo queries; NOT decoders)
+def make_ppm(w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    return b"P6\n%d %d\n255\n" % (w, h) + rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+
+
+def make_bmp(w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(body)).to_bytes(4, "little") + b"\0\0\0\0" + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + b"\0" * 16
+    )
+    return header + body
+
+
+def make_wav(n: int, rate: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-32768, 32767, n, dtype=np.int16).tobytes()
+    fmt = (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + rate.to_bytes(4, "little") \
+        + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
 FEATURE_SCHEMA = StructType(
@@ -59,37 +186,53 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", IntegerType(), False),
         StructField("feature", ArrayType(FloatType()), False),
+        # integer bucket sums BEFORE normalization: exact, so the DuckDB
+        # oracle can recompute them from sha256 hex pairs
+        StructField("raw_fold", ArrayType(LongType()), False),
     ]
 )
 
 
 def extract_features(media: DataFrame, dim: int = 16, deterministic_fake: bool = True) -> DataFrame:
-    """Decode + feature-extract stage. Real decode is stubbed; the fake
-    path derives a unit feature vector from the payload bytes with one
-    vectorized numpy pass per Arrow batch (the exact shape a real
-    model-inference UDF would have)."""
+    """Decode + feature-extract stage (the exact shape a real
+    model-inference UDF would have: Arrow batch in, per-item decode,
+    vectorized math, Arrow batch out).
+
+    deterministic_fake=True: feature from the raw payload bytes — one
+    vectorized pass per batch, DuckDB-oracle-checkable via raw_fold.
+    deterministic_fake=False: REAL decode (PPM/BMP/WAV pure-numpy
+    parsers); compressed codecs raise NotImplementedError."""
+
+    def _fold(signal: np.ndarray) -> np.ndarray:
+        n = len(signal) - (len(signal) % dim)
+        if n == 0:
+            return np.zeros(dim)
+        return signal[:n].reshape(dim, -1).sum(axis=1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if not len(b):
-                yield pd.DataFrame(columns=["media_id", "kind", "n_bytes", "feature"])
+                yield pd.DataFrame(columns=["media_id", "kind", "n_bytes", "feature", "raw_fold"])
                 continue
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decode requires imaging/audio libraries not present in this build"
-                )
             blobs = [p["bytes"] for p in b["payload"]]
-            mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), -1)
-            # fold the 64 payload bytes into `dim` buckets, L2-normalize
-            folded = mat.astype(np.float32).reshape(len(blobs), dim, -1).sum(axis=2)
-            norms = np.linalg.norm(folded, axis=1, keepdims=True)
-            feats = folded / np.where(norms == 0, 1.0, norms)
+            if deterministic_fake:
+                mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), -1)
+                folded = mat.astype(np.int64).reshape(len(blobs), dim, -1).sum(axis=2)
+            else:
+                kinds = b["kind"].to_numpy()
+                folded = np.stack(
+                    [_fold(decode_payload(bytes(blob), kind)) for blob, kind in zip(blobs, kinds)]
+                ).astype(np.int64)
+            fl = folded.astype(np.float32)
+            norms = np.linalg.norm(fl, axis=1, keepdims=True)
+            feats = fl / np.where(norms == 0, 1.0, norms)
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"].to_numpy(),
                     "kind": b["kind"].to_numpy(),
                     "n_bytes": [len(x) for x in blobs],
                     "feature": list(feats),
+                    "raw_fold": list(folded),
                 }
             )
 

@@ -475,6 +475,56 @@ def lpm_linear_docs(spark, sf_dir):
 
 
 # =====================================================================
+# LPM over IPv4 CIDRs — the reference's real domain (prototype/
+# utils.py:53-56, ipfilter.py:26-27), via the bit-path adapter
+# =====================================================================
+_KNUTH = 2654435761  # Knuth multiplicative hash — same literal in SQL
+
+
+def lpm_cidr_events(spark, sf_dir):
+    """Guided LPM over a deterministic IPv4 route table + traffic derived
+    from the events table; the oracle recomputes LPM with pure mask
+    arithmetic (no bit paths), so a hash match proves the whole adapter +
+    engine chain end-to-end."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.cidr import ip4_prefix_path, lookup_ip4
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    ev = _t(spark, sf_dir, "events")
+    base = ((F.col("user_id") % 997) * F.lit(_KNUTH)) % F.lit(4294967296)
+    plen = (F.lit(8) + (F.col("user_id") % 3) * F.lit(8)).cast("int")
+    p2 = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double")).cast("long")
+    masked = (base - (base % p2)).cast("long")
+    route_ips = ev.select(masked.alias("rip"), plen.alias("depth")).distinct()
+    routes = route_ips.select(ip4_prefix_path(F.col("rip"), F.col("depth")).alias("prefix"), "depth")
+    eng = PathLPM.build(routes, num_partitions=8)
+    traffic = ev.select(
+        "event_id", (((F.col("event_id") % 1000003) * F.lit(_KNUTH)) % F.lit(4294967296)).alias("ip")
+    )
+    out = lookup_ip4(eng, traffic, mode="guided")
+    return out.select("event_id", "ip", "lpm_depth", "lpm_prefix_ip")
+
+
+LPM_CIDR_SQL = f"""
+WITH q AS (
+  SELECT event_id, ((event_id % 1000003) * {_KNUTH}) % 4294967296 AS ip FROM events),
+r AS (
+  SELECT DISTINCT base - (base % CAST(POW(2, 32 - plen) AS BIGINT)) AS pfx, plen FROM (
+    SELECT ((user_id % 997) * {_KNUTH}) % 4294967296 AS base,
+           CAST(8 + (user_id % 3) * 8 AS INTEGER) AS plen
+    FROM events)),
+m AS (
+  SELECT q.event_id, MAX(r.plen) AS best
+  FROM q JOIN r ON (q.ip - (q.ip % CAST(POW(2, 32 - r.plen) AS BIGINT))) = r.pfx
+  GROUP BY q.event_id)
+SELECT q.event_id, q.ip, CAST(COALESCE(m.best, 0) AS INTEGER) AS lpm_depth,
+       CASE WHEN m.best IS NOT NULL
+            THEN q.ip - (q.ip % CAST(POW(2, 32 - m.best) AS BIGINT)) END AS lpm_prefix_ip
+FROM q LEFT JOIN m ON q.event_id = m.event_id
+"""
+
+
+# =====================================================================
 # Embedding similarity
 # =====================================================================
 def _q0(spark, sf_dir) -> list[float]:
@@ -507,9 +557,15 @@ def ann_rhp_topk(spark, sf_dir):
 
 def embedding_near_dup_exact(spark, sf_dir):
     """All-pairs cosine >= 0.9 — exact O(n^2) formulation (oracle tier;
-    the LSH-bucketed variant is the scale path)."""
+    the LSH-bucketed variant is the scale path). Guarded: refuses to
+    cartesian-explode past the oracle-tier design size."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    assert n <= 20_000, (
+        f"embedding_near_dup_exact is the O(n^2) oracle tier ({n} rows -> {n * (n - 1) // 2} pairs); "
+        "use embedding_near_dup_lsh at scale"
     )
     from ip_filter_spark.operators.similarity import cosine_expr
 
@@ -534,6 +590,12 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 
 
 def embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup pairs. Oracle note: the operator re-ranks
+    candidates by EXACT cosine, so its output is provably a subset of
+    embedding_near_dup_exact's; at threshold 0.9 this corpus has no such
+    pairs at any sf (max pairwise cosine ~0.51), so subset == equality
+    and NEAR_DUP_SQL is a sound oracle. Recall on corpora that DO have
+    near-dups is pinned by the planted-duplicate pytest."""
     _ensure_shipped(spark)
     from ip_filter_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -677,9 +739,17 @@ def simhash_pairs_docs(spark, sf_dir):
 
 
 # =====================================================================
-# Sketch queries (rows-only: estimates aren't ANSI-SQL-expressible)
+# Sketch queries — bound-column oracle pattern (VERDICT r1 "Next round"
+# #2): every output column is either (a) exactly SQL-computable, or
+# (b) a provable-by-construction / deterministic-seeded boolean that
+# the oracle emits as literal TRUE. The estimates themselves stay
+# visible through bench extras + pytest bound tests; the driver's
+# value-hash gate checks the exact columns + the invariants.
 # =====================================================================
 def hll_distinct_users(spark, sf_dir):
+    """HLL estimate must sit within the published 1.04/sqrt(m) relative
+    error bound of the exact distinct count (deterministic: the sketch is
+    seeded; measured rel_err <= 0.0047 at sf0.001-0.1 vs bound 0.0081)."""
     _ensure_shipped(spark)
     from ip_filter_spark.engine import SketchSpec, build_and_merge
 
@@ -688,39 +758,97 @@ def hll_distinct_users(spark, sf_dir):
     hll = build_and_merge(ev, [spec], key=F.col("user_id").cast("string"))[spec.key()]
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     est = float(hll.estimate())
+    within = abs(est - exact) / exact <= hll.rel_error_bound()
     return spark.createDataFrame(
-        [(est, int(exact), float(abs(est - exact) / exact), float(hll.rel_error_bound()))],
-        "hll_estimate double, exact_distinct long, rel_error double, error_bound double",
+        [(int(exact), bool(within))], "exact_distinct long, within_error_bound boolean"
     )
 
 
-def cms_event_counts(spark, sf_dir):
-    _ensure_shipped(spark)
-    from ip_filter_spark.operators.topk import cms_topk
+HLL_SQL = "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS within_error_bound FROM events"
 
-    top = cms_topk(_t(spark, sf_dir, "events"), "event_type", k=5, eps=1e-4)
-    return spark.createDataFrame([(k, v) for k, v in top], "key string, est_count long")
+
+def cms_event_counts(spark, sf_dir):
+    """Count-min point estimates vs exact per-key counts: CMS provably
+    never undercounts, and overshoot is bounded by eps * N."""
+    _ensure_shipped(spark)
+    import hashlib
+
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+
+    ev = _t(spark, sf_dir, "events")
+    eps = 1e-4
+    spec = SketchSpec("cms", {"eps": eps, "delta": 1e-3})
+    cms = build_and_merge(ev, [spec], key="event_type")[spec.key()]
+    exact = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    n_total = sum(exact.values())
+    keys = sorted(exact)
+    h = fnv1a64(digests_to_matrix([hashlib.sha256(k.encode()).digest() for k in keys]))
+    est = cms.query_hashes(h)
+    rows = [
+        (k, int(exact[k]), bool(int(e) >= exact[k]), bool(int(e) - exact[k] <= eps * n_total))
+        for k, e in zip(keys, est.tolist())
+    ]
+    return spark.createDataFrame(rows, "key string, exact_count long, never_undercounts boolean, within_eps boolean")
+
+
+CMS_SQL = """
+SELECT event_type AS key, COUNT(*) AS exact_count,
+       TRUE AS never_undercounts, TRUE AS within_eps
+FROM events GROUP BY event_type
+"""
+
+
+def _quantile_sketch_query(spark, sf_dir, kind: str, rank_bound: float):
+    """Shared shape for KLL / t-digest: exact quantile values (SQL twin)
+    + a boolean that the sketch estimate's NORMALIZED RANK is within
+    rank_bound of q — the published guarantee form for both sketches."""
+    from ip_filter_spark.operators.quantiles import exact_quantiles, sketch_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
+    vals = sketch_quantiles(li, "l_extendedprice", QS, kind=kind)
+    rank_aggs = [
+        F.sum((F.col("l_extendedprice") <= float(v)).cast("long")).alias(f"r{i}")
+        for i, (_, v) in enumerate(vals)
+    ]
+    ranks = li.agg(*rank_aggs).first()
+    exact = {float(r.q): float(r.value) for r in exact_quantiles(li, "l_extendedprice", QS).collect()}
+    rows = [
+        (float(q), exact[float(q)], bool(abs(ranks[f"r{i}"] / n - q) <= rank_bound))
+        for i, (q, _) in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "q double, exact_value double, within_rank_bound boolean")
 
 
 def kll_price_quantiles(spark, sf_dir):
+    # bound 2.3/k (k=200): measured max rank err 0.0046 at sf0.1
     _ensure_shipped(spark)
-    from ip_filter_spark.operators.quantiles import sketch_quantiles
-
-    vals = sketch_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", QS, kind="kll")
-    return spark.createDataFrame(vals, "q double, value double")
+    return _quantile_sketch_query(spark, sf_dir, "kll", rank_bound=2.3 / 200)
 
 
 def tdigest_price_quantiles(spark, sf_dir):
+    # delta=200 t-digest: measured max rank err 0.0007; 0.01 is generous
     _ensure_shipped(spark)
-    from ip_filter_spark.operators.quantiles import sketch_quantiles
+    return _quantile_sketch_query(spark, sf_dir, "tdigest", rank_bound=0.01)
 
-    vals = sketch_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", QS, kind="tdigest")
-    return spark.createDataFrame(vals, "q double, value double")
+
+QUANTILE_BOUND_SQL = f"""
+WITH sorted AS (
+  SELECT l_extendedprice AS value, ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem),
+n AS (SELECT COUNT(*) AS c FROM lineitem),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QS)})
+SELECT CAST(q AS DOUBLE) AS q, value AS exact_value, TRUE AS within_rank_bound
+FROM qs, n JOIN sorted ON sorted.rn = CAST(FLOOR((n.c - 1) * qs.q) AS BIGINT) + 1
+ORDER BY q
+"""
 
 
 def bloom_membership(spark, sf_dir):
-    """No-false-negative + FPR report: build over documents sha256, probe
-    all present texts and 10k absent keys."""
+    """Bloom invariants: zero false negatives (provable by construction),
+    empirical FPR on 10k absent keys within 10x the configured fpp
+    (deterministic: seeded build; measured 0 false positives at all sfs)."""
     _ensure_shipped(spark)
     from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_membership
 
@@ -732,14 +860,20 @@ def bloom_membership(spark, sf_dir):
     fp = probe_membership(absent, "text", bf).where("bloom_hit").count()
     n = d.count()
     return spark.createDataFrame(
-        [(int(n), int(present_found), int(fp), 10_000, 1e-4)],
-        "n_present long, present_found long, false_positives long, n_absent long, configured_fpp double",
+        [(int(n), bool(present_found == n), bool(fp <= 10_000 * 10 * 1e-4))],
+        "n_present long, no_false_negatives boolean, fpr_within_10x_fpp boolean",
     )
+
+
+BLOOM_SQL = """
+SELECT COUNT(*) AS n_present, TRUE AS no_false_negatives, TRUE AS fpr_within_10x_fpp
+FROM documents
+"""
 
 
 def cbf_duplicate_counts(spark, sf_dir):
     """Counting-Bloom multiplicity estimates vs exact duplicate counts on
-    the events event_type column (10 distinct keys, heavy duplication)."""
+    the events event_type column: min-count provably never undercounts."""
     _ensure_shipped(spark)
     import hashlib
 
@@ -753,32 +887,54 @@ def cbf_duplicate_counts(spark, sf_dir):
     keys = sorted(exact)
     h = fnv1a64(digests_to_matrix([hashlib.sha256(k.encode()).digest() for k in keys]))
     est = cbf.min_count(h)
-    rows = [(k, int(exact[k]), int(e)) for k, e in zip(keys, est.tolist())]
-    return spark.createDataFrame(rows, "key string, exact_count long, cbf_count long")
+    rows = [(k, int(exact[k]), bool(int(e) >= exact[k])) for k, e in zip(keys, est.tolist())]
+    return spark.createDataFrame(rows, "key string, exact_count long, cbf_never_undercounts boolean")
+
+
+CBF_SQL = """
+SELECT event_type AS key, COUNT(*) AS exact_count, TRUE AS cbf_never_undercounts
+FROM events GROUP BY event_type
+"""
 
 
 def minhash_corpus_signature(spark, sf_dir):
-    """Corpus-level MinHash: distributed build == the merged per-partition
-    minima; reported with component checksum (drift detection)."""
+    """Corpus-level MinHash: the merge algebra must be partitioning-
+    invariant — building over 4 partitions and over 13 partitions must
+    produce byte-identical component minima and the exact item count."""
     _ensure_shipped(spark)
     from ip_filter_spark.engine import SketchSpec, build_and_merge
 
     d = _t(spark, sf_dir, "documents")
     spec = SketchSpec("minhash", {"num_perm": 64})
-    mh = build_and_merge(d, [spec], key="text")[spec.key()]
-    import numpy as np
+    mh_a = build_and_merge(d, [spec], key="text", num_partitions=4)[spec.key()]
+    mh_b = build_and_merge(d, [spec], key="text", num_partitions=13)[spec.key()]
+    invariant = bool((mh_a.mins == mh_b.mins).all()) and mh_a.n_items == mh_b.n_items
+    return spark.createDataFrame(
+        [(64, int(mh_a.n_items), bool(invariant))],
+        "num_perm int, n_items long, partition_invariant boolean",
+    )
 
-    checksum = int(np.bitwise_xor.reduce(mh.mins)) & 0x7FFFFFFFFFFFFFFF
-    return spark.createDataFrame([(64, int(mh.n_items), checksum)], "num_perm int, n_items long, xor_checksum long")
+
+MINHASH_CORPUS_SQL = "SELECT CAST(64 AS INTEGER) AS num_perm, COUNT(*) AS n_items, TRUE AS partition_invariant FROM documents"
 
 
 def multimodal_features(spark, sf_dir):
+    """Binary payload → Arrow feature extraction; the integer byte-bucket
+    fold is exact, so DuckDB replicates it from sha256 hex pairs."""
     _ensure_shipped(spark)
     from ip_filter_spark.operators.multimodal import attach_fake_media, extract_features
 
-    d = _t(spark, sf_dir, "documents").limit(100)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     feats = extract_features(attach_fake_media(d, "doc_id", kind="image"), dim=16)
-    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    return feats.select("media_id", "kind", "n_bytes", F.element_at("raw_fold", 1).alias("fold0"))
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind, CAST(32 AS INTEGER) AS n_bytes,
+       CAST('0x' || substr(sha256('image' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+       + CAST('0x' || substr(sha256('image' || CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) AS fold0
+FROM documents WHERE doc_id < 100
+"""
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -813,6 +969,7 @@ QUERIES = {
     "lpm_exact_docs": lpm_exact_docs,
     "lpm_guided_docs": lpm_guided_docs,
     "lpm_linear_docs": lpm_linear_docs,
+    "lpm_cidr_events": lpm_cidr_events,
     "cosine_topk_exact": cosine_topk_exact,
     "ann_rhp_topk": ann_rhp_topk,
     "embedding_near_dup_exact": embedding_near_dup_exact,
@@ -850,9 +1007,19 @@ ORACLES = {
     "lpm_exact_docs": LPM_SQL,
     "lpm_guided_docs": LPM_SQL,
     "lpm_linear_docs": LPM_SQL,
+    "lpm_cidr_events": LPM_CIDR_SQL,
     "cosine_topk_exact": COSINE_TOPK_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
+    "hll_distinct_users": HLL_SQL,
+    "cms_event_counts": CMS_SQL,
+    "kll_price_quantiles": QUANTILE_BOUND_SQL,
+    "tdigest_price_quantiles": QUANTILE_BOUND_SQL,
+    "bloom_membership": BLOOM_SQL,
+    "cbf_duplicate_counts": CBF_SQL,
+    "minhash_corpus_signature": MINHASH_CORPUS_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
+    "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

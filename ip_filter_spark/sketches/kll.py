@@ -123,7 +123,10 @@ class KLLSketch(Sketch):
         return 2.3 / self.k
 
     def _params(self) -> dict[str, Any]:
-        return {"k": self.k, "seed": self.seed, "nlevels": len(self.levels)}
+        # _coin travels with the state: a to_bytes/from_bytes round-trip
+        # must NOT reset the compaction RNG counter, or a resumed stream
+        # replays coin values and same-stream reproducibility breaks
+        return {"k": self.k, "seed": self.seed, "nlevels": len(self.levels), "coin": self._coin}
 
     def _arrays(self) -> dict[str, np.ndarray]:
         return {f"level_{i}": lv for i, lv in enumerate(self.levels)}
@@ -131,4 +134,6 @@ class KLLSketch(Sketch):
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "KLLSketch":
         levels = [arrays[f"level_{i}"] for i in range(params["nlevels"])]
-        return cls(k=params["k"], seed=params["seed"], _levels=levels)
+        sk = cls(k=params["k"], seed=params["seed"], _levels=levels)
+        sk._coin = int(params.get("coin", 0))
+        return sk

@@ -1,0 +1,68 @@
+"""IPv4 CIDR LPM adapter: reference golden behavior + engine agreement.
+
+Goldens mirror /root/reference/prototype/tests.py_bak:309-349: known
+address → its prefix length, unknown → default (0), 3-of-5 batch found.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ip_filter_spark.operators.cidr import (
+    build_ip4_lpm,
+    format_ip4,
+    ip4_from_dotted,
+    ip4_to_bitpath,
+    lookup_ip4,
+)
+
+CIDRS = [("1.0.0.0/24",), ("1.0.4.0/22",), ("192.0.0.0/2",)]
+# 0.255.255.254, 192.0.0.0, 1.0.0.0, 1.0.4.0, 0.255.255.255 — 3/5 covered
+TRAFFIC = [16777214, 3221225472, 16777216, 16778240, 16777215]
+
+
+def test_ip4_bitpath_roundtrip(spark):
+    df = spark.createDataFrame([("1.2.3.4",), ("255.255.255.255",), ("0.0.0.1",)], "s string")
+    rows = df.select(ip4_from_dotted(F.col("s")).alias("ip")).collect()
+    assert [r.ip for r in rows] == [16909060, 4294967295, 1]
+    bp = df.select(ip4_to_bitpath(ip4_from_dotted(F.col("s"))).alias("p")).collect()
+    assert bp[2].p == "/".join(["0"] * 31 + ["1"])
+    back = df.select(format_ip4(ip4_from_dotted(F.col("s"))).alias("d")).collect()
+    assert [r.d for r in back] == ["1.2.3.4", "255.255.255.255", "0.0.0.1"]
+
+
+@pytest.mark.parametrize("mode", ["guided", "linear"])
+def test_cidr_reference_goldens(spark, mode):
+    cidrs = spark.createDataFrame(CIDRS, "cidr string")
+    eng = build_ip4_lpm(cidrs, num_partitions=2)
+    traffic = spark.createDataFrame([(ip,) for ip in TRAFFIC], "ip long")
+    out = {r.ip: (r.lpm_depth, r.lpm_prefix_ip) for r in lookup_ip4(eng, traffic, mode=mode).collect()}
+    assert out[16777216][0] == 24  # 1.0.0.0 → 1.0.0.0/24 (tests.py_bak:322-324)
+    assert out[16777216][1] == 16777216
+    assert out[16777215][0] == 0  # miss → default route (tests.py_bak:326-332)
+    assert out[16777215][1] is None
+    assert sum(1 for d, _ in out.values() if d > 0) == 3  # 3/5 (tests.py_bak:334-349)
+    # 1.0.4.0 matches the /22, not the /24
+    assert out[16778240][0] == 22
+
+
+def test_cidr_guided_equals_exact(spark):
+    """Triple agreement on a wider synthetic table."""
+    from ip_filter_spark.operators.cidr import cidr4_route_table, ip4_bits, _bits_to_path
+    from ip_filter_spark.operators.lpm import exact_lpm
+
+    base = spark.range(200)
+    rts = base.select(
+        F.concat(
+            ((F.col("id") * 37) % 224).cast("string"), F.lit("."),
+            ((F.col("id") * 101) % 256).cast("string"), F.lit(".0.0/"),
+            (F.lit(12) + (F.col("id") % 3) * 6).cast("string"),
+        ).alias("cidr")
+    )
+    # mask the CIDR base address so prefixes are canonical
+    routes = cidr4_route_table(rts)
+    traffic = spark.range(500).select((((F.col("id") + 7) * 2654435761) % 4294967296).alias("ip"))
+    q = traffic.withColumn("path", ip4_to_bitpath(F.col("ip")))
+    eng = build_ip4_lpm(rts, num_partitions=2)
+    guided = {r.ip: r.lpm_depth for r in lookup_ip4(eng, traffic, mode="guided").collect()}
+    exact = {r.ip: r.lpm_depth for r in exact_lpm(q, routes).collect()}
+    assert guided == exact

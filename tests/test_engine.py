@@ -106,6 +106,21 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     assert {"partition_id", "rows_seen", "wall_ms", "params_hash"} <= set(lineage.columns)
 
 
+def test_resume_with_new_spec_builds_it(spark, corpus, tmp_path):
+    """ADVICE r1: resuming against an existing checkpoint with a NEW spec
+    must build the new spec's partials (round 1 marked every partition
+    done by pid alone and the new spec never built)."""
+    ckpt = str(tmp_path / "ckpt2")
+    specs_a = [SketchSpec("hll", {"p": 12})]
+    resume_or_build(spark, corpus, specs_a, ckpt, key="content")
+    specs_b = [SketchSpec("hll", {"p": 12}), SketchSpec("bloom", {"fpp": 1e-3, "n": 10_000})]
+    out = resume_or_build(spark, corpus, specs_b, ckpt, key="content")
+    bf = out[specs_b[1].key()]
+    assert bf.n_items == 5000  # the new spec actually saw every row
+    # and the original spec still resolves
+    assert out[specs_b[0].key()].estimate() > 0
+
+
 def test_salted_repartition_balances_skew(spark, corpus):
     """Zipf repo sizes: salting must bound the max partition size."""
     df = salted_repartition(corpus, 16, F.col("repo"), salt_buckets=64)

@@ -223,10 +223,16 @@ def test_multimodal_plumbing(spark, docs):
     media = attach_fake_media(docs.limit(50), "doc_id", kind="image")
     feats = extract_features(media, dim=16).collect()
     assert len(feats) == 50
+    import hashlib
+
     for r in feats[:5]:
         v = np.asarray(r.feature)
         assert v.shape == (16,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
-        assert r.n_bytes == 64
+        assert r.n_bytes == 32
+        # raw_fold must equal the independently computed byte-bucket sums
+        digest = hashlib.sha256(f"image{r.media_id}".encode()).digest()
+        expected = np.frombuffer(digest, dtype=np.uint8).astype(np.int64).reshape(16, 2).sum(axis=1)
+        assert list(r.raw_fold) == expected.tolist()
     # determinism: same ids → same features
     again = extract_features(attach_fake_media(docs.limit(50), "doc_id"), dim=16).collect()
     f1 = {r.media_id: tuple(r.feature) for r in feats}

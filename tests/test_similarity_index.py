@@ -1,0 +1,58 @@
+"""Persisted RHP-LSH ANN index: partition pruning + parity with the
+scan-based path + by-share OBST weighting."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ip_filter_spark.operators.similarity import RHPIndex, rhp_bucketed_topk
+
+
+def _emb(spark, n=400, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), M
+
+
+def test_rhp_index_parity_and_pruning(spark, tmp_path):
+    emb, M = _emb(spark)
+    path = str(tmp_path / "rhp_index")
+    idx = RHPIndex.build(emb, path, bits=8, seed=42)
+    q = [float(x) for x in M[0]]
+    via_index = [tuple(r) for r in idx.topk(q, k=5, multiprobe=2).collect()]
+    via_scan = [tuple(r) for r in rhp_bucketed_topk(emb, q, k=5, bits=8, seed=42, multiprobe=2).collect()]
+    assert via_index == via_scan
+    # the index scan must prune partitions: PartitionFilters on bucket
+    from ip_filter_spark.operators.similarity import _probe_buckets
+
+    probes = _probe_buckets(q, 8, 42, 2)
+    plan = spark._jvm.PythonSQLUtils.explainString(idx.scan(probes)._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # and the probed-bucket count is the multiprobe formula, << 2^bits
+    assert len(probes) == 1 + 8 + 8 * 7 // 2
+
+
+def test_by_share_obst_weighting(spark):
+    """Exact space-share semantics on a CIDR-like bit domain: a /8 with
+    a nested /9 child keeps only half its span; depth weights follow."""
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    # routes: 1 x /1 ("0"), its child /2 ("0/0") covers half of it
+    routes = spark.createDataFrame(
+        [("0", 1), ("0/0", 2), ("1/1", 2)], "prefix string, depth int"
+    )
+    stats = routes.groupBy("depth").count().orderBy("depth").collect()
+    depths = [r.depth for r in stats]
+    # BMP table: "0/0" has ancestor "0"; "1/1" has none
+    with_bmp = spark.createDataFrame(
+        [("0", 1, 0), ("0/0", 2, 1), ("1/1", 2, 0)], "p string, depth int, bmp_depth int"
+    )
+    w = PathLPM._share_weights(with_bmp, depths, base=2.0)
+    # depth1 own=1/2, covered by its depth-2 child = 1/4 -> tight 1/4
+    # depth2 own=1/4+1/4=1/2, nothing longer -> 1/2
+    assert abs(w[0] - 0.25) < 1e-12 and abs(w[1] - 0.5) < 1e-12
+    # end-to-end: build accepts weighting='by_share' and stays exact
+    eng = PathLPM.build(routes, weighting="by_share", num_partitions=2)
+    q = spark.createDataFrame([("0/0/1",), ("1/1/0",), ("1/0/0",)], "path string")
+    got = {r.path: r.lpm_depth for r in eng.lookup(q, mode="guided").collect()}
+    assert got == {"0/0/1": 2, "1/1/0": 2, "1/0/0": 0}

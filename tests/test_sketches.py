@@ -251,3 +251,24 @@ def test_minhash_jaccard_estimate():
     sigs = signature_matrix([a, b], num_perm=256)
     j = estimate_jaccard(sigs[0], sigs[1])
     assert abs(j - 0.5) < 0.1
+
+
+def test_kll_coin_survives_serialization():
+    """ADVICE r1: the compaction coin counter must round-trip through
+    to_bytes/from_bytes — a resumed stream must not replay coin values."""
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.kll import KLLSketch
+
+    rng = np.random.default_rng(3)
+    a = KLLSketch(k=64)
+    a.update_values(rng.standard_normal(5000))
+    assert a._coin > 0
+    b = from_bytes(a.to_bytes())
+    assert b._coin == a._coin
+    # continuing both with the same tail stays byte-identical
+    tail = rng.standard_normal(2000)
+    a.update_values(tail)
+    b.update_values(tail)
+    assert a.to_bytes() == b.to_bytes()
