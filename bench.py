@@ -190,6 +190,9 @@ def run_bench(only: str | None = None, cpus: int = CPUS, sf_dir: str = SF_DIR) -
                 res = again
         queries[name] = round(res["sec"], 3)
         extra[name] = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items() if k != "sec"}
+        # operator caches (LSH signatures etc.) must not accumulate and
+        # squeeze later workloads' memory — isolate each measurement
+        spark.catalog.clearCache()
     spark.stop()
     return {
         "metric": "headline query wall-clock at sf on local[%d]" % cpus,

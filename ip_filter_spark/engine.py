@@ -216,19 +216,26 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def tree_merge(sketch_rows: DataFrame, fanout: int = 64, levels: int | None = None) -> DataFrame:
+def tree_merge(
+    sketch_rows: DataFrame, fanout: int = 64, levels: int | None = None, num_partials: int | None = None
+) -> DataFrame:
     """Hierarchical merge of partials: each level groups ``fanout``
     partials per (sketch, group) and merges them in one applyInPandas
     task. With fanout 64, one level handles 4096 partials before the
     final squeeze; at 1000 executors the shuffle volume per level is
     O(P · blob_size) with dense int group keys (no skew).
 
-    ``levels=None`` sizes the tree from the DataFrame's partition count:
+    ``levels=None`` sizes the tree from ``num_partials`` (the builder's
+    partition count) or, failing that, the session default parallelism:
     P <= fanout partials go straight to the final squeeze (1 stage) —
-    extra levels are pure latency at small P."""
+    extra levels are pure latency at small P. Deliberately NOT derived
+    from ``sketch_rows.rdd`` — under AQE, touching ``.rdd`` materializes
+    the upstream shuffle stages, silently executing the (possibly
+    expensive) partial-build subplan a second time (measured 3x build
+    wall on the LPM inserts plan)."""
     out = sketch_rows
     if levels is None:
-        p = sketch_rows.rdd.getNumPartitions()
+        p = num_partials or sketch_rows.sparkSession.sparkContext.defaultParallelism
         levels = 0
         while p > fanout:
             levels += 1
@@ -263,7 +270,7 @@ def build_and_merge(
     key_is_digest: bool = False,
 ) -> dict[str, Sketch]:
     partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions, key_is_digest=key_is_digest)
-    merged = tree_merge(partials)
+    merged = tree_merge(partials, num_partials=num_partitions)
     sketches = collect_sketches(merged)
     # map back to spec order
     return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}

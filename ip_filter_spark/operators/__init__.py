@@ -9,14 +9,32 @@ from ip_filter_spark.operators.dedup import (
     simhash_signatures,
 )
 from ip_filter_spark.operators.similarity import (
+    RHPIndex,
     cosine_topk,
     embedding_near_dup_pairs,
     rhp_bucketed_topk,
     rhp_signatures,
 )
+from ip_filter_spark.operators.cidr import (
+    build_ip4_lpm,
+    cidr4_route_table,
+    format_ip4,
+    ip4_from_dotted,
+    ip4_to_bitpath,
+    ip6_to_bitpath,
+    lookup_ip4,
+)
 from ip_filter_spark.operators.topk import cms_topk, exact_topk
 from ip_filter_spark.operators.quantiles import exact_quantiles, sketch_quantiles
-from ip_filter_spark.operators.multimodal import attach_fake_media, extract_features, sample_frames
+from ip_filter_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    extract_features,
+    resize_image_nearest,
+    sample_frames,
+)
 
 __all__ = [
     "PathLPM",
@@ -29,7 +47,15 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "simhash_signatures",
+    "RHPIndex",
     "cosine_topk",
+    "build_ip4_lpm",
+    "cidr4_route_table",
+    "format_ip4",
+    "ip4_from_dotted",
+    "ip4_to_bitpath",
+    "ip6_to_bitpath",
+    "lookup_ip4",
     "embedding_near_dup_pairs",
     "rhp_bucketed_topk",
     "rhp_signatures",
@@ -38,6 +64,10 @@ __all__ = [
     "exact_quantiles",
     "sketch_quantiles",
     "attach_fake_media",
+    "decode_bmp",
+    "decode_ppm",
+    "decode_wav",
     "extract_features",
+    "resize_image_nearest",
     "sample_frames",
 ]

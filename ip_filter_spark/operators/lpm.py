@@ -241,9 +241,12 @@ class PathLPM:
         ).groupBy("p", "depth").agg(F.max("__d").alias("bmp_depth"))
         with_bmp = prefix_df.withColumnRenamed("prefix", "p").join(bmp_join, on=["p", "depth"], how="left").withColumn(
             "bmp_depth", F.coalesce("bmp_depth", F.lit(0))
-        ).cache()
+        )
 
         if weighting == "by_share":
+            # by_share reads with_bmp twice (own/covered aggregations) on
+            # top of the inserts job — cache it only on this path
+            with_bmp = with_bmp.cache()
             weights = cls._share_weights(with_bmp, depths, share_base)
         elif weighting == "by_count":
             weights = counts
@@ -346,7 +349,7 @@ class PathLPM:
         from ip_filter_spark.sketches import from_bytes
 
         partials = inserts.mapInPandas(build_partials, schema=SKETCH_ROW_SCHEMA)
-        merged = tree_merge(partials).collect()
+        merged = tree_merge(partials, num_partials=num_partitions).collect()
         assert len(merged) == 1
         bf = from_bytes(bytes(merged[0].payload))
 
@@ -361,7 +364,8 @@ class PathLPM:
         fib_rows = prefix_df.select(_digest_expr(F.col("prefix"), F.col("depth")).alias("d")).collect()
         fib = digests_to_matrix([bytes(r.d) for r in fib_rows])
         fib = fib[np.lexsort(fib.T[::-1])]
-        with_bmp.unpersist()
+        if weighting == "by_share":
+            with_bmp.unpersist()
         prefix_df.unpersist()
         return cls(bf, tree, depths, fib, enc_bits)
 

@@ -34,6 +34,37 @@ def stratified_sample(df: DataFrame, key_col: str, fractions: dict, seed: int = 
     return df.sampleBy(key_col, fractions=fractions, seed=seed)
 
 
+def weighted_reservoir_sample(
+    df: DataFrame, weight_col, k: int, seed: int = 42, id_cols: list | None = None
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement — true weighted
+    reservoir semantics (the reference's reservoir at
+    generate_traffic.py:54-84), via Efraimidis–Spirakis A-Res
+    distributed: each row gets key = -ln(u)/w with u ~ U(0,1); the k
+    SMALLEST keys are the sample, with P(i in sample) increasing in w_i
+    exactly as the sequential reservoir.
+
+    Spark-first shape: one scan; per-partition top-k heaps via
+    TakeOrderedAndProject (orderBy + limit) — no global sort
+    materializes more than k rows per task.
+
+    Determinism: u is hash-derived from the row content (id_cols or all
+    columns) + seed, not rand() — same rows → same sample, resume-safe,
+    retry-safe (the round-1 gap: sampleBy needs fractions known up front
+    and cannot do fixed-size weighted draws)."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    entropy = [F.col(c) for c in (id_cols or df.columns)]
+    # u in (0,1): 63-bit hash scaled; +1 avoids u=0 (ln(0))
+    u = (F.abs(F.xxhash64(*entropy, F.lit(seed))) + 1).cast("double") / F.lit(float(1 << 63))
+    key = -F.log(u) / wc
+    return (
+        df.withColumn("__ares_key", key)
+        .orderBy("__ares_key")
+        .limit(k)
+        .drop("__ares_key")
+    )
+
+
 def weighted_key_fractions(df: DataFrame, key_col: str, target_rows: int) -> dict:
     """Derive per-key fractions so each key contributes ~equally
     (inverse-frequency weighting) totalling ~target_rows."""

@@ -23,3 +23,26 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
     # inverse-frequency weighting: every language contributes, none dominates
     assert set(counts) == set(fr)
     assert max(counts.values()) <= 4 * min(counts.values()), counts
+
+
+def test_weighted_reservoir_sample(spark):
+    """A-Res law: inclusion frequency across seeds tracks weight; fixed
+    seed is deterministic; output size is exactly k."""
+    import collections
+
+    from ip_filter_spark.sources.sampling import weighted_reservoir_sample
+
+    rows = [(i, 10.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = [r.id for r in weighted_reservoir_sample(df, "w", 20, seed=1).collect()]
+    b = [r.id for r in weighted_reservoir_sample(df, "w", 20, seed=1).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 20  # deterministic, exact k
+    freq = collections.Counter()
+    for seed in range(10):
+        for r in weighted_reservoir_sample(df, "w", 20, seed=seed).collect():
+            freq[r.id] += 1
+    heavy = sum(freq[i] for i in range(10)) / 10  # avg inclusion, w=10
+    light = sum(freq[i] for i in range(10, 100)) / 90  # avg inclusion, w=1
+    assert heavy > 3 * light, (heavy, light)  # weight-proportional pull
+    # and no duplicates within one draw (without replacement)
+    assert len(set(a)) == len(a)
