@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def _dot(a, b):
@@ -166,6 +166,121 @@ class RHPIndex:
     def topk(self, query_vec: list[float], k: int = 10, multiprobe: int = 1, round_to: int = 6) -> DataFrame:
         probes = _probe_buckets(query_vec, self.bits, self.seed, multiprobe)
         cands = self.scan(probes)
+        return cosine_topk(cands, query_vec, k, self.id_col, self.vec_col, round_to)
+
+
+# --------------------------------------------------------------------- IVF
+def _assign_cids(vec_series, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid ids by cosine (rows and centroids unit-normed)."""
+    M = np.vstack(vec_series.to_numpy()).astype(np.float32)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return np.argmax(M @ C.T, axis=1).astype(np.int32)
+
+
+class IVFIndex:
+    """Inverted-file ANN: a k-means coarse quantizer (``nlist``
+    centroids) partitions the corpus by nearest-centroid id; a query
+    probes the ``nprobe`` nearest centroids' partitions and re-ranks by
+    exact cosine. Complements RHPIndex: random-hyperplane buckets need
+    no training but ignore data geometry; IVF adapts to clustered
+    embeddings (real embedding corpora are clustered) so the same probe
+    budget yields much higher recall.
+
+    Spark shape: training is Lloyd iterations where ONLY (nlist x dim)
+    partial sums leave the executors (mapInPandas partials, driver
+    update — the classic distributed k-means); the index is a parquet
+    table partitioned by cid, so queries prune to nprobe partitions.
+    Deterministic: centroid seeds are the hash-smallest ids, no RNG."""
+
+    def __init__(self, spark, path: str, centroids: np.ndarray, id_col: str, vec_col: str):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids  # (nlist, dim) unit-normed float32
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def train_kmeans(
+        cls, emb: DataFrame, nlist: int, id_col: str, vec_col: str, iters: int = 5
+    ) -> np.ndarray:
+        src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        seeds = src.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(nlist).collect()
+        C = np.vstack([np.asarray(r.v, dtype=np.float32) for r in seeds])
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        dim = C.shape[1]
+        sc = emb.sparkSession.sparkContext
+        for _ in range(iters):
+            bc = sc.broadcast(C)
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                Cl = bc.value
+                sums = np.zeros((len(Cl), dim), dtype=np.float64)
+                cnts = np.zeros(len(Cl), dtype=np.int64)
+                for b in batches:
+                    if not len(b):
+                        continue
+                    M = np.vstack(b["v"].to_numpy()).astype(np.float32)
+                    cid = _assign_cids(b["v"], Cl)
+                    np.add.at(sums, cid, M)
+                    np.add.at(cnts, cid, 1)
+                yield pd.DataFrame(
+                    {"cid": np.arange(len(Cl)), "s": list(sums), "n": cnts}
+                )
+
+            agg = emb.select(F.col(vec_col).alias("v")).mapInPandas(
+                partials, schema="cid int, s array<double>, n long"
+            ).collect()
+            sums = np.zeros((nlist, dim), dtype=np.float64)
+            cnts = np.zeros(nlist, dtype=np.int64)
+            for r in agg:
+                sums[r.cid] += np.asarray(r.s)
+                cnts[r.cid] += r.n
+            nz = cnts > 0
+            C = C.astype(np.float64)
+            C[nz] = sums[nz] / cnts[nz, None]
+            C = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)).astype(np.float32)
+        return C
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        path: str,
+        nlist: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 5,
+    ) -> "IVFIndex":
+        C = cls.train_kmeans(emb, nlist, id_col, vec_col, iters)
+        bc = emb.sparkSession.sparkContext.broadcast(C)
+        src = emb.select(id_col, vec_col)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if not len(b):
+                    yield b.assign(cid=np.zeros(0, dtype=np.int32))
+                    continue
+                b = b.copy()
+                b["cid"] = _assign_cids(b[vec_col], bc.value)
+                yield b
+
+        # fresh StructType: StructType.add mutates in place, and df.schema
+        # hands back the live object — mutating it corrupts src itself
+        schema = StructType(list(src.schema.fields) + [StructField("cid", IntegerType(), False)])
+        src.mapInPandas(assign, schema=schema).write.mode("overwrite").partitionBy("cid").parquet(path)
+        return cls(emb.sparkSession, path, C, id_col, vec_col)
+
+    def probe_cids(self, query_vec, nprobe: int) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float32)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        order = np.argsort(-(self.centroids @ q))
+        return [int(c) for c in order[:nprobe]]
+
+    def scan(self, cids: list[int]) -> DataFrame:
+        return self.spark.read.parquet(self.path).where(F.col("cid").isin(cids))
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4, round_to: int = 6) -> DataFrame:
+        cands = self.scan(self.probe_cids(query_vec, nprobe))
         return cosine_topk(cands, query_vec, k, self.id_col, self.vec_col, round_to)
 
 

@@ -66,3 +66,28 @@ def test_cidr_guided_equals_exact(spark):
     guided = {r.ip: r.lpm_depth for r in lookup_ip4(eng, traffic, mode="guided").collect()}
     exact = {r.ip: r.lpm_depth for r in exact_lpm(q, routes).collect()}
     assert guided == exact
+
+
+def test_ip6_bitpath_and_lpm(spark):
+    """IPv6: 128-bit addresses as 32-char hex → bit paths; LPM over a
+    mixed-depth v6 table (nibble-exact, no doubles)."""
+    from ip_filter_spark.operators.cidr import ip6_bits, ip6_to_bitpath, _bits_to_path
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    # 2001:db8::/32 → hex 20010db8 + 24 zero chars
+    p32 = "20010db8" + "0" * 24
+    inside = "20010db8" + "000000000000000000000001"  # 2001:db8::1
+    outside = "20010db9" + "0" * 23 + "1"
+    df = spark.createDataFrame([(p32,), (inside,), (outside,)], "h string")
+    bits = df.select(F.size(ip6_bits(F.col("h"))).alias("n")).collect()
+    assert all(r.n == 128 for r in bits)
+    routes = spark.createDataFrame([(p32, 32), ("2" + "0" * 31, 4)], "h string, depth int").select(
+        _bits_to_path(ip6_bits(F.col("h")), F.col("depth")).alias("prefix"), "depth"
+    )
+    eng = PathLPM.build(routes, num_partitions=2)
+    q = spark.createDataFrame([(inside,), (outside,)], "h string").withColumn(
+        "path", ip6_to_bitpath(F.col("h"))
+    )
+    got = {r.h: r.lpm_depth for r in eng.lookup(q, path_col="path", mode="guided").collect()}
+    assert got[inside] == 32   # matches 2001:db8::/32
+    assert got[outside] == 4   # falls back to the /4 covering 2xxx

@@ -56,3 +56,29 @@ def test_by_share_obst_weighting(spark):
     q = spark.createDataFrame([("0/0/1",), ("1/1/0",), ("1/0/0",)], "path string")
     got = {r.path: r.lpm_depth for r in eng.lookup(q, mode="guided").collect()}
     assert got == {"0/0/1": 2, "1/1/0": 2, "1/0/0": 0}
+
+
+def test_ivf_index_recall_on_clustered_data(spark, tmp_path):
+    """IVF: on clustered embeddings (the real-corpus shape), probing the
+    top cluster(s) recovers the exact top-k."""
+    from ip_filter_spark.operators.similarity import IVFIndex, cosine_topk
+
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((5, 16)).astype(np.float32) * 4
+    M = np.vstack([c + rng.standard_normal((80, 16)).astype(np.float32) for c in centers])
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"), nlist=5, iters=4)
+    q = [float(x) for x in M[10]]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in idx.topk(q, k=10, nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+    # partition pruning engaged
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        idx.scan(idx.probe_cids(q, 2))._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    # determinism: rebuilding yields identical centroids
+    idx2 = IVFIndex.build(emb, str(tmp_path / "ivf2"), nlist=5, iters=4)
+    assert (idx.centroids == idx2.centroids).all()
