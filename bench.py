@@ -227,9 +227,18 @@ def _stage_corpus(sf_dir: str, replicate: int = 256, n_files: int = 256) -> str:
     return staged
 
 
-def run_scaling(sf_dir: str = SF_DIR, levels=(2, 8, 32)) -> None:
-    """Same job, same input, N and 4N parallelism, fresh JVMs, CPU-pinned."""
+def run_scaling(sf_dir: str = SF_DIR, levels=(2, 8, 32), clock_controlled: bool = True) -> None:
+    """Same job, same input, N and 4N parallelism, fresh JVMs, CPU-pinned.
+
+    clock_controlled: while the N-core level runs, busy-spinners occupy
+    cores N..max-1 so EVERY level runs with the same number of active
+    cores — identical turbo/frequency state. Without this, the small-N
+    level runs at a higher clock (2-active-core turbo >> 8-active) and
+    the efficiency ratio measures TurboBoost physics, not the engine
+    (spinners are pure ALU loops: they pin clocks without consuming
+    memory bandwidth)."""
     corpus_dir = _stage_corpus(sf_dir)
+    max_cores = max(levels)
     results = {}
     for cpus in levels:
         env = dict(
@@ -247,25 +256,39 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(2, 8, 32)) -> None:
         # unpinned local[N] consumes ~2N cores and the N vs 4N comparison
         # stops meaning anything on a fixed box
         cmd = [sys.executable, os.path.abspath(__file__), "--only", "sketch_build_all", "--cpus", str(cpus), "--sf-dir", sf_dir]
+        spinners = []
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            if clock_controlled and cpus < max_cores:
+                for core in range(cpus, max_cores):
+                    spinners.append(
+                        subprocess.Popen(
+                            ["taskset", "-c", str(core), sys.executable, "-c",
+                             "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                        )
+                    )
         # best-of-2: this sandbox VM shows sporadic multi-x wall-clock noise
         # (idle load spikes); min wall is the least-contaminated estimate
-        best = None
-        for _ in range(2):
-            out = subprocess.run(
-                cmd,
-                capture_output=True,
-                text=True,
-                timeout=1800,
-                env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            res = json.loads(line)
-            if best is None or res["value"] < best["value"]:
-                best = res
-            time.sleep(10)  # let the JVM's worker tree fully drain
+        try:
+            best = None
+            for _ in range(2):
+                out = subprocess.run(
+                    cmd,
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                    env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                res = json.loads(line)
+                if best is None or res["value"] < best["value"]:
+                    best = res
+                time.sleep(10)  # let the JVM's worker tree fully drain
+        finally:
+            for sp in spinners:
+                sp.kill()
         results[cpus] = best
     rps = {c: results[c]["extra"]["sketch_build_all"]["rows_per_sec"] for c in levels}
     effs = {
@@ -284,6 +307,7 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(2, 8, 32)) -> None:
         for k, v in effs.items()
     )
     n_rows = results[levels[0]]["extra"]["sketch_build_all"]["rows"]
+    verdict = "meets" if headline >= 0.8 else "misses"
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)
@@ -293,6 +317,13 @@ parallelism levels on identical input, each run in a fresh JVM with the
 whole process tree CPU-pinned (`taskset -c 0-(N-1)`) so "parallelism N"
 means exactly N cores — an unpinned `local[N]` with pandas UDFs consumes
 ~2N cores (JVM task threads + python workers) and makes N vs 4N meaningless.
+
+Clock control: while the N-core level runs, pure-ALU busy-spinners occupy
+cores N..{max(levels) - 1}, so every level executes in the SAME active-core
+turbo/frequency state. Without this, the small-N level runs at a higher
+clock and the ratio measures TurboBoost physics instead of the engine
+(spinners don't touch memory, so they don't consume the bandwidth the
+job needs).
 
 Job: one-pass build of all five sketches (bloom + hll + cms + kll +
 t-digest) over a pre-materialized {n_rows:,}-row multi-file corpus
@@ -305,21 +336,18 @@ KB–MB blobs.
 |---|---|---|---|
 {rows_md}
 
-Scaling efficiency between N and 4N:
+Scaling efficiency between N and 4N (clock-controlled, best-of-2):
 {effs_md}
 
-**Headline (2→8 cores): {headline:.3f}** — meets the >= 0.8 criterion.
+**Headline (2→8 cores): {headline:.3f}** — {verdict} the >= 0.8 criterion.
 
-The 8→32 pair under-reports on this box for physical reasons that do not
-exist on a multi-executor cluster: all 32 cores share one memory bus and
-one turbo-frequency budget (8-active-core clocks are substantially higher
-than 32-active-core clocks), and one local shuffle disk. We measured the
-same job consuming ~1.45x more core-seconds at 32 active cores than at 8
-— pure frequency/bandwidth contention, not algorithmic serialization. On
-a cluster, each additional executor brings its own memory bandwidth and
-I/O; the job's only cross-node traffic is the KB–MB sketch-blob merge
-(depth ceil(log64 P)), so the scan — embarrassingly parallel — remains
-the bound.
+The 8→32 pair additionally under-reports on this box for a physical
+reason that does not exist on a multi-executor cluster: all 32 job cores
+share one memory bus and one local shuffle disk, and beyond ~8 active
+scan cores the job is bandwidth-bound. On a cluster, each additional
+executor brings its own memory bandwidth and I/O; the job's only
+cross-node traffic is the KB–MB sketch-blob merge (depth ceil(log64 P)),
+so the scan — embarrassingly parallel — remains the bound.
 
 Reproduce: `python bench.py --scaling` (stages the corpus once under /tmp).
 """

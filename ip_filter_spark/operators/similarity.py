@@ -3,13 +3,18 @@
 - ``cosine_topk``: brute-force exact top-k — the baseline and oracle.
   Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF);
   one scan, one top-k.
-- ``rhp_bucketed_topk``: the scale path — random-hyperplane LSH.
-  b seeded hyperplanes give a b-bit signature; candidates share the
-  query's bucket or any 1-bit-flipped neighbor (multi-probe), then exact
-  cosine re-ranks candidates. Signature computation is a vectorized
-  numpy matmul inside one ``mapInPandas`` (Arrow batches); at 10^12 rows
-  the bucket index would live as a bucketed/partitioned table so a query
-  prunes to ~b+1 partitions instead of a full scan.
+- ``rhp_bucketed_topk``: random-hyperplane LSH, signatures computed on
+  the fly — b seeded hyperplanes give a b-bit signature; candidates
+  share the query's bucket or any multi-probe neighbor, then exact
+  cosine re-ranks. Signature computation is a vectorized numpy matmul
+  inside one ``mapInPandas`` (Arrow batches).
+- ``RHPIndex``: the persisted form — the signature table written
+  partitioned by bucket, so a query prunes to ~(1 + b·multiprobe)
+  PARTITIONS instead of scanning the corpus.
+- ``IVFIndex``: data-adaptive scale path — distributed k-means coarse
+  quantizer, index partitioned by nearest-centroid id, queries probe
+  nprobe centroids. Higher recall than RHP at the same probe budget on
+  clustered (i.e. real) embedding corpora.
 - ``embedding_near_dup_pairs``: all pairs with cosine >= threshold inside
   LSH buckets — embedding-based near-duplicate detection.
 """
