@@ -169,6 +169,7 @@ WORKLOADS = {
     "kll_price_quantiles": _timed_query("kll_price_quantiles"),
     "cosine_topk_exact": _timed_query("cosine_topk_exact"),
     "lpm_exact_docs": _timed_query("lpm_exact_docs"),
+    "lpm_cidr_events": _timed_query("lpm_cidr_events"),
 }
 
 
