@@ -276,6 +276,70 @@ def build_and_merge(
     return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}
 
 
+def build_keyed_sketches(
+    df: DataFrame,
+    spec: SketchSpec,
+    group_col: str,
+    key=None,
+    value=None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """One sketch PER GROUP KEY (e.g. an HLL per event_type) — the keyed
+    form of build_and_merge.
+
+    Skew-safe two-level shape: partials build per (group, salt) so a hot
+    group spreads over ``salt_buckets`` tasks, then merge per group —
+    both levels are applyInPandas over the mergeable sketch algebra. A
+    naive ``groupBy(key).applyInPandas`` would pin each giant group to
+    one task (north-rule skew requirement).
+
+    Returns (group string, payload binary, n_items long); decode with
+    ``sketches.from_bytes(payload)``.
+    """
+    cols = [F.col(group_col).cast("string").alias("__grp")]
+    if spec.on == "hash":
+        kc = F.col(key) if isinstance(key, str) else key
+        cols.append(sha256_digest(_hashable(df, kc)).alias(DIGEST_COL))
+    else:
+        vc = F.col(value) if isinstance(value, str) else value
+        cols.append(vc.cast("double").alias(VALUE_COL))
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    proj = df.select(*cols, salt.alias("__salt"))
+    name, params, on = spec.sketch, spec.params, spec.on
+
+    part_schema = StructType(
+        [
+            StructField("__grp", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("n_items", LongType(), False),
+        ]
+    )
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make_sketch(name, **params)
+        if on == "hash":
+            if len(pdf):
+                sk.update_hashes(fnv1a64(digests_to_matrix(pdf[DIGEST_COL])))
+        else:
+            sk.update_values(pdf[VALUE_COL].to_numpy())
+        return pd.DataFrame({"__grp": [pdf["__grp"].iloc[0]], "payload": [sk.to_bytes()], "n_items": [int(sk.n_items)]})
+
+    partials = proj.groupBy("__grp", "__salt").applyInPandas(
+        lambda pdf: build_group(pdf.drop(columns="__salt")), schema=part_schema
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = from_bytes(pdf.payload.iloc[0])
+        for blob in pdf.payload.iloc[1:]:
+            sk = sk.merge(from_bytes(blob))
+        return pd.DataFrame({"__grp": [pdf["__grp"].iloc[0]], "payload": [sk.to_bytes()], "n_items": [int(sk.n_items)]})
+
+    return (
+        partials.groupBy("__grp").applyInPandas(merge_group, schema=part_schema)
+        .withColumnRenamed("__grp", "group")
+    )
+
+
 # --------------------------------------------------------------------- probe
 def probe_membership(
     df: DataFrame,

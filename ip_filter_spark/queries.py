@@ -767,6 +767,34 @@ def hll_distinct_users(spark, sf_dir):
 HLL_SQL = "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS within_error_bound FROM events"
 
 
+def hll_users_by_type(spark, sf_dir):
+    """Keyed sketches: one HLL per event_type (skew-safe two-level
+    build). Bound-column oracle: exact per-type distincts + the per-key
+    estimate sitting within the published error bound."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_keyed_sketches
+    from ip_filter_spark.sketches import from_bytes
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = build_keyed_sketches(
+        ev, SketchSpec("hll", {"p": 14}), "event_type", key=F.col("user_id").cast("string")
+    ).collect()
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    rows = []
+    for r in keyed:
+        sk = from_bytes(bytes(r.payload))
+        est = float(sk.estimate())
+        ex = exact[r.group]
+        rows.append((r.group, int(ex), bool(abs(est - ex) / ex <= sk.rel_error_bound())))
+    return spark.createDataFrame(rows, "key string, exact_users long, within_error_bound boolean")
+
+
+HLL_BY_TYPE_SQL = """
+SELECT event_type AS key, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_error_bound
+FROM events GROUP BY event_type
+"""
+
+
 def cms_event_counts(spark, sf_dir):
     """Count-min point estimates vs exact per-key counts: CMS provably
     never undercounts, and overshoot is bounded by eps * N."""
@@ -978,6 +1006,7 @@ QUERIES = {
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_pairs_docs": simhash_pairs_docs,
     "hll_distinct_users": hll_distinct_users,
+    "hll_users_by_type": hll_users_by_type,
     "cms_event_counts": cms_event_counts,
     "kll_price_quantiles": kll_price_quantiles,
     "tdigest_price_quantiles": tdigest_price_quantiles,
@@ -1014,6 +1043,7 @@ ORACLES = {
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
     "hll_distinct_users": HLL_SQL,
+    "hll_users_by_type": HLL_BY_TYPE_SQL,
     "cms_event_counts": CMS_SQL,
     "kll_price_quantiles": QUANTILE_BOUND_SQL,
     "tdigest_price_quantiles": QUANTILE_BOUND_SQL,
