@@ -92,19 +92,47 @@ def rhp_signatures(
     return src.mapInPandas(assign, schema=schema)
 
 
-def _probe_buckets(query_vec, bits: int, seed: int, multiprobe: int) -> list[int]:
-    """Query's LSH bucket + all buckets within ``multiprobe`` bit flips."""
+def _probe_buckets(query_vec, bits: int, seed: int, multiprobe: int, budget: int | None = None) -> list[int]:
+    """Query-directed multiprobe (Lv et al., Multi-Probe LSH, VLDB'07):
+    the query's own bucket plus buckets reachable by flipping up to
+    ``multiprobe`` signature bits, ordered by how cheap the flips are —
+    a bit whose hyperplane margin |q·p_j| is tiny is almost a coin flip
+    for true neighbors, so flipping it first buys the most recall per
+    probed bucket. ``budget`` truncates to the best-N buckets (the probe
+    budget is what bounds scan cost at scale; radius alone grows as
+    C(bits, r)).
+    """
+    from itertools import combinations
+
     q = np.asarray(query_vec, dtype=np.float32)
     planes = _hyperplanes(len(q), bits, seed)
-    qbits = (q @ planes) > 0
+    margins = q @ planes
+    qbits = margins > 0
     w = np.uint64(1) << np.arange(bits, dtype=np.uint64)
     qb = int((qbits.astype(np.uint64) * w).sum())
-    probes = {qb}
-    if multiprobe >= 1:
-        probes |= {qb ^ (1 << j) for j in range(bits)}
-    if multiprobe >= 2:
-        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)}
-    return sorted(int(p) for p in probes)
+    cost = np.abs(margins.astype(np.float64))
+    # enumerate flip sets over the cheapest bits only, so C(s, r) stays
+    # bounded even at wide signatures (bits up to 64)
+    order = np.argsort(cost)
+    s = len(order)
+    while multiprobe >= 3 and sum(len(list(combinations(range(s), r))) for r in range(1, multiprobe + 1)) > 50_000:
+        s -= 1
+    scored: list[tuple[float, int]] = [(0.0, qb)]
+    for r in range(1, max(0, multiprobe) + 1):
+        for flips in combinations(order[:s], r):
+            b = qb
+            for j in flips:
+                b ^= 1 << int(j)
+            scored.append((float(cost[list(flips)].sum()), b))
+    scored.sort()
+    seen, out = set(), []
+    for _, b in scored:
+        if b not in seen:
+            seen.add(b)
+            out.append(int(b))
+        if budget is not None and len(out) >= budget:
+            break
+    return out
 
 
 def rhp_bucketed_topk(
@@ -117,12 +145,13 @@ def rhp_bucketed_topk(
     seed: int = 42,
     multiprobe: int = 1,
     round_to: int = 6,
+    budget: int | None = None,
 ) -> DataFrame:
     """ANN top-k without a persisted index: signatures are computed on the
     fly (one corpus scan), candidates pruned to the probe buckets, exact
     cosine re-rank. For repeated queries build an RHPIndex instead — the
-    scan then prunes to ~(1 + bits·multiprobe) PARTITIONS, not the corpus."""
-    probes = _probe_buckets(query_vec, bits, seed, multiprobe)
+    scan then prunes to the probed PARTITIONS, not the corpus."""
+    probes = _probe_buckets(query_vec, bits, seed, multiprobe, budget)
     sigs = rhp_signatures(emb, id_col, vec_col, bits, seed)
     cand_ids = sigs.where(F.col("bucket").isin(probes)).select(F.col("id").alias(id_col))
     cands = emb.join(cand_ids, on=id_col, how="inner")
@@ -168,8 +197,10 @@ class RHPIndex:
     def scan(self, probes: list[int]) -> DataFrame:
         return self.spark.read.parquet(self.path).where(F.col("bucket").isin(probes))
 
-    def topk(self, query_vec: list[float], k: int = 10, multiprobe: int = 1, round_to: int = 6) -> DataFrame:
-        probes = _probe_buckets(query_vec, self.bits, self.seed, multiprobe)
+    def topk(
+        self, query_vec: list[float], k: int = 10, multiprobe: int = 1, round_to: int = 6, budget: int | None = None
+    ) -> DataFrame:
+        probes = _probe_buckets(query_vec, self.bits, self.seed, multiprobe, budget)
         cands = self.scan(probes)
         return cosine_topk(cands, query_vec, k, self.id_col, self.vec_col, round_to)
 

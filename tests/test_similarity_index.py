@@ -82,3 +82,38 @@ def test_ivf_index_recall_on_clustered_data(spark, tmp_path):
     # determinism: rebuilding yields identical centroids
     idx2 = IVFIndex.build(emb, str(tmp_path / "ivf2"), nlist=5, iters=4)
     assert (idx.centroids == idx2.centroids).all()
+
+
+def test_query_directed_multiprobe_recall_on_planted_neighbors(spark):
+    """Margin-ordered multiprobe (Lv et al. VLDB'07): planted near-
+    neighbors (tiny angular noise around the query) are recovered with a
+    probe budget far below the radius-2 bucket count, because the first
+    flipped bits are exactly the low-|margin| hyperplanes a near-neighbor
+    is likeliest to disagree on."""
+    from ip_filter_spark.operators.similarity import _probe_buckets, cosine_topk
+
+    rng = np.random.default_rng(11)
+    dim, bits, n_bg, n_planted = 32, 10, 400, 9
+    q = rng.standard_normal(dim).astype(np.float32)
+    q /= np.linalg.norm(q)
+    planted = q[None, :] + 0.04 * rng.standard_normal((n_planted, dim)).astype(np.float32)
+    bg = rng.standard_normal((n_bg, dim)).astype(np.float32)
+    M = np.vstack([q[None, :], planted, bg])
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [float(x) for x in q]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+    assert exact == set(range(10))  # self + planted are the true top-10
+
+    budget = 16  # 16 of 1024 buckets = 1.6% of the space
+    got = {
+        r.vec_id
+        for r in rhp_bucketed_topk(emb, qv, k=10, bits=bits, seed=42, multiprobe=3, budget=budget).collect()
+    }
+    recall = len(got & exact) / 10
+    assert recall == 1.0, (recall, sorted(got))
+    # and the probe list really is budget-bounded + margin-ordered
+    probes = _probe_buckets(qv, bits, 42, 3, budget=budget)
+    assert len(probes) == budget
+    full = _probe_buckets(qv, bits, 42, 3)
+    assert probes == full[:budget]
