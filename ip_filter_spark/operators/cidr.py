@@ -93,32 +93,55 @@ def parse_cidr4(cidr_col):
     )
 
 
+def ip4_trunc(key_col, depth):
+    """The IPv4 LPM domain's truncation: decimal-string key → masked
+    decimal-string key at ``depth`` (int or Column). Plugs into
+    ``PathLPM.build(trunc=...)`` / ``lookup(trunc=...)`` so v4 keys are
+    three integer ops per depth instead of a 32-component bit-string
+    build + split + rejoin (~10x less JVM work per probed row).
+    pow(2, 32-d) is exact in double through 2^31, so the mask arithmetic
+    is exact for all v4 depths."""
+    d = depth if hasattr(depth, "cast") else F.lit(depth)
+    ip = key_col.cast("long")
+    p2 = F.pow(F.lit(2.0), (F.lit(V4_BITS) - d).cast("double")).cast("long")
+    return (ip - (ip % p2)).cast("long").cast("string")
+
+
 def cidr4_route_table(cidrs: DataFrame, cidr_col: str = "cidr") -> DataFrame:
-    """CIDR-string table → PathLPM-compatible (prefix, depth) table."""
+    """CIDR-string table → PathLPM (prefix, depth) table in the numeric
+    key domain: prefix = masked address as a decimal string."""
+    ip = ip4_from_dotted(F.split(F.col(cidr_col), "/")[0])
+    plen = F.split(F.col(cidr_col), "/")[1].cast("int")
+    return cidrs.select(
+        ip4_trunc(ip.cast("string"), plen).alias("prefix"), plen.alias("depth")
+    ).distinct()
+
+
+def cidr4_bitpath_table(cidrs: DataFrame, cidr_col: str = "cidr") -> DataFrame:
+    """CIDR-string table → (prefix, depth) in the '/'-joined bit-path
+    domain — the form ``exact_lpm`` (the path-domain oracle) consumes."""
     p = parse_cidr4(F.col(cidr_col))
     return cidrs.select(p["prefix"].alias("prefix"), p["depth"].alias("depth")).distinct()
 
 
 def build_ip4_lpm(cidrs: DataFrame, cidr_col: str = "cidr", **build_kw):
-    """Build a guided LPM engine over an IPv4 CIDR route table."""
+    """Build a guided LPM engine over an IPv4 CIDR route table (numeric
+    key domain — pair lookups with ``lookup_ip4``)."""
     from ip_filter_spark.operators.lpm import PathLPM
 
-    return PathLPM.build(cidr4_route_table(cidrs, cidr_col), **build_kw)
+    return PathLPM.build(cidr4_route_table(cidrs, cidr_col), trunc=ip4_trunc, **build_kw)
 
 
 def lookup_ip4(engine, traffic: DataFrame, ip_col: str = "ip", mode: str = "guided") -> DataFrame:
     """LPM every uint32 address in ``traffic``: adds lpm_depth (matched
     prefix length, 0 = default route) and lpm_prefix_ip (the matched
-    prefix's masked address as a long, null on miss)."""
-    q = traffic.withColumn("__bitpath", ip4_to_bitpath(F.col(ip_col)))
-    out = engine.lookup(q, path_col="__bitpath", mode=mode)
-    # masked address = ip - ip % 2^(32-depth): exact in double for v4
-    p = F.pow(F.lit(2.0), (F.lit(V4_BITS) - F.col("lpm_depth")).cast("double"))
-    masked = (F.col(ip_col) - (F.col(ip_col) % p.cast("long"))).cast("long")
-    return (
-        out.withColumn("lpm_prefix_ip", F.when(F.col("lpm_depth") > 0, masked))
-        .drop("__bitpath", "lpm_prefix")
-    )
+    prefix's masked address as a long, null on miss). The engine must
+    have been built in the numeric key domain (``build_ip4_lpm`` or
+    ``PathLPM.build(trunc=ip4_trunc)``)."""
+    out = engine.lookup(traffic, path_col=ip_col, mode=mode, trunc=ip4_trunc)
+    return out.withColumn(
+        "lpm_prefix_ip", F.when(F.col("lpm_depth") > 0, F.col("lpm_prefix").cast("long"))
+    ).drop("lpm_prefix")
 
 
 def format_ip4(ip_col):

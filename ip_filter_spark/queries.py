@@ -487,7 +487,7 @@ def lpm_cidr_events(spark, sf_dir):
     arithmetic (no bit paths), so a hash match proves the whole adapter +
     engine chain end-to-end."""
     _ensure_shipped(spark)
-    from ip_filter_spark.operators.cidr import ip4_prefix_path, lookup_ip4
+    from ip_filter_spark.operators.cidr import ip4_trunc, lookup_ip4
     from ip_filter_spark.operators.lpm import PathLPM
 
     ev = _t(spark, sf_dir, "events")
@@ -495,9 +495,8 @@ def lpm_cidr_events(spark, sf_dir):
     plen = (F.lit(8) + (F.col("user_id") % 3) * F.lit(8)).cast("int")
     p2 = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double")).cast("long")
     masked = (base - (base % p2)).cast("long")
-    route_ips = ev.select(masked.alias("rip"), plen.alias("depth")).distinct()
-    routes = route_ips.select(ip4_prefix_path(F.col("rip"), F.col("depth")).alias("prefix"), "depth")
-    eng = PathLPM.build(routes, num_partitions=8)
+    routes = ev.select(masked.cast("string").alias("prefix"), plen.alias("depth")).distinct()
+    eng = PathLPM.build(routes, num_partitions=8, trunc=ip4_trunc)
     traffic = ev.select(
         "event_id", (((F.col("event_id") % 1000003) * F.lit(_KNUTH)) % F.lit(4294967296)).alias("ip")
     )

@@ -46,8 +46,11 @@ def test_cidr_reference_goldens(spark, mode):
 
 
 def test_cidr_guided_equals_exact(spark):
-    """Triple agreement on a wider synthetic table."""
-    from ip_filter_spark.operators.cidr import cidr4_route_table, ip4_bits, _bits_to_path
+    """Triple agreement on a wider synthetic table: the numeric-key
+    guided engine vs the path-domain exact oracle run on the SAME routes
+    expressed as bit paths — cross-domain agreement pins both the mask
+    truncation and the bit-path encoding."""
+    from ip_filter_spark.operators.cidr import cidr4_bitpath_table
     from ip_filter_spark.operators.lpm import exact_lpm
 
     base = spark.range(200)
@@ -58,8 +61,8 @@ def test_cidr_guided_equals_exact(spark):
             (F.lit(12) + (F.col("id") % 3) * 6).cast("string"),
         ).alias("cidr")
     )
-    # mask the CIDR base address so prefixes are canonical
-    routes = cidr4_route_table(rts)
+    # oracle routes in the bit-path domain; engine routes numeric
+    routes = cidr4_bitpath_table(rts)
     traffic = spark.range(500).select((((F.col("id") + 7) * 2654435761) % 4294967296).alias("ip"))
     q = traffic.withColumn("path", ip4_to_bitpath(F.col("ip")))
     eng = build_ip4_lpm(rts, num_partitions=2)

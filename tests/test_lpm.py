@@ -107,3 +107,19 @@ def test_lpm_serialization_roundtrip(spark, fixture_lpm):
     got = {r.path: r.lpm_depth for r in back.lookup(q).collect()}
     for path, want in FIXTURE_QUERIES:
         assert got[path] == want
+
+
+def test_local_and_distributed_build_byte_identical(spark):
+    """The adaptive small-table build (driver-local numpy pass over the
+    insert rows) must produce the exact same filter bytes as the
+    distributed partials -> tree_merge path it replaces; forcing
+    local_build_max_inserts=0 exercises the distributed branch on the
+    same routes."""
+    from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
+    from ip_filter_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 2000, n_repos=50, seed=3)
+    routes = derive_prefix_table(corpus, max_depth=3)
+    local = PathLPM.build(routes, num_partitions=4)
+    dist = PathLPM.build(routes, num_partitions=4, local_build_max_inserts=0)
+    assert local.to_bytes() == dist.to_bytes()
