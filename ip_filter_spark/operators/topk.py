@@ -56,3 +56,53 @@ def cms_topk(
     est = cms.query_hashes(h64)
     ranked = sorted(zip(cand, est.tolist()), key=lambda t: (-t[1], str(t[0])))[:k]
     return [(key, int(cnt)) for key, cnt in ranked]
+
+
+def mg_heavy_hitters(df: DataFrame, key_col: str, capacity: int = 64, num_partitions: int | None = None):
+    """Distributed Misra–Gries: per-partition partial summaries built over
+    raw keys (mapInPandas, numpy counter math) → hierarchical tree_merge →
+    one summary on the driver. Communication is O(P · capacity) counters
+    regardless of key cardinality — no full groupBy shuffle — and the
+    result carries a deterministic bound: for every reported key,
+    est <= true <= est + err with err <= n/(capacity+1).
+
+    Returns the merged ``MisraGries`` sketch (``.items()`` / ``.topk()``).
+    """
+    import pandas as pd
+
+    from ip_filter_spark.engine import SKETCH_ROW_SCHEMA, tree_merge
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.misra_gries import MisraGries
+
+    src = df.select(F.col(key_col).cast("string").alias("k"))
+    if num_partitions:
+        src = src.repartition(num_partitions)
+    cap = int(capacity)
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        sk = MisraGries(cap)
+        rows = 0
+        for b in batches:
+            rows += len(b)
+            if len(b):
+                sk.update_keys(b["k"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "name": [sk.NAME],
+                "params": [sk.params_json()],
+                "payload": [sk.to_bytes()],
+                "n_items": [int(sk.n_items)],
+                "partition_id": [TaskContext.get().partitionId()],
+                "rows_seen": [rows],
+                "wall_ms": [0.0],
+                "params_hash": ["mg"],
+            }
+        )
+
+    merged = tree_merge(src.mapInPandas(partials, schema=SKETCH_ROW_SCHEMA), num_partials=num_partitions).collect()
+    out = from_bytes(bytes(merged[0].payload))
+    for row in merged[1:]:
+        out = out.merge(from_bytes(bytes(row.payload)))
+    return out

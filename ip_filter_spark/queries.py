@@ -964,6 +964,66 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def mg_top_langs(spark, sf_dir):
+    """Misra–Gries heavy hitters over documents.lang. The language domain
+    is smaller than the summary capacity, so err stays 0 and the summary
+    IS the exact per-language count table — a full-value DuckDB oracle,
+    not just bound booleans (capacity-stressed behavior is pinned by
+    ``mg_heavy_users`` and the adversarial pytest)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.topk import mg_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    sk = mg_heavy_hitters(d, "lang", capacity=64, num_partitions=8)
+    assert sk.err == 0, "lang domain exceeded MG capacity; oracle form invalid"
+    return spark.createDataFrame(
+        [(k, e, u) for k, e, u in sk.items()], "lang string, est long, upper long"
+    )
+
+
+MG_TOP_LANGS_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS est, CAST(COUNT(*) AS BIGINT) AS upper
+FROM documents GROUP BY lang
+"""
+
+
+def mg_heavy_users(spark, sf_dir):
+    """Misra–Gries under capacity stress: user_id cardinality far exceeds
+    the 32-counter summary. The deterministic guarantees — never
+    overcounts, undercounts by at most err <= n/(capacity+1), and every
+    (n/(capacity+1))-heavy key retained — are checked in-query against
+    exact counts and emitted as provable-by-construction booleans."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.topk import mg_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    cap = 32
+    sk = mg_heavy_hitters(ev, "user_id", capacity=cap, num_partitions=8)
+    exact = {str(r.user_id): r["count"] for r in ev.groupBy("user_id").count().collect()}
+    n = sum(exact.values())
+    bounds_hold = all(e <= exact[k] <= u for k, e, u in sk.items())
+    kept = {k for k, _, _ in sk.items()}
+    heavy_kept = all(k in kept for k, c in exact.items() if c > n / (cap + 1))
+    row = (
+        int(n),
+        bool(len(sk.items()) <= cap),
+        bool(sk.err <= n // (cap + 1) + 1),
+        bool(bounds_hold),
+        bool(heavy_kept),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, within_capacity boolean, err_within_bound boolean, bounds_hold boolean, heavy_keys_kept boolean",
+    )
+
+
+MG_HEAVY_USERS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_capacity,
+       TRUE AS err_within_bound, TRUE AS bounds_hold, TRUE AS heavy_keys_kept
+FROM events
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -1013,6 +1073,8 @@ QUERIES = {
     "cbf_duplicate_counts": cbf_duplicate_counts,
     "minhash_corpus_signature": minhash_corpus_signature,
     "multimodal_features": multimodal_features,
+    "mg_top_langs": mg_top_langs,
+    "mg_heavy_users": mg_heavy_users,
 }
 
 ORACLES = {
@@ -1050,5 +1112,7 @@ ORACLES = {
     "cbf_duplicate_counts": CBF_SQL,
     "minhash_corpus_signature": MINHASH_CORPUS_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "mg_top_langs": MG_TOP_LANGS_SQL,
+    "mg_heavy_users": MG_HEAVY_USERS_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

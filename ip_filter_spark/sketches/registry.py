@@ -9,6 +9,7 @@ from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
 from ip_filter_spark.sketches.hll import HyperLogLog
 from ip_filter_spark.sketches.kll import KLLSketch
 from ip_filter_spark.sketches.minhash import MinHashSignatures
+from ip_filter_spark.sketches.misra_gries import MisraGries
 from ip_filter_spark.sketches.tdigest import TDigest
 
 REGISTRY: dict[str, type[Sketch]] = {
@@ -21,6 +22,7 @@ REGISTRY: dict[str, type[Sketch]] = {
         KLLSketch,
         TDigest,
         MinHashSignatures,
+        MisraGries,
     )
 }
 

@@ -272,3 +272,71 @@ def test_kll_coin_survives_serialization():
     a.update_values(tail)
     b.update_values(tail)
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_misra_gries_bounds_merge_and_roundtrip():
+    """MG guarantees, adversarially: a capacity-8 summary over a stream
+    with 3 planted heavies + a 200-key tail must (a) never overcount,
+    (b) never undercount by more than err <= n/(cap+1), (c) retain every
+    key with true count > n/(cap+1), (d) merge associatively to
+    byte-identical blobs, (e) survive serialization."""
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.misra_gries import MisraGries
+
+    rng = np.random.default_rng(7)
+    heavies = [b"alpha"] * 500 + [b"beta"] * 300 + [b"gamma"] * 150
+    tail = [f"t{int(i)}".encode() for i in rng.integers(0, 200, size=1000)]
+    stream = np.array(heavies + tail, dtype=bytes)
+    rng.shuffle(stream)
+    true = {}
+    for s in stream:
+        true[s] = true.get(s, 0) + 1
+
+    cap = 8
+    sk = MisraGries(cap)
+    for i in range(0, len(stream), 97):  # uneven batches
+        sk.update_keys(stream[i : i + 97])
+    n = len(stream)
+    assert sk.err <= n // (cap + 1) + 1
+    for key, est, upper in sk.items():
+        t = true[key.encode()]
+        assert est <= t <= upper, (key, est, t, upper)
+    kept = {k for k, _, _ in sk.items()}
+    for key, t in true.items():
+        if t > n / (cap + 1):
+            assert key.decode() in kept, (key, t)
+
+    # mergeability: split the stream 3 ways, merge in both orders
+    parts = [stream[0:700], stream[700:1100], stream[1100:]]
+    sks = []
+    for p in parts:
+        s = MisraGries(cap)
+        s.update_keys(p)
+        sks.append(s)
+    ab_c = from_bytes(sks[0].to_bytes()).merge(from_bytes(sks[1].to_bytes())).merge(from_bytes(sks[2].to_bytes()))
+    bc = from_bytes(sks[1].to_bytes()).merge(from_bytes(sks[2].to_bytes()))
+    a_bc = from_bytes(sks[0].to_bytes()).merge(bc)
+    # MG merge is NOT state-associative (the reduction's decrement depends
+    # on merge order); the PODS'12 guarantee is that ANY merge order keeps
+    # the deterministic bound and retains every (n/(cap+1))-heavy key
+    for m in (ab_c, a_bc):
+        assert m.n_items == n and m.err <= n // (cap + 1) + 1
+        for key, est, upper in m.items():
+            t = true[key.encode()]
+            assert est <= t <= upper, (key, est, t, upper)
+        kept_m = {k for k, _, _ in m.items()}
+        for key, t in true.items():
+            if t > n / (cap + 1):
+                assert key.decode() in kept_m
+
+    # roundtrip
+    rt = from_bytes(sk.to_bytes())
+    assert rt.items() == sk.items() and rt.n_items == sk.n_items and rt.err == sk.err
+
+    # exactness when distinct keys <= capacity: err stays 0
+    small = MisraGries(16)
+    small.update_keys(np.array([b"x"] * 5 + [b"y"] * 3 + [b"z"] * 2, dtype=bytes))
+    assert small.err == 0
+    assert dict((k, e) for k, e, _ in small.items()) == {"x": 5, "y": 3, "z": 2}
