@@ -58,20 +58,14 @@ def cms_topk(
     return [(key, int(cnt)) for key, cnt in ranked]
 
 
-def mg_heavy_hitters(df: DataFrame, key_col: str, capacity: int = 64, num_partitions: int | None = None):
-    """Distributed Misra–Gries: per-partition partial summaries built over
-    raw keys (mapInPandas, numpy counter math) → hierarchical tree_merge →
-    one summary on the driver. Communication is O(P · capacity) counters
-    regardless of key cardinality — no full groupBy shuffle — and the
-    result carries a deterministic bound: for every reported key,
-    est <= true <= est + err with err <= n/(capacity+1).
-
-    Returns the merged ``MisraGries`` sketch (``.items()`` / ``.topk()``).
-    """
+def mg_partials(df: DataFrame, key_col: str, capacity: int = 64, num_partitions: int | None = None) -> DataFrame:
+    """Per-partition Misra–Gries partial summaries over raw keys
+    (mapInPandas, numpy counter math) as standard sketch rows — the
+    building block for both batch (`mg_heavy_hitters`) and streaming
+    (`streaming.sketch_stream.stream_heavy_hitters`) heavy hitters."""
     import pandas as pd
 
-    from ip_filter_spark.engine import SKETCH_ROW_SCHEMA, tree_merge
-    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.engine import SKETCH_ROW_SCHEMA
     from ip_filter_spark.sketches.misra_gries import MisraGries
 
     src = df.select(F.col(key_col).cast("string").alias("k"))
@@ -101,7 +95,23 @@ def mg_heavy_hitters(df: DataFrame, key_col: str, capacity: int = 64, num_partit
             }
         )
 
-    merged = tree_merge(src.mapInPandas(partials, schema=SKETCH_ROW_SCHEMA), num_partials=num_partitions).collect()
+    return src.mapInPandas(partials, schema=SKETCH_ROW_SCHEMA)
+
+
+def mg_heavy_hitters(df: DataFrame, key_col: str, capacity: int = 64, num_partitions: int | None = None):
+    """Distributed Misra–Gries: per-partition partials → hierarchical
+    tree_merge → one summary on the driver. Communication is
+    O(P · capacity) counters regardless of key cardinality — no full
+    groupBy shuffle — and the result carries a deterministic bound: for
+    every reported key, est <= true <= est + err with
+    err <= n/(capacity+1).
+
+    Returns the merged ``MisraGries`` sketch (``.items()`` / ``.topk()``).
+    """
+    from ip_filter_spark.engine import tree_merge
+    from ip_filter_spark.sketches import from_bytes
+
+    merged = tree_merge(mg_partials(df, key_col, capacity, num_partitions), num_partials=num_partitions).collect()
     out = from_bytes(bytes(merged[0].payload))
     for row in merged[1:]:
         out = out.merge(from_bytes(bytes(row.payload)))

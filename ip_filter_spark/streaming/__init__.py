@@ -1,5 +1,7 @@
 from ip_filter_spark.streaming.sketch_stream import (
+    merged_heavy_hitters,
     merged_sketches_from_store,
+    stream_heavy_hitters,
     stream_sketch_build,
     windowed_event_counts,
 )
@@ -8,6 +10,8 @@ from ip_filter_spark.streaming.stateful import running_distinct_by_key
 __all__ = [
     "stream_sketch_build",
     "merged_sketches_from_store",
+    "stream_heavy_hitters",
+    "merged_heavy_hitters",
     "windowed_event_counts",
     "running_distinct_by_key",
 ]

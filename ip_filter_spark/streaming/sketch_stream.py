@@ -86,3 +86,45 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    key_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming Misra–Gries: each micro-batch appends per-partition MG
+    partial summaries to the store; the current global heavy-hitter
+    summary is a merge over the store (``merged_heavy_hitters``). The
+    deterministic bound degrades gracefully — err is additive over
+    merges, still <= n_total/(capacity+1) — and restarts replay nothing
+    (streaming checkpoint + append-only store)."""
+    from ip_filter_spark.operators.topk import mg_partials
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            mg_partials(batch_df, key_col, capacity=capacity)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_heavy_hitters(spark: SparkSession, store_dir: str):
+    """Current global Misra–Gries summary = merge over all stored
+    partials (associative, so read order is irrelevant to the bound)."""
+    from ip_filter_spark.sketches import from_bytes
+
+    merged = tree_merge(spark.read.parquet(store_dir).drop("batch_id")).collect()
+    out = from_bytes(bytes(merged[0].payload))
+    for row in merged[1:]:
+        out = out.merge(from_bytes(bytes(row.payload)))
+    return out

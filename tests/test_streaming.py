@@ -107,3 +107,35 @@ def test_windowed_event_counts_matches_batch(spark, events_stream_dir, tmp_path)
     for key, val in got.items():
         assert key in want and abs(val[1] - want[key][1]) < 1e-6 and val[0] == want[key][0]
     assert len(got) >= len(want) - 4  # at most the last watermark-open windows withheld
+
+
+def test_stream_heavy_hitters_matches_batch(spark, events_stream_dir, tmp_path):
+    """Streaming MG (micro-batch partials, merge-on-read) must satisfy the
+    same deterministic bound as the batch build, and with capacity above
+    the key cardinality it must equal the exact streaming GROUP BY."""
+    from ip_filter_spark.streaming import merged_heavy_hitters, stream_heavy_hitters
+
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(events_stream_dir)
+    store = str(tmp_path / "mg_store")
+    q = stream_heavy_hitters(
+        stream, "event_type", store_dir=store, checkpoint_dir=str(tmp_path / "mg_ckpt"), capacity=64
+    )
+    q.awaitTermination(300)
+    sk = merged_heavy_hitters(spark, store)
+    exact = {str(r.event_type): r["count"] for r in batch.groupBy("event_type").count().collect()}
+    assert sk.err == 0  # cardinality below capacity → exact
+    assert {k: e for k, e, _ in sk.items()} == exact
+    # capacity-stressed stream still bounds every estimate
+    stream2 = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(events_stream_dir)
+    store2 = str(tmp_path / "mg_store2")
+    q2 = stream_heavy_hitters(
+        stream2, "user_id", store_dir=store2, checkpoint_dir=str(tmp_path / "mg_ckpt2"), capacity=8
+    )
+    q2.awaitTermination(300)
+    sk2 = merged_heavy_hitters(spark, store2)
+    exact2 = {str(r.user_id): r["count"] for r in batch.groupBy("user_id").count().collect()}
+    n = sum(exact2.values())
+    assert sk2.n_items == n
+    for key, est, upper in sk2.items():
+        assert est <= exact2[key] <= upper, (key, est, exact2[key], upper)
