@@ -154,3 +154,46 @@ def format_ip4(ip_col):
         (c % 256).cast("long"),
     ]
     return F.concat_ws(".", *[o.cast("string") for o in octets])
+
+
+def ip6_trunc(key_col, depth):
+    """The IPv6 LPM domain's truncation: canonical 32-char lowercase hex
+    key → masked, zero-padded 32-char hex key at ``depth`` (int or
+    Column). Whole nibbles are kept with substr; the one partial nibble
+    is masked via conv(hex→dec), integer mask, conv(dec→hex) — no
+    128-element bit arrays anywhere (the bit-path form costs ~128
+    transform ops per row; this is ~6 string/int ops)."""
+    d = depth if hasattr(depth, "cast") else F.lit(depth)
+    fullnib = F.floor(d / 4).cast("int")
+    rem = (d % 4).cast("int")
+    head = key_col.substr(F.lit(1), fullnib)
+    nib = F.conv(key_col.substr(fullnib + F.lit(1), F.lit(1)), 16, 10).cast("long")
+    keep = F.pow(F.lit(2.0), (F.lit(4) - rem).cast("double")).cast("long")
+    nibhex = F.lower(F.conv((nib - (nib % keep)).cast("string"), 10, 16))
+    return F.rpad(F.when(rem > 0, F.concat(head, nibhex)).otherwise(head), 32, "0")
+
+
+def ip6_route_table(routes: DataFrame, hex_col: str = "h", plen_col: str = "depth") -> DataFrame:
+    """(32-char hex, prefix_len) table → PathLPM (prefix, depth) in the
+    masked-hex key domain."""
+    return routes.select(
+        ip6_trunc(F.col(hex_col), F.col(plen_col)).alias("prefix"),
+        F.col(plen_col).cast("int").alias("depth"),
+    ).distinct()
+
+
+def build_ip6_lpm(routes: DataFrame, hex_col: str = "h", plen_col: str = "depth", **build_kw):
+    """Guided LPM engine over IPv6 routes given as canonical 32-char
+    lowercase hex + prefix length (masked-hex key domain; pair with
+    ``lookup_ip6``)."""
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    return PathLPM.build(ip6_route_table(routes, hex_col, plen_col), trunc=ip6_trunc, **build_kw)
+
+
+def lookup_ip6(engine, traffic: DataFrame, hex_col: str = "h", mode: str = "guided") -> DataFrame:
+    """LPM every v6 address (canonical 32-char lowercase hex) in
+    ``traffic``: adds lpm_depth and lpm_prefix_hex (masked 32-char hex of
+    the matched prefix, null on miss)."""
+    out = engine.lookup(traffic, path_col=hex_col, mode=mode, trunc=ip6_trunc)
+    return out.withColumnRenamed("lpm_prefix", "lpm_prefix_hex")

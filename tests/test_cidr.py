@@ -94,3 +94,45 @@ def test_ip6_bitpath_and_lpm(spark):
     got = {r.h: r.lpm_depth for r in eng.lookup(q, path_col="path", mode="guided").collect()}
     assert got[inside] == 32   # matches 2001:db8::/32
     assert got[outside] == 4   # falls back to the /4 covering 2xxx
+
+
+def test_ip6_masked_hex_domain_agrees_with_bitpath(spark):
+    """The masked-hex v6 domain (6 string/int ops per depth) must answer
+    exactly like the 128-component bit-path domain on the same routes,
+    including a non-nibble-aligned prefix length."""
+    from ip_filter_spark.operators.cidr import (
+        _bits_to_path,
+        build_ip6_lpm,
+        ip6_bits,
+        ip6_to_bitpath,
+        lookup_ip6,
+    )
+    from ip_filter_spark.operators.lpm import PathLPM
+
+    p32 = "20010db8" + "0" * 24            # 2001:db8::/32
+    p34 = "20010db8" + "0" * 24            # same base, /34 (non-aligned)
+    p4 = "2" + "0" * 31                    # 2000::/4
+    routes = spark.createDataFrame([(p32, 32), (p34, 34), (p4, 4)], "h string, depth int")
+    addrs = [
+        "20010db8" + "000000000000000000000001",  # inside /34 (bits 33-34 = 0)
+        "20010db8" + "4" + "0" * 22 + "1",        # inside /32, outside /34 (bit 34 = 1... nibble 0100)
+        "20010db9" + "0" * 23 + "1",              # inside /4 only
+        "f" + "0" * 31,                           # miss entirely
+    ]
+    q = spark.createDataFrame([(a,) for a in addrs], "h string")
+
+    eng_hex = build_ip6_lpm(routes, num_partitions=2)
+    got_hex = {r.h: (r.lpm_depth, r.lpm_prefix_hex) for r in lookup_ip6(eng_hex, q).collect()}
+
+    bp_routes = routes.select(_bits_to_path(ip6_bits(F.col("h")), F.col("depth")).alias("prefix"), "depth")
+    eng_bp = PathLPM.build(bp_routes, num_partitions=2)
+    qbp = q.withColumn("path", ip6_to_bitpath(F.col("h")))
+    got_bp = {r.h: r.lpm_depth for r in eng_bp.lookup(qbp, path_col="path", mode="guided").collect()}
+
+    assert {k: v[0] for k, v in got_hex.items()} == got_bp
+    assert got_hex[addrs[0]][0] == 34
+    assert got_hex[addrs[1]][0] == 32
+    assert got_hex[addrs[2]][0] == 4
+    assert got_hex[addrs[3]] == (0, None)
+    # matched prefix comes back masked + zero-padded to canonical width
+    assert got_hex[addrs[0]][1] == "20010db8" + "0" * 24
