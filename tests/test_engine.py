@@ -131,3 +131,18 @@ def test_salted_repartition_balances_skew(spark, corpus):
     # and strictly better than partitioning on the raw key
     raw = corpus.repartition(16, "repo").groupBy(F.spark_partition_id().alias("pid")).count().collect()
     assert max(counts) <= max(r["count"] for r in raw)
+
+
+def test_read_source_table_formats(spark, sf_dir):
+    """read_source_table: parquet path works; the iceberg branch fails
+    with an actionable message when the runtime is absent (this sandbox
+    has no iceberg jars — the reference production shape is documented,
+    the plumbing is pinned)."""
+    import pytest
+
+    from ip_filter_spark.sources.tables import read_source_table
+
+    df = read_source_table(spark, f"{sf_dir}/documents.parquet")
+    assert df.count() > 0
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_source_table(spark, "iceberg:prod.corpus.files")
