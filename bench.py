@@ -53,9 +53,12 @@ def bench_sketch_build(spark, sf_dir: str, replicate: int | None = None, cpus: i
 
     ``replicate`` multiplies the corpus deterministically (explode over a
     literal range) so the scan work dwarfs fixed job overhead — used by the
-    scaling study. The scan is explicitly repartitioned to 3x cores: a
-    single ~50 MB parquet file otherwise yields 1-4 input splits and no
-    parallelism at any core count."""
+    scaling study. The scan is explicitly repartitioned to exactly the
+    core count: a single ~50 MB parquet file otherwise yields 1-4 input
+    splits and no parallelism, while MORE partials than cores only adds
+    merge traffic — each partial carries the full Bloom+CMS arrays, so
+    partials are O(P · blob) bytes (measured 7.5 s at 96 partials vs
+    4.3 s at 32 for the same sf0.1 build)."""
     from pyspark.sql import functions as F
 
     from ip_filter_spark.engine import SketchSpec, build_and_merge
@@ -97,7 +100,7 @@ def bench_sketch_build(spark, sf_dir: str, replicate: int | None = None, cpus: i
     t0 = time.perf_counter()
     sketches = build_and_merge(
         corpus, specs, key="content", value=F.length("content"),
-        num_partitions=None if pre_partitioned else 3 * cpus,
+        num_partitions=None if pre_partitioned else cpus,
     )
     dt = time.perf_counter() - t0
     hll = sketches[specs[1].key()]
