@@ -147,11 +147,29 @@ class BloomFilter(Sketch):
         return {"fpp": self.fpp, "k": self.k, "m": self.m, "expected_n": self.expected_n}
 
     def _arrays(self) -> dict[str, np.ndarray]:
+        # content-adaptive serialization: a low-fill filter (every
+        # per-partition PARTIAL at scale — P partials each see n/P keys)
+        # ships the set-bit indices instead of the dense bitmap. At 1000
+        # executors the merge traffic is O(P · blob), so sparse partials
+        # cut shuffle bytes by the fill factor. Format choice is a pure
+        # function of the bit content — identical filters serialize
+        # identically regardless of build path.
+        set_ix = np.flatnonzero(np.unpackbits(self.bits, bitorder="little"))
+        ix_dt = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
+        if len(set_ix) * np.dtype(ix_dt).itemsize < len(self.bits):
+            return {"sparse_ix": set_ix.astype(ix_dt)}
         return {"bits": self.bits}
 
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "BloomFilter":
-        obj = cls(fpp=params["fpp"], n=params["expected_n"], k=params["k"], num_bits=params["m"], _bits=arrays["bits"])
+        if "sparse_ix" in arrays:
+            ix = arrays["sparse_ix"].astype(np.int64)
+            dense = np.zeros(((params["m"] + 7) // 8) * 8, dtype=np.uint8)
+            dense[ix] = 1
+            bits = np.packbits(dense, bitorder="little")
+        else:
+            bits = arrays["bits"]
+        obj = cls(fpp=params["fpp"], n=params["expected_n"], k=params["k"], num_bits=params["m"], _bits=bits)
         return obj
 
     def __repr__(self):

@@ -78,8 +78,25 @@ class CountMinSketch(Sketch):
         return {"eps": self.eps, "delta": self.delta, "w": self.w, "d": self.d}
 
     def _arrays(self) -> dict[str, np.ndarray]:
+        # content-adaptive serialization: per-partition partials touch at
+        # most k·(rows in partition) of the d·w counters, so low-fill
+        # tables ship (flat index, count) pairs instead of the dense
+        # int64 grid — merge traffic is O(P · blob) at scale. The format
+        # is a pure function of table content (build-path independent).
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        ix_dt = np.uint32 if flat.size <= 0xFFFFFFFF else np.int64
+        sparse_bytes = len(nz) * (np.dtype(ix_dt).itemsize + 8)
+        if sparse_bytes < flat.nbytes:
+            return {"sparse_ix": nz.astype(ix_dt), "sparse_val": flat[nz]}
         return {"table": self.table}
 
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "CountMinSketch":
-        return cls(eps=params["eps"], delta=params["delta"], width=params["w"], depth=params["d"], _table=arrays["table"])
+        if "sparse_ix" in arrays:
+            flat = np.zeros(params["d"] * params["w"], dtype=np.int64)
+            flat[arrays["sparse_ix"].astype(np.int64)] = arrays["sparse_val"]
+            table = flat.reshape(params["d"], params["w"])
+        else:
+            table = arrays["table"]
+        return cls(eps=params["eps"], delta=params["delta"], width=params["w"], depth=params["d"], _table=table)

@@ -340,3 +340,48 @@ def test_misra_gries_bounds_merge_and_roundtrip():
     small.update_keys(np.array([b"x"] * 5 + [b"y"] * 3 + [b"z"] * 2, dtype=bytes))
     assert small.err == 0
     assert dict((k, e) for k, e, _ in small.items()) == {"x": 5, "y": 3, "z": 2}
+
+
+def test_sparse_serialization_roundtrip_and_size():
+    """Low-fill Bloom/CMS blobs ship sparse (set-bit indices / nonzero
+    counter pairs) and round-trip exactly; high-fill ships dense. Format
+    is a pure function of content, so identical sketches serialize
+    identically regardless of how they were built."""
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.bloom import BloomFilter
+    from ip_filter_spark.sketches.cms import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    # a partial: 1M-capacity filter that saw only 2k keys
+    bf = BloomFilter(fpp=1e-4, n=1_000_000)
+    h = rng.integers(0, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    bf.insert_hashes(h)
+    blob = bf.to_bytes()
+    dense_bytes = len(bf.bits)
+    assert len(blob) < dense_bytes // 4, (len(blob), dense_bytes)
+    rt = from_bytes(blob)
+    assert (rt.bits == bf.bits).all() and rt.n_items == bf.n_items
+    assert rt.contains_hashes(h).all()
+
+    # high fill falls back to dense and still round-trips
+    bf2 = BloomFilter(fpp=1e-2, n=1000)
+    bf2.insert_hashes(rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64))
+    rt2 = from_bytes(bf2.to_bytes())
+    assert (rt2.bits == bf2.bits).all()
+
+    cms = CountMinSketch(eps=1e-4, delta=1e-3)
+    cms.update_hashes(h)
+    dense = cms.table.nbytes
+    blob_c = cms.to_bytes()
+    assert len(blob_c) < dense // 4, (len(blob_c), dense)
+    rtc = from_bytes(blob_c)
+    assert (rtc.table == cms.table).all() and rtc.n_items == cms.n_items
+
+    # merge of sparse-serialized partials == merge of originals
+    a, b = BloomFilter(fpp=1e-4, n=1_000_000), BloomFilter(fpp=1e-4, n=1_000_000)
+    a.insert_hashes(h[:1000])
+    b.insert_hashes(h[1000:])
+    m1 = from_bytes(a.to_bytes()).merge(from_bytes(b.to_bytes()))
+    assert (m1.bits == bf.bits).all()
