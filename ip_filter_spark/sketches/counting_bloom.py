@@ -87,11 +87,22 @@ class CountingBloomFilter(Sketch):
         return {"fpp": self.fpp, "k": self.k, "m": self.m, "expected_n": self.expected_n}
 
     def _arrays(self) -> dict[str, np.ndarray]:
+        # content-adaptive, like BloomFilter/CMS: low-fill partials ship
+        # (index, count) pairs instead of the dense counter array
+        nz = np.flatnonzero(self.counters)
+        ix_dt = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
+        if len(nz) * (np.dtype(ix_dt).itemsize + self.counters.dtype.itemsize) < self.counters.nbytes:
+            return {"sparse_ix": nz.astype(ix_dt), "sparse_val": self.counters[nz]}
         return {"counters": self.counters}
 
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "CountingBloomFilter":
+        if "sparse_ix" in arrays:
+            counters = np.zeros(params["m"], dtype=arrays["sparse_val"].dtype)
+            counters[arrays["sparse_ix"].astype(np.int64)] = arrays["sparse_val"]
+        else:
+            counters = arrays["counters"]
         return cls(
             fpp=params["fpp"], n=params["expected_n"], k=params["k"],
-            num_counters=params["m"], _counters=arrays["counters"],
+            num_counters=params["m"], _counters=counters,
         )

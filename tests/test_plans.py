@@ -94,3 +94,20 @@ def test_exact_quantiles_distributed_no_single_partition_sort(spark, sf_dir):
         ).fetchall()
     )
     assert got == exact, (got, exact)
+
+
+def test_cidr_probe_plan_shuffle_free(spark):
+    """The CIDR probe must ride the traffic's partitioning: digest
+    expressions + broadcast filter blob + mapInPandas, no Exchange in
+    the probe subplan (the 100 TB shape — probes scale with the scan)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.operators.cidr import build_ip4_lpm, lookup_ip4
+
+    cidrs = spark.createDataFrame([("10.0.0.0/8",), ("10.1.0.0/16",)], "cidr string")
+    eng = build_ip4_lpm(cidrs, num_partitions=2)
+    traffic = spark.range(1000).select((F.col("id") * 2654435761 % 4294967296).alias("ip"))
+    out = lookup_ip4(eng, traffic, mode="guided")
+    plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
