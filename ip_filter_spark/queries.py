@@ -1024,6 +1024,28 @@ FROM events
 """
 
 
+def bloom_semijoin_customers(spark, sf_dir):
+    """Customers having at least one high-value order, executed as the
+    runtime-filter pattern: Bloom over the build side's keys prunes the
+    probe table before the exact semi-join. No false negatives → output
+    is EXACTLY the plain semi-join, so the SQL oracle is a plain IN."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import bloom_semi_join
+
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey")
+    )
+    out = bloom_semi_join(cust, big_orders, probe_key="c_custkey", build_key="o_custkey")
+    return out.select("c_custkey", "c_name")
+
+
+BLOOM_SEMIJOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -1075,6 +1097,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "mg_top_langs": mg_top_langs,
     "mg_heavy_users": mg_heavy_users,
+    "bloom_semijoin_customers": bloom_semijoin_customers,
 }
 
 ORACLES = {
@@ -1114,5 +1137,6 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "mg_top_langs": MG_TOP_LANGS_SQL,
     "mg_heavy_users": MG_HEAVY_USERS_SQL,
+    "bloom_semijoin_customers": BLOOM_SEMIJOIN_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

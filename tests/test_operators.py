@@ -244,3 +244,31 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     media = attach_fake_media(docs.limit(5), "doc_id")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_bloom_semi_join_exact_and_pruning(spark, sf_dir):
+    """bloom_semi_join == plain left-semi join exactly (no false
+    negatives in the prefilter; exact confirm removes the FPs), and the
+    prefilter really prunes: with a selective build side, the hit
+    fraction is far below 1."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_membership
+    from ip_filter_spark.operators.joins import bloom_semi_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = spark.read.parquet(f"{sf_dir}/orders.parquet").where(F.col("o_totalprice") > 300000).select("o_custkey")
+    got = {r.c_custkey for r in bloom_semi_join(cust, big, "c_custkey", "o_custkey").collect()}
+    want = {
+        r.c_custkey
+        for r in cust.join(big.distinct(), cust["c_custkey"] == big["o_custkey"], "left_semi").collect()
+    }
+    assert got == want
+    # pruning: probe rows surviving the bloom stage ~= |matches| + fpp*rest
+    keys = big.select(F.col("o_custkey").alias("__k")).distinct()
+    spec = SketchSpec("bloom", {"fpp": 1e-4, "n": max(keys.count(), 1)})
+    bf = build_and_merge(keys, [spec], key="__k")[spec.key()]
+    survivors = probe_membership(cust, "c_custkey", bf, out_col="h").where("h").count()
+    total = cust.count()
+    assert survivors <= len(want) + max(10, int(1e-3 * total)), (survivors, len(want), total)
+    assert survivors < total, "prefilter pruned nothing"
