@@ -1024,6 +1024,40 @@ FROM events
 """
 
 
+def kmv_user_overlap(spark, sf_dir):
+    """Distinct-user set algebra via KMV/theta sketches: |click ∩
+    purchase| users from two independently-built sketches. The user
+    domain sits below sketch capacity at every sf the gate runs, so the
+    sketch algebra is exact (theta = 1, every hash retained) and the
+    DuckDB INTERSECT is a full-value oracle; capacity-stressed accuracy
+    is pinned by the pytest bound test."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("kmv", {"k": 65536})
+    sketches = {}
+    for et in ("click", "purchase"):
+        sketches[et] = build_and_merge(
+            ev.where(F.col("event_type") == et), [spec], key=F.col("user_id").cast("string")
+        )[spec.key()]
+    a, b = sketches["click"], sketches["purchase"]
+    assert a._theta() >= 1.0 and b._theta() >= 1.0, "user domain exceeded KMV capacity; oracle form invalid"
+    row = (int(round(a.estimate())), int(round(b.estimate())), int(round(a.intersect_estimate(b))))
+    return spark.createDataFrame([row], "click_users long, purchase_users long, overlap_users long")
+
+
+KMV_OVERLAP_SQL = """
+SELECT
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'click') AS click_users,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'purchase') AS purchase_users,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS overlap_users
+"""
+
+
 def bloom_semijoin_customers(spark, sf_dir):
     """Customers having at least one high-value order, executed as the
     runtime-filter pattern: Bloom over the build side's keys prunes the
@@ -1098,6 +1132,7 @@ QUERIES = {
     "mg_top_langs": mg_top_langs,
     "mg_heavy_users": mg_heavy_users,
     "bloom_semijoin_customers": bloom_semijoin_customers,
+    "kmv_user_overlap": kmv_user_overlap,
 }
 
 ORACLES = {
@@ -1138,5 +1173,6 @@ ORACLES = {
     "mg_top_langs": MG_TOP_LANGS_SQL,
     "mg_heavy_users": MG_HEAVY_USERS_SQL,
     "bloom_semijoin_customers": BLOOM_SEMIJOIN_SQL,
+    "kmv_user_overlap": KMV_OVERLAP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

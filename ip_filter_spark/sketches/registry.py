@@ -8,6 +8,7 @@ from ip_filter_spark.sketches.cms import CountMinSketch
 from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
 from ip_filter_spark.sketches.hll import HyperLogLog
 from ip_filter_spark.sketches.kll import KLLSketch
+from ip_filter_spark.sketches.kmv import KMVSketch
 from ip_filter_spark.sketches.minhash import MinHashSignatures
 from ip_filter_spark.sketches.misra_gries import MisraGries
 from ip_filter_spark.sketches.tdigest import TDigest
@@ -23,6 +24,7 @@ REGISTRY: dict[str, type[Sketch]] = {
         TDigest,
         MinHashSignatures,
         MisraGries,
+        KMVSketch,
     )
 }
 

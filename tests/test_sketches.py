@@ -385,3 +385,45 @@ def test_sparse_serialization_roundtrip_and_size():
     b.insert_hashes(h[1000:])
     m1 = from_bytes(a.to_bytes()).merge(from_bytes(b.to_bytes()))
     assert (m1.bits == bf.bits).all()
+
+
+def test_kmv_estimates_and_set_algebra():
+    """KMV/theta: distinct estimate within 4/sqrt(k-2); intersection /
+    union / difference / jaccard track the true overlap; exact below
+    capacity; merge is byte-stable and order-independent."""
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.kmv import KMVSketch
+
+    rng = np.random.default_rng(21)
+    A = rng.integers(0, 2**64, size=60_000, dtype=np.uint64)
+    B = np.concatenate([A[:20_000], rng.integers(0, 2**64, size=40_000, dtype=np.uint64)])
+    a, b = KMVSketch(k=2048).update_hashes(A), KMVSketch(k=2048).update_hashes(B)
+    bound = 4 * a.rel_error_bound()
+    nA, nB = len(np.unique(A)), len(np.unique(B))
+    true_inter = len(np.intersect1d(A, B))
+    true_union = len(np.union1d(A, B))
+    assert abs(a.estimate() - nA) / nA <= bound
+    assert abs(a.union_estimate(b) - true_union) / true_union <= bound
+    # intersection error scales by 1/jaccard (J ~ 1/4 here) — allow 3x
+    assert abs(a.intersect_estimate(b) - true_inter) / true_inter <= 3 * bound
+    assert abs(a.difference_estimate(b) - (nA - true_inter)) / (nA - true_inter) <= 3 * bound
+    assert abs(a.jaccard_estimate(b) - true_inter / true_union) <= 0.05
+
+    # exact below capacity
+    small = KMVSketch(k=1024).update_hashes(A[:500])
+    assert small.estimate() == len(np.unique(A[:500]))
+
+    # merge: split/merge equals whole, byte-stable in any order
+    parts = np.array_split(A, 5)
+    whole = KMVSketch(k=2048).update_hashes(A)
+    fwd = KMVSketch(k=2048)
+    for p in parts:
+        fwd.merge(KMVSketch(k=2048).update_hashes(p))
+    rev = KMVSketch(k=2048)
+    for p in reversed(parts):
+        rev.merge(KMVSketch(k=2048).update_hashes(p))
+    assert whole.to_bytes() == fwd.to_bytes() == rev.to_bytes()
+    rt = from_bytes(whole.to_bytes())
+    assert (rt.mins == whole.mins).all() and rt.n_items == whole.n_items
