@@ -546,7 +546,17 @@ FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 
 def ann_rhp_topk(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH (rows-only check: the
-    hyperplanes live in numpy, not SQL)."""
+    hyperplanes live in numpy, not SQL).
+
+    Deliberately not given an exact-equality oracle: the testdata
+    embeddings are isotropic (no angular structure), so the true top-10's
+    buckets spread across ~60-70% of the 2^bits space (measured: max
+    margin-ordered probe rank 630/1024 at sf0.01) — full recall would
+    require probing nearly everything, which is the known adversarial
+    case for angular LSH, not an operator defect. Recall on corpora WITH
+    structure is pinned by the planted-neighbor pytest (recall 1.0 at
+    1.6% of buckets); candidate-cosine correctness is oracle-checked via
+    cosine_topk_exact sharing the same re-rank expression."""
     _ensure_shipped(spark)
     from ip_filter_spark.operators.similarity import rhp_bucketed_topk
 
