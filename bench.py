@@ -173,6 +173,9 @@ WORKLOADS = {
     "cosine_topk_exact": _timed_query("cosine_topk_exact"),
     "lpm_exact_docs": _timed_query("lpm_exact_docs"),
     "lpm_cidr_events": _timed_query("lpm_cidr_events"),
+    "mg_top_langs": _timed_query("mg_top_langs"),
+    "kmv_user_overlap": _timed_query("kmv_user_overlap"),
+    "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
 }
 
 
