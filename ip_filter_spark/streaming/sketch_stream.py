@@ -128,3 +128,24 @@ def merged_heavy_hitters(spark: SparkSession, store_dir: str):
     for row in merged[1:]:
         out = out.merge(from_bytes(bytes(row.payload)))
     return out
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Replace the append-only partial store with its tree-merged
+    equivalent — one row per (sketch, params_hash) — so merge-on-read
+    stays O(1) on an unbounded stream instead of growing by one blob per
+    (spec, partition, micro-batch). Safe between streaming runs: merge
+    associativity means (compact, then merge with new partials) equals
+    merging everything. Returns the number of rows after compaction.
+
+    Write protocol: materialize merged rows on the driver (KB–MB — one
+    blob per spec), then overwrite; the store is only ever read between
+    jobs, and the streaming checkpoint (not the store) carries source
+    progress, so a crash between write and read just re-compacts."""
+    merged = tree_merge(spark.read.parquet(store_dir).drop("batch_id")).collect()
+    # explicit schema: Row-based inference widens partition_id to bigint
+    # and the next read would mismatch the appended partials' int32
+    out = spark.createDataFrame(merged, schema=SKETCH_ROW_SCHEMA)
+    out = out.withColumn("batch_id", F.lit(-1).cast("int"))  # lineage: compacted row
+    out.coalesce(1).write.mode("overwrite").parquet(store_dir)
+    return len(merged)
