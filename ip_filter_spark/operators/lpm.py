@@ -130,13 +130,23 @@ def derive_prefix_table(corpus: DataFrame, path_col: str = "path", max_depth: in
     return out.select("prefix", "depth")
 
 
-def exact_lpm(queries: DataFrame, prefix_df: DataFrame, path_col: str = "path") -> DataFrame:
+def exact_lpm(
+    queries: DataFrame, prefix_df: DataFrame, path_col: str = "path", trunc=None, depth_guard: bool = None
+) -> DataFrame:
     """Exact LPM via explode + broadcast join + groupBy max — the oracle.
 
     Scale shape: candidate explosion is bounded by the (small) distinct
     depth count; the join broadcasts the route table; one shuffle for the
     per-query max. Returns queries + (lpm_depth int, lpm_prefix string).
+
+    ``trunc`` selects the prefix domain like ``PathLPM.build/lookup``
+    (default '/'-path components). For non-path domains the path-depth
+    candidate guard is skipped — fixed-width keys (masked IPs, hex) are
+    truncatable at every route depth by construction.
     """
+    trunc = trunc or _trunc
+    if depth_guard is None:
+        depth_guard = trunc is _trunc
     depths = [r.depth for r in prefix_df.select("depth").distinct().collect()]
     # __qid feeds two join branches; monotonically_increasing_id is
     # nondeterministic under recomputation (task retry / AQE replan), so
@@ -148,8 +158,10 @@ def exact_lpm(queries: DataFrame, prefix_df: DataFrame, path_col: str = "path") 
         "__qid",
         F.col(path_col),
         F.explode(F.array(*[F.lit(d) for d in sorted(depths)])).alias("__d"),
-    ).where(path_depth(F.col(path_col)) >= F.col("__d"))
-    cand = cand.select("__qid", F.col("__d"), _trunc(F.col(path_col), F.col("__d")).alias("__prefix"))
+    )
+    if depth_guard:
+        cand = cand.where(path_depth(F.col(path_col)) >= F.col("__d"))
+    cand = cand.select("__qid", F.col("__d"), trunc(F.col(path_col), F.col("__d")).alias("__prefix"))
     joined = cand.join(
         F.broadcast(prefix_df.withColumnRenamed("prefix", "__prefix").withColumnRenamed("depth", "__d")),
         on=["__prefix", "__d"],
@@ -161,7 +173,7 @@ def exact_lpm(queries: DataFrame, prefix_df: DataFrame, path_col: str = "path") 
         .withColumn("lpm_depth", F.coalesce(F.col("lpm_depth"), F.lit(0)).cast("int"))
         .withColumn(
             "lpm_prefix",
-            F.when(F.col("lpm_depth") > 0, _trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),
+            F.when(F.col("lpm_depth") > 0, trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),
         )
         .drop("__qid")
     )

@@ -85,8 +85,19 @@ class HyperLogLog(Sketch):
         return {"p": self.p}
 
     def _arrays(self) -> dict[str, np.ndarray]:
+        # content-adaptive, like Bloom/CMS/CBF: a partial that saw few
+        # keys has mostly-zero registers — ship (index, value) pairs when
+        # smaller than the dense 2^p bytes (format is content-pure)
+        nz = np.flatnonzero(self.registers)
+        if len(nz) * 5 < self.m:  # uint32 index + uint8 value vs 1B/register
+            return {"sparse_ix": nz.astype(np.uint32), "sparse_val": self.registers[nz]}
         return {"registers": self.registers}
 
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "HyperLogLog":
-        return cls(p=params["p"], _registers=arrays["registers"])
+        if "sparse_ix" in arrays:
+            regs = np.zeros(1 << params["p"], dtype=np.uint8)
+            regs[arrays["sparse_ix"].astype(np.int64)] = arrays["sparse_val"]
+        else:
+            regs = arrays["registers"]
+        return cls(p=params["p"], _registers=regs)

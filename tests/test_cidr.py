@@ -136,3 +136,40 @@ def test_ip6_masked_hex_domain_agrees_with_bitpath(spark):
     assert got_hex[addrs[3]] == (0, None)
     # matched prefix comes back masked + zero-padded to canonical width
     assert got_hex[addrs[0]][1] == "20010db8" + "0" * 24
+
+
+def test_exact_lpm_generalizes_to_ip_domains(spark):
+    """exact_lpm with a domain trunc is a valid oracle for the numeric
+    v4 and masked-hex v6 engines directly (no bit paths anywhere)."""
+    from ip_filter_spark.operators.cidr import (
+        build_ip6_lpm,
+        cidr4_route_table,
+        ip4_trunc,
+        ip6_route_table,
+        ip6_trunc,
+        lookup_ip4,
+        lookup_ip6,
+    )
+    from ip_filter_spark.operators.lpm import exact_lpm
+
+    cidrs = spark.createDataFrame(CIDRS, "cidr string")
+    routes4 = cidr4_route_table(cidrs)
+    traffic = spark.createDataFrame([(ip,) for ip in TRAFFIC], "ip long").withColumn(
+        "k", F.col("ip").cast("string")
+    )
+    ex4 = {int(r.k): r.lpm_depth for r in exact_lpm(traffic, routes4, path_col="k", trunc=ip4_trunc).collect()}
+    eng4 = build_ip4_lpm(cidrs, num_partitions=2)
+    got4 = {r.ip: r.lpm_depth for r in lookup_ip4(eng4, traffic.drop("k"), mode="guided").collect()}
+    assert ex4 == got4
+
+    p32 = "20010db8" + "0" * 24
+    routes6 = ip6_route_table(
+        spark.createDataFrame([(p32, 32), ("2" + "0" * 31, 4)], "h string, depth int")
+    )
+    q6 = spark.createDataFrame(
+        [("20010db8" + "0" * 23 + "1",), ("20010db9" + "0" * 23 + "1",), ("f" + "0" * 31,)], "h string"
+    )
+    ex6 = {r.h: r.lpm_depth for r in exact_lpm(q6, routes6, path_col="h", trunc=ip6_trunc).collect()}
+    eng6 = build_ip6_lpm(spark.createDataFrame([(p32, 32), ("2" + "0" * 31, 4)], "h string, depth int"), num_partitions=2)
+    got6 = {r.h: r.lpm_depth for r in lookup_ip6(eng6, q6).collect()}
+    assert ex6 == got6
