@@ -149,9 +149,14 @@ def build_partials(
     if needs_value:
         vc = F.col(value) if isinstance(value, str) else value
         cols.append(vc.cast("double").alias(VALUE_COL))
-    proj = df.select(*cols)
-    if num_partitions:
-        proj = proj.repartition(num_partitions)
+    # repartition BEFORE the digest projection: sha2 (and any synthesis
+    # expressions in df's lineage) then run on num_partitions tasks
+    # instead of the source's split count — a single-file source
+    # otherwise computes every digest in 1-4 tasks and only the cheap
+    # kernels parallelize. Costs shuffling the raw key bytes instead of
+    # 32 B digests; when the source is already well-partitioned pass
+    # num_partitions=None and nothing shuffles at all.
+    proj = (df.repartition(num_partitions) if num_partitions else df).select(*cols)
     if skip_partitions:
         # resume path: drop already-checkpointed partitions AFTER the
         # (deterministic) repartition but BEFORE the python stage — the
@@ -268,9 +273,23 @@ def build_and_merge(
     value=None,
     num_partitions: int | None = None,
     key_is_digest: bool = False,
+    num_partials: int | None = None,
 ) -> dict[str, Sketch]:
+    """``num_partials`` sizes the merge tree when the build rides the
+    source partitioning (num_partitions=None). Without it the tree
+    defaults to the session parallelism, which UNDER-sizes on many-file
+    sources: a 256-file scan then funnels 256 blobs per sketch into one
+    final-squeeze task — measured as ~28 s of Amdahl-serial wall at
+    every cluster size in the scaling study. Callers reading multi-file
+    sources should pass ``len(df.inputFiles())`` or better."""
+    if num_partials is None and num_partitions is None:
+        try:
+            # metadata-only (no job); may be empty for non-file sources
+            num_partials = len(df.inputFiles()) or None
+        except Exception:
+            num_partials = None
     partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions, key_is_digest=key_is_digest)
-    merged = tree_merge(partials, num_partials=num_partitions)
+    merged = tree_merge(partials, num_partials=num_partials or num_partitions)
     sketches = collect_sketches(merged)
     # map back to spec order
     return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}
@@ -392,7 +411,10 @@ def resume_or_build(
     """Resume a sketch build from checkpointed partials.
 
     Partition ids are stable for a deterministic input partitioning (same
-    files, same num_partitions). A partition counts as DONE only if the
+    files, same num_partitions, same engine version — the exchange that
+    defines row→partition placement is part of the contract, so don't
+    resume a checkpoint across engine upgrades). A partition counts as
+    DONE only if the
     checkpoint holds a partial for EVERY requested (sketch, params_hash)
     — resuming with a changed/extended spec set rebuilds every partition
     that is missing any of the new specs (round-1 collapsed the done-set
