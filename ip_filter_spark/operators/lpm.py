@@ -272,6 +272,10 @@ class PathLPM:
         depths = [int(r.depth) for r in stats_rows]
         counts = [int(r["count"]) for r in stats_rows]
         n_routes = sum(counts)
+        if not depths:
+            # fail clearly here rather than as an opaque TypeError from
+            # F.explode(structs) when structs is the empty list (ADVICE r2)
+            raise ValueError("prefix_df is empty: cannot build an LPM filter from an empty route table")
 
         # exact BMP per route: deepest *strictly shorter* route that
         # prefixes it (the reference finds this against the filter-so-far,

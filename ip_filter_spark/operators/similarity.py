@@ -102,6 +102,7 @@ def _probe_buckets(query_vec, bits: int, seed: int, multiprobe: int, budget: int
     budget is what bounds scan cost at scale; radius alone grows as
     C(bits, r)).
     """
+    import math
     from itertools import combinations
 
     q = np.asarray(query_vec, dtype=np.float32)
@@ -115,7 +116,7 @@ def _probe_buckets(query_vec, bits: int, seed: int, multiprobe: int, budget: int
     # bounded even at wide signatures (bits up to 64)
     order = np.argsort(cost)
     s = len(order)
-    while multiprobe >= 3 and sum(len(list(combinations(range(s), r))) for r in range(1, multiprobe + 1)) > 50_000:
+    while multiprobe >= 3 and sum(math.comb(s, r) for r in range(1, multiprobe + 1)) > 50_000:
         s -= 1
     scored: list[tuple[float, int]] = [(0.0, qb)]
     for r in range(1, max(0, multiprobe) + 1):

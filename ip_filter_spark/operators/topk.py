@@ -65,13 +65,18 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = 64, num_partitions:
     (`streaming.sketch_stream.stream_heavy_hitters`) heavy hitters."""
     import pandas as pd
 
-    from ip_filter_spark.engine import SKETCH_ROW_SCHEMA
+    from ip_filter_spark.engine import SKETCH_ROW_SCHEMA, _params_hash
     from ip_filter_spark.sketches.misra_gries import MisraGries
 
     src = df.select(F.col(key_col).cast("string").alias("k"))
     if num_partitions:
         src = src.repartition(num_partitions)
     cap = int(capacity)
+    # derived from the sketch params (NOT a constant): partials from runs
+    # with different capacities must land in separate tree_merge groups so
+    # a capacity mismatch fails cleanly on the driver, not inside an
+    # executor's MisraGries.merge assert (ADVICE r2)
+    params_hash = _params_hash(MisraGries(cap)._params())
 
     def partials(batches):
         from pyspark import TaskContext
@@ -91,7 +96,7 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = 64, num_partitions:
                 "partition_id": [TaskContext.get().partitionId()],
                 "rows_seen": [rows],
                 "wall_ms": [0.0],
-                "params_hash": ["mg"],
+                "params_hash": [params_hash],
             }
         )
 

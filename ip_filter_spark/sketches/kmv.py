@@ -68,10 +68,19 @@ class KMVSketch(Sketch):
         return u[: self.k]
 
     # ------------------------------------------------------------ estimators
-    def _theta(self) -> float:
+    def _cut(self) -> int:
+        """Integer hash-space cut: hashes strictly below it are retained.
+        2^64 (everything) below capacity; kth-min + 1 at capacity. Kept in
+        exact integer domain — theta as float64 loses ~11 low bits, so an
+        int(theta * 2^64) round-trip can land thousands of ULPs off the
+        kth min and the 2^64-1 clamp could drop a hash equal to 2^64-1
+        from intersections even when theta == 1 (ADVICE r2)."""
         if len(self.mins) < self.k:
-            return 1.0
-        return (float(self.mins[self.k - 1]) + 1.0) / _U64
+            return 2**64
+        return int(self.mins[self.k - 1]) + 1
+
+    def _theta(self) -> float:
+        return self._cut() / _U64
 
     def estimate(self) -> float:
         if len(self.mins) < self.k:
@@ -83,11 +92,12 @@ class KMVSketch(Sketch):
 
     # ------------------------------------------------------------ set algebra
     def _below_common_theta(self, other: "KMVSketch") -> tuple[np.ndarray, np.ndarray, float]:
-        theta = min(self._theta(), other._theta())
-        # integer arithmetic: float 2^64 - 1 rounds back to 2^64 and
-        # overflows the uint64 conversion when theta == 1
-        cut = np.uint64(min(int(theta * _U64), 2**64 - 1))
-        return self.mins[self.mins < cut], other.mins[other.mins < cut], theta
+        cut = min(self._cut(), other._cut())
+        theta = cut / _U64
+        if cut >= 2**64:  # both below capacity: keep everything
+            return self.mins, other.mins, theta
+        c = np.uint64(cut)
+        return self.mins[self.mins < c], other.mins[other.mins < c], theta
 
     def intersect_estimate(self, other: "KMVSketch") -> float:
         """Estimated |A ∩ B|: matching hashes below the common theta,
