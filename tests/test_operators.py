@@ -166,6 +166,25 @@ def test_embedding_near_dup_pairs(spark):
     assert all(3 not in p for p in got)
 
 
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A near-duplicate pile-up (the target workload) concentrates into
+    one LSH bucket; the max_bucket cap must bound the pair blow-up and
+    report what it dropped instead of going quadratic silently."""
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    hot = [(int(i), (base + rng.standard_normal(32) * 0.005).tolist()) for i in range(50)]
+    df = spark.createDataFrame(hot, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    capped = embedding_near_dup_pairs(df, threshold=0.9, bits=4, max_bucket=10, stats=stats)
+    assert capped.count() == 0  # the one hot bucket (50 ids) exceeds the cap
+    assert stats["dropped_buckets"] >= 1 and stats["dropped_ids"] >= 50
+    stats2: dict = {}
+    uncapped = embedding_near_dup_pairs(df, threshold=0.9, bits=4, max_bucket=100, stats=stats2)
+    assert uncapped.count() == 50 * 49 // 2  # all pairs recovered under the cap
+    assert stats2["dropped_buckets"] == 0 and stats2["dropped_ids"] == 0
+
+
 # ---------------------------------------------------------------- text fns
 def test_text_functions(spark, docs):
     row = docs.select(

@@ -96,6 +96,24 @@ def test_exact_quantiles_distributed_no_single_partition_sort(spark, sf_dir):
     assert got == exact, (got, exact)
 
 
+def test_mg_verdict_is_distributed(spark, sf_dir):
+    """The MG bound verification must broadcast-join the <=capacity
+    summary against the exact counts and reduce to ONE row in Spark —
+    never collect per-key counts to the driver (VERDICT r2 'What's
+    wrong' #1)."""
+    from ip_filter_spark.operators.topk import mg_bounds_verdict, mg_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = mg_heavy_hitters(ev, "user_id", capacity=8, num_partitions=4)
+    n = ev.count()
+    verdict = mg_bounds_verdict(ev, "user_id", sk, n)
+    plan = _plan(verdict)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    rows = verdict.collect()
+    assert len(rows) == 1  # only the one-row verdict reaches the driver
+    assert rows[0].bounds_hold and rows[0].heavy_keys_kept
+
+
 def test_cidr_probe_plan_shuffle_free(spark):
     """The CIDR probe must ride the traffic's partitioning: digest
     expressions + broadcast filter blob + mapInPandas, no Exchange in
