@@ -54,7 +54,10 @@ def cms_topk(
     digs = digests_to_matrix([hashlib.sha256(str(c).encode()).digest() for c in cand])
     h64 = fnv1a64(digs)
     est = cms.query_hashes(h64)
-    ranked = sorted(zip(cand, est.tolist()), key=lambda t: (-t[1], str(t[0])))[:k]
+    # tie-break on the key's NATIVE value (ints numerically), matching
+    # exact_topk's ORDER BY cnt DESC, key — a str() tie-break would rank
+    # "100" before "20" and diverge from the exact ordering on ties
+    ranked = sorted(zip(cand, est.tolist()), key=lambda t: (-t[1], t[0]))[:k]
     return [(key, int(cnt)) for key, cnt in ranked]
 
 

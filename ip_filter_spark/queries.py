@@ -523,6 +523,86 @@ FROM q LEFT JOIN m ON q.event_id = m.event_id
 """
 
 
+def _hex8(c):
+    """Non-negative long column -> 8-char lowercase hex (one v6 word)."""
+    return F.lpad(F.lower(F.conv(c.cast("string"), 10, 16)), 8, "0")
+
+
+def lpm_cidr6_events(spark, sf_dir):
+    """Guided LPM over a deterministic IPv6 route table (masked-hex
+    domain, operators/cidr.py ip6_trunc) + traffic derived from events.
+    Prefix lengths {16, 33, 50} exercise both the whole-nibble and
+    partial-nibble mask paths. Traffic shares its user's first 64 bits,
+    so every event matches at least its own user's route. The oracle
+    recomputes LPM with pure hex/nibble arithmetic, so a hash match
+    proves the v6 adapter + engine chain end-to-end (the reference's v6
+    results are half its headline: /root/reference/doc/tex/report.tex:604-611)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.cidr import build_ip6_lpm, lookup_ip6
+
+    ev = _t(spark, sf_dir, "events")
+    M = F.lit(4294967296)
+    ub = (F.col("user_id") % 997) * F.lit(_KNUTH)
+    eb = (F.col("event_id") % 1000003) * F.lit(_KNUTH)
+    uw = [_hex8((ub + F.lit(i * 7919)) % M) for i in range(4)]
+    plen = (F.lit(16) + (F.col("user_id") % 3) * F.lit(17)).cast("int")
+    routes = ev.select(F.concat(*uw).alias("h"), plen.alias("depth")).distinct()
+    eng = build_ip6_lpm(routes)
+    addr = F.concat(uw[0], uw[1], _hex8((eb + F.lit(2 * 7919)) % M), _hex8((eb + F.lit(3 * 7919)) % M))
+    traffic = ev.select("event_id", addr.alias("addr"))
+    out = lookup_ip6(eng, traffic, hex_col="addr")
+    return out.select("event_id", "addr", "lpm_depth", "lpm_prefix_hex")
+
+
+# DuckDB replica of ip6_trunc: whole nibbles via substr, the partial
+# nibble via hex-digit -> int -> mask -> hex-digit, zero-padded to 32
+_V6_MASK = """
+CASE WHEN {plen} % 4 = 0 THEN rpad(substr({h}, 1, {plen} // 4), 32, '0')
+     ELSE rpad(substr({h}, 1, {plen} // 4) ||
+          substr('0123456789abcdef',
+                 CAST((strpos('0123456789abcdef', substr({h}, {plen} // 4 + 1, 1)) - 1)
+                      - ((strpos('0123456789abcdef', substr({h}, {plen} // 4 + 1, 1)) - 1)
+                         % CAST(POW(2, 4 - {plen} % 4) AS INT)) AS INT) + 1, 1),
+          32, '0') END
+"""
+
+LPM_CIDR6_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         (user_id % 997) * {_KNUTH} AS ub,
+         (event_id % 1000003) * {_KNUTH} AS eb
+  FROM events),
+q AS (
+  SELECT event_id,
+         lpad(lower(to_hex(ub % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((ub + 7919) % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((eb + 15838) % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((eb + 23757) % 4294967296)), 8, '0') AS addr
+  FROM w),
+r0 AS (
+  SELECT DISTINCT
+         lpad(lower(to_hex(ub % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((ub + 7919) % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((ub + 15838) % 4294967296)), 8, '0') ||
+         lpad(lower(to_hex((ub + 23757) % 4294967296)), 8, '0') AS h,
+         CAST(16 + (user_id % 3) * 17 AS INTEGER) AS plen
+  FROM w),
+r AS (SELECT DISTINCT {_V6_MASK.format(h='h', plen='plen')} AS pfx, plen FROM r0),
+qm AS (
+  SELECT q.event_id, q.addr, p.plen,
+         {_V6_MASK.format(h='q.addr', plen='p.plen')} AS qpfx
+  FROM q CROSS JOIN (SELECT DISTINCT plen FROM r) p),
+m AS (
+  SELECT qm.event_id, MAX(qm.plen) AS best
+  FROM qm JOIN r ON qm.qpfx = r.pfx AND qm.plen = r.plen
+  GROUP BY qm.event_id)
+SELECT q.event_id, q.addr, CAST(COALESCE(m.best, 0) AS INTEGER) AS lpm_depth,
+       b.qpfx AS lpm_prefix_hex
+FROM q LEFT JOIN m ON q.event_id = m.event_id
+       LEFT JOIN qm b ON b.event_id = m.event_id AND b.plen = m.best
+"""
+
+
 # =====================================================================
 # Embedding similarity
 # =====================================================================
@@ -1124,6 +1204,88 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
 """
 
 
+def cms_topk_users(spark, sf_dir):
+    """Count-min-backed top-k as a FULL-VALUE gate: with the sketch sized
+    so collisions are deterministically absent on this corpus (eps=1e-5 →
+    272k cells/row vs ≤1.5k keys; verified at sf0.001-0.1), every CMS
+    estimate equals the exact count and the ranked output is exactly the
+    exact top-k — so the oracle is the plain exact-top-k SQL, and any
+    sketch defect (hashing, merge, query) breaks the hash match.
+    Candidate communication is O(P · candidates_per_partition), not key
+    cardinality; capacity-stressed accuracy bounds live in pytest."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.topk import cms_topk
+
+    ev = _t(spark, sf_dir, "events")
+    ranked = cms_topk(ev, "user_id", k=10, eps=1e-5, delta=0.05, candidates_per_partition=1024)
+    rows = [(int(key), int(cnt), i + 1) for i, (key, cnt) in enumerate(ranked)]
+    return spark.createDataFrame(rows, "key long, cnt long, rank int")
+
+
+CMS_TOPK_SQL = """
+SELECT * FROM (
+  SELECT user_id AS key, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+  FROM events GROUP BY user_id) WHERE rank <= 10
+"""
+
+
+def stream_sketch_equivalence(spark, sf_dir):
+    """Structured Streaming under the hard gate: an availableNow stream
+    over the events table maintains HLL partials in a batch-id-keyed
+    store (streaming/sketch_stream.py); the merged streaming sketch must
+    (a) have ingested every row exactly once (n_items == batch count —
+    the idempotent-store guarantee), (b) have processed >1 micro-batch
+    (so this actually exercises incremental maintenance, not one batch),
+    and (c) estimate within the published HLL bound of the exact batch
+    answer. The exact distinct count is a full-value oracle column."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.engine import SketchSpec
+    from ip_filter_spark.streaming import merged_sketches_from_store, stream_sketch_build
+
+    batch = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ifs_stream_gate_")
+    try:
+        src = f"{work}/src"
+        batch.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+        spec = SketchSpec("hll", {"p": 14})
+        q = stream_sketch_build(
+            stream, [spec], store_dir=f"{work}/store", checkpoint_dir=f"{work}/ckpt",
+            key=F.col("user_id").cast("string"),
+        )
+        q.awaitTermination(300)
+        store = spark.read.parquet(f"{work}/store")
+        n_batches = store.select("batch_id").distinct().count()
+        hll = merged_sketches_from_store(spark, f"{work}/store", [spec])[spec.key()]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    n_rows = batch.count()
+    exact = batch.select(F.countDistinct("user_id")).first()[0]
+    est = float(hll.estimate())
+    return spark.createDataFrame(
+        [
+            (
+                int(exact),
+                bool(hll.n_items == n_rows),
+                bool(n_batches >= 2),
+                bool(abs(est - exact) / exact <= hll.rel_error_bound()),
+            )
+        ],
+        "exact_distinct long, ingested_exactly_once boolean, multi_batch boolean, within_error_bound boolean",
+    )
+
+
+STREAM_EQUIV_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct, TRUE AS ingested_exactly_once,
+       TRUE AS multi_batch, TRUE AS within_error_bound
+FROM events
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -1157,6 +1319,7 @@ QUERIES = {
     "lpm_guided_docs": lpm_guided_docs,
     "lpm_linear_docs": lpm_linear_docs,
     "lpm_cidr_events": lpm_cidr_events,
+    "lpm_cidr6_events": lpm_cidr6_events,
     "cosine_topk_exact": cosine_topk_exact,
     "ann_rhp_topk": ann_rhp_topk,
     "embedding_near_dup_exact": embedding_near_dup_exact,
@@ -1177,6 +1340,8 @@ QUERIES = {
     "mg_heavy_users": mg_heavy_users,
     "bloom_semijoin_customers": bloom_semijoin_customers,
     "kmv_user_overlap": kmv_user_overlap,
+    "cms_topk_users": cms_topk_users,
+    "stream_sketch_equivalence": stream_sketch_equivalence,
 }
 
 ORACLES = {
@@ -1200,6 +1365,7 @@ ORACLES = {
     "lpm_guided_docs": LPM_SQL,
     "lpm_linear_docs": LPM_SQL,
     "lpm_cidr_events": LPM_CIDR_SQL,
+    "lpm_cidr6_events": LPM_CIDR6_SQL,
     "cosine_topk_exact": COSINE_TOPK_SQL,
     "ann_rhp_topk": ANN_RHP_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
@@ -1219,5 +1385,7 @@ ORACLES = {
     "mg_heavy_users": MG_HEAVY_USERS_SQL,
     "bloom_semijoin_customers": BLOOM_SEMIJOIN_SQL,
     "kmv_user_overlap": KMV_OVERLAP_SQL,
+    "cms_topk_users": CMS_TOPK_SQL,
+    "stream_sketch_equivalence": STREAM_EQUIV_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }
