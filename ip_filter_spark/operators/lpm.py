@@ -485,7 +485,12 @@ class PathLPM:
         bc = spark.sparkContext.broadcast(payload)
         depths = self.depths
 
-        dig_cols = F.array(*[_digest_expr(trunc(F.col(path_col), d), F.lit(d)) for d in depths])
+        # ONE concatenated (D*32)-byte binary per row, NOT array<binary>:
+        # a nested list column materializes D python bytes objects per row
+        # plus a pandas explode() in the worker — measured as the probe
+        # job's dominant cost (~2.1 s of 3.5 s at sf0.1/8 cores vs 0.25 s
+        # for the flat form; the numpy kernel itself runs ~1M rows/s/core)
+        dig_cols = F.concat(*[_digest_expr(trunc(F.col(path_col), d), F.lit(d)) for d in depths])
         src = df.withColumn("__digs", dig_cols)
         keep = [f for f in src.schema.fields if f.name != "__digs"]
         out_schema = StructType(
@@ -509,8 +514,8 @@ class PathLPM:
                     res["fell_back"] = np.zeros(0, dtype=bool)
                     yield res
                     continue
-                flat = b["__digs"].explode()
-                digs = digests_to_matrix(flat).reshape(len(b), len(eng.depths), 32)
+                D = len(eng.depths)
+                digs = digests_to_matrix(b["__digs"], width=32 * D).reshape(len(b), D, 32)
                 ans, bits, fibp, fell = (
                     eng._lookup_batch_guided(digs) if mode_guided else eng._lookup_batch_linear(digs)
                 )
