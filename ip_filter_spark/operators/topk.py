@@ -23,23 +23,41 @@ def exact_topk(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select("key", "cnt", "rank")
 
 
-def cms_topk(
+def cms_topk_df(
     df: DataFrame,
     key_col: str,
     k: int = 10,
     eps: float = 1e-4,
     delta: float = 1e-3,
     candidates_per_partition: int = 64,
-) -> list[tuple[str, int]]:
-    """Approximate top-k: local per-partition candidates ∪ CMS estimates.
+) -> DataFrame:
+    """Approximate top-k as a DataFrame: local per-partition candidates ∪
+    CMS estimates, fully distributed.
 
     Any global top-k key is a local top-(k') somewhere for k' <=
     candidates_per_partition under mild skew assumptions; its CMS estimate
-    never undercounts, so ordering errors are bounded by eps*N."""
+    never undercounts, so ordering errors are bounded by eps*N.
+
+    100 TB shape: the merged CMS blob BROADCASTS and candidates are
+    estimated executor-side (mapInPandas over the candidate table), then
+    ranked with one TakeOrdered — nothing but the final k rows reaches
+    the driver. (The r2 form collected all O(P · candidates_per_partition)
+    candidate keys and looped the CMS on the driver — fine at 32
+    partitions, a driver wall at 100k.)
+
+    Returns (key string, cnt long, rank int), ordered like ``exact_topk``
+    (est desc, then the key's ORIGINAL type order — numeric keys rank
+    numerically, so ties break identically to the exact SQL)."""
+    import pandas as pd
+
+    from ip_filter_spark.engine import sha256_digest
+    from ip_filter_spark.sketches import from_bytes
+
     spec = SketchSpec("cms", {"eps": eps, "delta": delta})
     sketches = build_and_merge(df, [spec], key=key_col)
     cms = sketches[spec.key()]
 
+    key_type = df.schema[key_col].dataType.simpleString()
     local = (
         df.groupBy(F.spark_partition_id().alias("pid"), F.col(key_col).alias("key"))
         .agg(F.count("*").alias("cnt"))
@@ -48,17 +66,39 @@ def cms_topk(
         .select("key")
         .distinct()
     )
-    cand = [r.key for r in local.collect()]
-    import hashlib
+    blob_bc = df.sparkSession.sparkContext.broadcast(cms.to_bytes())
+    with_dig = local.withColumn("__dig", sha256_digest(F.col("key").cast("string")))
 
-    digs = digests_to_matrix([hashlib.sha256(str(c).encode()).digest() for c in cand])
-    h64 = fnv1a64(digs)
-    est = cms.query_hashes(h64)
-    # tie-break on the key's NATIVE value (ints numerically), matching
-    # exact_topk's ORDER BY cnt DESC, key — a str() tie-break would rank
-    # "100" before "20" and diverge from the exact ordering on ties
-    ranked = sorted(zip(cand, est.tolist()), key=lambda t: (-t[1], t[0]))[:k]
-    return [(key, int(cnt)) for key, cnt in ranked]
+    def estimate(batches):
+        sk = from_bytes(blob_bc.value)
+        for b in batches:
+            out = pd.DataFrame({"key": b["key"]})
+            if len(b):
+                out["est"] = sk.query_hashes(fnv1a64(digests_to_matrix(b["__dig"]))).astype("int64")
+            else:
+                out["est"] = pd.Series([], dtype="int64")
+            yield out
+
+    est_df = with_dig.mapInPandas(estimate, schema=f"key {key_type}, est long")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # top-k, not a global sort; the rank window then runs over only k rows
+    topk = est_df.orderBy(F.desc("est"), F.col("key")).limit(k)
+    w = Window.orderBy(F.desc("est"), F.col("key"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("key").cast("string").alias("key"), F.col("est").alias("cnt"), "rank"
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    eps: float = 1e-4,
+    delta: float = 1e-3,
+    candidates_per_partition: int = 64,
+) -> list[tuple[str, int]]:
+    """Driver-side convenience wrapper over ``cms_topk_df`` (k rows)."""
+    return [(r.key, int(r.cnt)) for r in cms_topk_df(df, key_col, k, eps, delta, candidates_per_partition).collect()]
 
 
 def mg_partials(df: DataFrame, key_col: str, capacity: int = 64, num_partitions: int | None = None) -> DataFrame:
