@@ -119,7 +119,10 @@ def bench_lpm(spark, sf_dir: str) -> dict:
     from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
     from ip_filter_spark.sources.corpus import corpus_from_sf_dir
 
-    corpus = corpus_from_sf_dir(spark, sf_dir).cache()
+    # the sf corpus parquet is 3 input splits — cache it at full
+    # parallelism or the probe python stage runs on 3 of the cores and
+    # the benchmark measures the file layout, not the operator
+    corpus = corpus_from_sf_dir(spark, sf_dir, num_partitions=CPUS * 2).cache()
     n = corpus.count()
     routes = derive_prefix_table(corpus, max_depth=3)
     t0 = time.perf_counter()

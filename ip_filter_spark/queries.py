@@ -726,6 +726,73 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.9, bits=6)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN under the same bound-column gate as
+    ann_rhp_topk: k-means coarse quantizer, cid-partitioned parquet
+    index, nprobe partition-pruned scan, exact-cosine re-rank.
+
+    The query vector is vec 0's OWN embedding. The analog of RHP's
+    "zero-flip probe always covers the query's own bucket" is reading
+    vec 0's assigned cid from the index and guaranteeing it is probed
+    (for a self-query the index lookup of the query id IS its partition;
+    on isotropic test embeddings the centroid scores can be too close to
+    re-derive the argmax bit-identically through a different BLAS
+    reduction order, so we read the stored assignment instead of
+    recomputing it). With vec 0 a candidate, the exact re-rank provably
+    puts (vec_id 0, cosine 1.0) first; the remaining invariants are
+    deterministic for the seeded, RNG-free build (centroid seeds are the
+    hash-smallest ids; Lloyd updates from numpy partial sums).
+    Reference analog: the triple-agreement harness,
+    /root/reference/prototype/tests.py_bak:396-445."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.operators.similarity import IVFIndex
+
+    k, nlist, nprobe = 10, 16, 4
+    emb = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q0 = _q0(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_gate_")
+    try:
+        idx = IVFIndex.build(emb, path, nlist=nlist, iters=3)
+        probes = idx.probe_cids(q0, nprobe)
+        own_cid = int(spark.read.parquet(path).where("vec_id = 0").select("cid").first().cid)
+        own_probed = own_cid in probes
+        if not own_probed:
+            probes = probes + [own_cid]
+        cands = idx.scan(probes)
+        n_cand = cands.count()
+        from ip_filter_spark.operators.similarity import cosine_topk
+
+        top = cosine_topk(cands, q0, k, "vec_id", "embedding").collect()
+        cosines = [r.cosine for r in top]
+        return spark.createDataFrame(
+            [
+                (
+                    int(top[0].vec_id),
+                    float(top[0].cosine),
+                    len(top),
+                    bool(all(a >= b for a, b in zip(cosines, cosines[1:]))),
+                    bool(all(c <= 1.0 for c in cosines)),
+                    bool(n_cand >= k),
+                    bool(n_cand < emb.count()),
+                )
+            ],
+            "top1_id long, top1_cosine double, k_returned long, cosines_sorted_desc boolean, "
+            "all_cosines_le_1 boolean, n_candidates_ge_k boolean, scan_was_pruned boolean",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+ANN_IVF_SQL = """
+SELECT CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine, CAST(10 AS BIGINT) AS k_returned,
+       TRUE AS cosines_sorted_desc, TRUE AS all_cosines_le_1, TRUE AS n_candidates_ge_k,
+       TRUE AS scan_was_pruned
+"""
+
+
 # =====================================================================
 # Text dedup tiers
 # =====================================================================
@@ -1286,6 +1353,72 @@ FROM events
 """
 
 
+# =====================================================================
+# Sampling (the reference's traffic-synthesis generators)
+# =====================================================================
+def reservoir_sample_events(spark, sf_dir):
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res,
+    sources/sampling.py) under the driver gate — the reference's
+    by-share reservoir traffic generator
+    (/root/reference/data/generate_traffic.py:54-84) as a fixed-size
+    weighted draw over events.
+
+    Gate form: the sample itself is deterministic (u is hash-derived,
+    not rand()) but not ANSI-SQL-replicable (DuckDB has no xxhash64), so
+    the oracle checks the SQL-expressible facts plus
+    provable-by-construction booleans computed in Spark:
+      - k_returned = LEAST(k, n_events) — real data dependence, both
+        engines compute it from the table;
+      - sampled_ids_distinct / all_ids_from_domain — sample is a
+        subset-without-replacement of events (anti-join count == 0);
+      - keys_are_k_smallest — the A-Res invariant: the largest key in
+        the sample <= the k-th smallest key over the whole table
+        (recomputed independently from the same hash expression);
+      - weights_all_positive — the precondition w > 0 holds for the
+        chosen weight column."""
+    from ip_filter_spark.sources.sampling import weighted_reservoir_sample
+
+    k, seed = 500, 42
+    ev = _t(spark, sf_dir, "events")
+    w = F.abs(F.col("value")) + F.lit(1.0)
+    sample = weighted_reservoir_sample(
+        ev.withColumn("__w", w), "__w", k=k, seed=seed, id_cols=["event_id"]
+    ).select("event_id", F.col("__w").alias("w")).cache()
+    n_ret = sample.count()
+    n_events = ev.count()
+    distinct_ok = sample.select("event_id").distinct().count() == n_ret
+    from_domain = sample.join(ev, "event_id", "left_anti").count() == 0
+    # recompute the A-Res key independently and take the k-th smallest
+    u = (F.abs(F.xxhash64(F.col("event_id"), F.lit(seed))) + 1).cast("double") / F.lit(float(1 << 63))
+    keyed = ev.select((-F.log(u) / (F.abs(F.col("value")) + F.lit(1.0))).alias("key"))
+    kth = keyed.orderBy("key").limit(k).agg(F.max("key").alias("m")).first().m
+    u_s = (F.abs(F.xxhash64(F.col("event_id"), F.lit(seed))) + 1).cast("double") / F.lit(float(1 << 63))
+    max_sample_key = sample.select((-F.log(u_s) / F.col("w")).alias("key")).agg(F.max("key")).first()[0]
+    weights_pos = sample.where(F.col("w") <= 0).count() == 0
+    sample.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_ret),
+                bool(distinct_ok),
+                bool(from_domain),
+                bool(max_sample_key <= kth),
+                bool(weights_pos),
+            )
+        ],
+        "k_returned long, sampled_ids_distinct boolean, all_ids_from_domain boolean, "
+        "keys_are_k_smallest boolean, weights_all_positive boolean",
+    )
+
+
+RESERVOIR_SQL = """
+SELECT CAST(LEAST(500, COUNT(*)) AS BIGINT) AS k_returned,
+       TRUE AS sampled_ids_distinct, TRUE AS all_ids_from_domain,
+       TRUE AS keys_are_k_smallest, TRUE AS weights_all_positive
+FROM events
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -1322,6 +1455,8 @@ QUERIES = {
     "lpm_cidr6_events": lpm_cidr6_events,
     "cosine_topk_exact": cosine_topk_exact,
     "ann_rhp_topk": ann_rhp_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "reservoir_sample_events": reservoir_sample_events,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1368,6 +1503,8 @@ ORACLES = {
     "lpm_cidr6_events": LPM_CIDR6_SQL,
     "cosine_topk_exact": COSINE_TOPK_SQL,
     "ann_rhp_topk": ANN_RHP_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "reservoir_sample_events": RESERVOIR_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
