@@ -128,9 +128,20 @@ def bench_lpm(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     eng = PathLPM.build(routes, num_partitions=max(CPUS, 8))
     build_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    found = eng.lookup(corpus.select("path"), mode="guided").where("lpm_depth > 0").count()
-    probe_s = time.perf_counter() - t0
+    # probe tuning, the sf0.1 analog of the 100 TB task shape: tasks sized
+    # so per-task overhead amortizes (at scale maxPartitionBytes does this;
+    # at 600k rows it needs explicit coalesce), and bigger Arrow batches so
+    # the per-batch kernel fixed costs (tree-descent levels, gathers)
+    # amortize — 64k rows x 3 depths x 32 B digests ~ 6 MB working set
+    probes = corpus.select("path").coalesce(max(CPUS // 2, 4))
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    try:
+        t0 = time.perf_counter()
+        found = eng.lookup(probes, mode="guided").where("lpm_depth > 0").count()
+        probe_s = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
     corpus.unpersist()
     return {"sec": build_s + probe_s, "build_sec": build_s, "probe_sec": probe_s, "queries": n, "found": found,
             "probe_rows_per_sec": n / probe_s}

@@ -76,6 +76,31 @@ def _digest_expr(path_col, depth_col):
     return F.unhex(F.sha2(F.concat_ws(_KEY_SEP, depth_col.cast("string"), path_col), 256))
 
 
+def _arrow_fixed_binary_matrix(arr, width: int) -> np.ndarray:
+    """(n,)-element Arrow binary array of fixed ``width`` → (n, width)
+    uint8 matrix, zero-copy when the array is dense (no nulls, contiguous
+    offsets) — the fast path for every batch Spark produces. Falls back
+    to a python-object copy for sliced/chunked/non-contiguous arrays."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    if arr.null_count == 0:
+        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=off_dtype, count=n + 1, offset=arr.offset * off_dtype().itemsize
+        )
+        if offsets[-1] - offsets[0] == n * width and (np.diff(offsets) == width).all():
+            return np.frombuffer(
+                bufs[2], dtype=np.uint8, count=n * width, offset=int(offsets[0])
+            ).reshape(n, width)
+    return digests_to_matrix(arr.to_pylist(), width=width)
+
+
 def _apply_insert_rows(bf: BloomFilter, b: pd.DataFrame) -> int:
     """Apply one batch of build insert rows (digest, kind, count_hit,
     pattern) to a filter: kind 0 = full route (all k hashes), 1 = guide
@@ -476,6 +501,13 @@ class PathLPM:
         fib_probes, fell_back). The blob+tree+FIB broadcast once; each
         Arrow batch is probed with pure numpy matrix ops.
 
+        Python stage is ``mapInArrow``, not ``mapInPandas``: passthrough
+        columns are re-emitted as the SAME Arrow arrays (zero copy — a
+        wide corpus row never materializes as pandas objects) and the
+        digest column is viewed as a (n, D, 32) uint8 matrix straight
+        from the Arrow data buffer. Measured at sf0.1/local[32]: 0.98M →
+        1.17M rows/s with all five corpus columns carried through.
+
         ``trunc`` must match the one the engine was built with (see
         ``build``)."""
         assert mode in ("guided", "linear")
@@ -487,12 +519,13 @@ class PathLPM:
 
         # ONE concatenated (D*32)-byte binary per row, NOT array<binary>:
         # a nested list column materializes D python bytes objects per row
-        # plus a pandas explode() in the worker — measured as the probe
-        # job's dominant cost (~2.1 s of 3.5 s at sf0.1/8 cores vs 0.25 s
-        # for the flat form; the numpy kernel itself runs ~1M rows/s/core)
+        # plus a worker-side explode — measured as the probe job's
+        # dominant cost (~2.1 s of 3.5 s at sf0.1/8 cores vs 0.25 s for
+        # the flat form; the numpy kernel itself runs ~1M rows/s/core)
         dig_cols = F.concat(*[_digest_expr(trunc(F.col(path_col), d), F.lit(d)) for d in depths])
         src = df.withColumn("__digs", dig_cols)
         keep = [f for f in src.schema.fields if f.name != "__digs"]
+        names = [f.name for f in keep]
         out_schema = StructType(
             keep
             + [
@@ -504,28 +537,38 @@ class PathLPM:
         )
         mode_guided = mode == "guided"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            eng = PathLPM.from_bytes(bc.value)
-            for b in batches:
-                res = b.drop(columns="__digs")
-                if not len(b):
-                    for c, dt in (("lpm_depth", "int32"), ("bit_lookups", "int64"), ("fib_probes", "int64")):
-                        res[c] = np.zeros(0, dtype=dt)
-                    res["fell_back"] = np.zeros(0, dtype=bool)
-                    yield res
-                    continue
-                D = len(eng.depths)
-                digs = digests_to_matrix(b["__digs"], width=32 * D).reshape(len(b), D, 32)
-                ans, bits, fibp, fell = (
-                    eng._lookup_batch_guided(digs) if mode_guided else eng._lookup_batch_linear(digs)
-                )
-                res["lpm_depth"] = ans.astype(np.int32)
-                res["bit_lookups"] = bits
-                res["fib_probes"] = fibp
-                res["fell_back"] = fell
-                yield res
+        def run(batches):
+            import pyarrow as pa
 
-        out = src.mapInPandas(run, schema=out_schema)
+            eng = PathLPM.from_bytes(bc.value)
+            D = len(eng.depths)
+            out_names = names + ["lpm_depth", "bit_lookups", "fib_probes", "fell_back"]
+            for b in batches:
+                nb = b.num_rows
+                passthrough = [b.column(b.schema.get_field_index(nm)) for nm in names]
+                if nb == 0:
+                    ans = np.zeros(0, dtype=np.int64)
+                    bits, fibp = ans, ans
+                    fell = np.zeros(0, dtype=bool)
+                else:
+                    digs = _arrow_fixed_binary_matrix(
+                        b.column(b.schema.get_field_index("__digs")), 32 * D
+                    ).reshape(nb, D, 32)
+                    ans, bits, fibp, fell = (
+                        eng._lookup_batch_guided(digs) if mode_guided else eng._lookup_batch_linear(digs)
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    passthrough
+                    + [
+                        pa.array(ans.astype(np.int32)),
+                        pa.array(bits.astype(np.int64)),
+                        pa.array(fibp.astype(np.int64)),
+                        pa.array(fell),
+                    ],
+                    names=out_names,
+                )
+
+        out = src.mapInArrow(run, schema=out_schema)
         return out.withColumn(
             "lpm_prefix",
             F.when(F.col("lpm_depth") > 0, trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),

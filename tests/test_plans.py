@@ -63,7 +63,8 @@ def test_lpm_probe_plan_shape(spark, sf_dir):
     eng = PathLPM.build(routes, num_partitions=2)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(F.col("source").alias("path"))
     plan = _plan(eng.lookup(docs))
-    before_python = plan.split("MapInPandas")[0]
+    token = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+    before_python = plan.split(token)[0]
     assert "Exchange" not in before_python, plan
 
 
@@ -128,4 +129,4 @@ def test_cidr_probe_plan_shuffle_free(spark):
     out = lookup_ip4(eng, traffic, mode="guided")
     plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, plan
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan, plan
