@@ -79,10 +79,16 @@ def bench_sketch_build(spark, sf_dir: str, replicate: int | None = None, cpus: i
         # (measured ~23 s Amdahl-constant across N; coalesce removes it)
         corpus = spark.read.parquet(corpus_dir).coalesce(cpus)
     else:
-        corpus = corpus_from_sf_dir(spark, sf_dir)
+        corpus = corpus_from_sf_dir(spark, sf_dir, num_partitions=cpus)
         if replicate > 1:
             corpus = corpus.withColumn("__rep", F.explode(F.array(*[F.lit(i) for i in range(replicate)])))
             corpus = corpus.withColumn("content", F.concat_ws("#", "content", F.col("__rep").cast("string"))).drop("__rep")
+        # stage the corpus like bench_dedup_minhash does: the timed job is
+        # digest + kernels + merge, not the lineitem->corpus synthesis
+        # expressions (on a real corpus you read content, you don't
+        # synthesize it — same rationale as the scaling-study branch above)
+        corpus = corpus.cache()
+        corpus.count()
     specs = [
         SketchSpec("bloom", {"fpp": 1e-4, "n": 1_000_000}),
         SketchSpec("hll", {"p": 14}),
@@ -104,12 +110,17 @@ def bench_sketch_build(spark, sf_dir: str, replicate: int | None = None, cpus: i
     # partial build rides the scan partitions, merge traffic is KB-scale
     pre_partitioned = os.environ.get("SPARK_GRAFT_PREPARTITIONED") == "1"
     t0 = time.perf_counter()
+    # num_partitions=None everywhere: the staged cache / coalesced corpus
+    # already has one partition per core, so the partial build rides it
+    # (repartitioning a cached-at-cpus corpus would re-shuffle every row)
     sketches = build_and_merge(
         corpus, specs, key="content", value=F.length("content"),
-        num_partitions=None if pre_partitioned else cpus,
+        num_partitions=None,
         num_partials=cpus if pre_partitioned else None,
     )
     dt = time.perf_counter() - t0
+    if not corpus_dir:
+        corpus.unpersist()
     hll = sketches[specs[1].key()]
     n = sketches[specs[0].key()].n_items  # row count from sketch lineage — no extra scan
     return {"sec": dt, "rows": n, "rows_per_sec": n / dt, "hll_estimate": hll.estimate()}
