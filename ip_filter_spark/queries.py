@@ -1353,6 +1353,65 @@ FROM events
 """
 
 
+def stream_mg_heavy_hitters(spark, sf_dir):
+    """Streaming Misra–Gries under the hard gate: an availableNow stream
+    over events maintains per-batch MG partials in the idempotent
+    batch-id-keyed store (streaming/sketch_stream.py); the merged
+    summary must (a) have ingested every row exactly once (MG counter
+    sums are additive, so this is exactly the double-count failure the
+    overwrite protocol prevents — ADVICE r2), (b) span >1 micro-batch,
+    and (c) satisfy the mergeable-summaries deterministic bounds against
+    exact counts (est <= true <= est + err for every reported key; every
+    key above n/(capacity+1) reported — Agarwal et al., PODS'12),
+    verified distributed via mg_bounds_verdict. The exact top-1 count is
+    a full-value oracle column."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.operators.topk import mg_bounds_verdict
+    from ip_filter_spark.streaming import merged_heavy_hitters, stream_heavy_hitters
+
+    batch = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ifs_stream_mg_gate_")
+    try:
+        src = f"{work}/src"
+        batch.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+        q = stream_heavy_hitters(
+            stream, "user_id", store_dir=f"{work}/store", checkpoint_dir=f"{work}/ckpt", capacity=64
+        )
+        q.awaitTermination(300)
+        store = spark.read.parquet(f"{work}/store")
+        n_batches = store.select("batch_id").distinct().count()
+        sk = merged_heavy_hitters(spark, f"{work}/store")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    n_rows = batch.count()
+    verdict = mg_bounds_verdict(batch, "user_id", sk, n_rows).first()
+    exact_top1 = batch.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(exact_top1),
+                bool(sk.n_items == n_rows),
+                bool(n_batches >= 2),
+                bool(verdict.bounds_hold),
+                bool(verdict.heavy_keys_kept),
+            )
+        ],
+        "exact_top1_count long, ingested_exactly_once boolean, multi_batch boolean, "
+        "bounds_hold boolean, heavy_keys_kept boolean",
+    )
+
+
+STREAM_MG_SQL = """
+SELECT CAST(MAX(cnt) AS BIGINT) AS exact_top1_count, TRUE AS ingested_exactly_once,
+       TRUE AS multi_batch, TRUE AS bounds_hold, TRUE AS heavy_keys_kept
+FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+"""
+
+
 # =====================================================================
 # Sampling (the reference's traffic-synthesis generators)
 # =====================================================================
@@ -1477,6 +1536,7 @@ QUERIES = {
     "kmv_user_overlap": kmv_user_overlap,
     "cms_topk_users": cms_topk_users,
     "stream_sketch_equivalence": stream_sketch_equivalence,
+    "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
 }
 
 ORACLES = {
@@ -1524,5 +1584,6 @@ ORACLES = {
     "kmv_user_overlap": KMV_OVERLAP_SQL,
     "cms_topk_users": CMS_TOPK_SQL,
     "stream_sketch_equivalence": STREAM_EQUIV_SQL,
+    "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

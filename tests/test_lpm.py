@@ -123,3 +123,35 @@ def test_local_and_distributed_build_byte_identical(spark):
     local = PathLPM.build(routes, num_partitions=4)
     dist = PathLPM.build(routes, num_partitions=4, local_build_max_inserts=0)
     assert local.to_bytes() == dist.to_bytes()
+
+
+def test_arrow_fixed_binary_matrix_paths():
+    """The mapInArrow probe's zero-copy view must agree with the object
+    fallback on dense, sliced, chunked, and large-binary arrays — and
+    take the fallback (not crash) when nulls or ragged widths appear."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ip_filter_spark.operators.lpm import _arrow_fixed_binary_matrix
+
+    w = 8
+    vals = [bytes(range(i, i + w)) for i in range(10)]
+    expect = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(10, w)
+
+    dense = pa.array(vals, type=pa.binary())
+    assert (_arrow_fixed_binary_matrix(dense, w) == expect).all()
+    # sliced array: offset != 0
+    assert (_arrow_fixed_binary_matrix(dense.slice(3, 5), w) == expect[3:8]).all()
+    # large_binary: 64-bit offsets
+    big = pa.array(vals, type=pa.large_binary())
+    assert (_arrow_fixed_binary_matrix(big, w) == expect).all()
+    # chunked
+    chunked = pa.chunked_array([pa.array(vals[:4], type=pa.binary()), pa.array(vals[4:], type=pa.binary())])
+    assert (_arrow_fixed_binary_matrix(chunked, w) == expect).all()
+    # empty
+    assert _arrow_fixed_binary_matrix(pa.array([], type=pa.binary()), w).shape == (0, w)
+    # nulls force the fallback, which must reject ragged widths loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _arrow_fixed_binary_matrix(pa.array([b"x" * w, None], type=pa.binary()), w)
