@@ -66,6 +66,7 @@ from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
 SEP = "/"
 _KEY_SEP = "\x1f"
 _MAGIC = b"IFLPM1"
+_KERNEL_CHUNK = 8192
 
 
 def _digest_expr(path_col, depth_col):
@@ -554,9 +555,20 @@ class PathLPM:
                     digs = _arrow_fixed_binary_matrix(
                         b.column(b.schema.get_field_index("__digs")), 32 * D
                     ).reshape(nb, D, 32)
-                    ans, bits, fibp, fell = (
-                        eng._lookup_batch_guided(digs) if mode_guided else eng._lookup_batch_linear(digs)
-                    )
+                    # kernel sub-chunks: one Arrow batch can be 64k+ rows
+                    # (transfer-efficient), but the kernel's temporaries
+                    # (hash/slot/hit matrices) scale with rows x depths —
+                    # at 64k rows they spill to DRAM, and concurrent
+                    # probe workers then fight for the one memory bus
+                    # (streaming bandwidth on a shared box saturates at
+                    # ~4 active cores). 8k-row sub-chunks keep the
+                    # working set L2-resident; answers are row-local so
+                    # chunking cannot change them.
+                    kern = eng._lookup_batch_guided if mode_guided else eng._lookup_batch_linear
+                    parts = [
+                        kern(digs[s : s + _KERNEL_CHUNK]) for s in range(0, nb, _KERNEL_CHUNK)
+                    ]
+                    ans, bits, fibp, fell = (np.concatenate(x) for x in zip(*parts))
                 yield pa.RecordBatch.from_arrays(
                     passthrough
                     + [
