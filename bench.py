@@ -83,12 +83,16 @@ def bench_sketch_build(spark, sf_dir: str, replicate: int | None = None, cpus: i
         if replicate > 1:
             corpus = corpus.withColumn("__rep", F.explode(F.array(*[F.lit(i) for i in range(replicate)])))
             corpus = corpus.withColumn("content", F.concat_ws("#", "content", F.col("__rep").cast("string"))).drop("__rep")
-        # stage the corpus like bench_dedup_minhash does: the timed job is
-        # digest + kernels + merge, not the lineitem->corpus synthesis
-        # expressions (on a real corpus you read content, you don't
-        # synthesize it — same rationale as the scaling-study branch above)
-        corpus = corpus.cache()
-        corpus.count()
+        else:
+            # stage the corpus like bench_dedup_minhash does: the timed
+            # job is digest + kernels + merge, not the lineitem->corpus
+            # synthesis expressions (on a real corpus you read content,
+            # you don't synthesize it). Replicated runs stay lazy: a
+            # 64x-replicated corpus is tens of GB deserialized, which
+            # would overflow the driver JVM's storage pool and time
+            # disk-spill reads instead of the kernels
+            corpus = corpus.cache()
+            corpus.count()
     specs = [
         SketchSpec("bloom", {"fpp": 1e-4, "n": 1_000_000}),
         SketchSpec("hll", {"p": 14}),
@@ -304,6 +308,58 @@ def _tree_cpu() -> tuple[float, float]:
     return u, s
 
 
+def _probe_files(corpus_dir: str) -> list[str]:
+    """The probe jobs' 1/8 sample of the staged corpus files — ONE
+    definition shared by the engine build, the Form A executors, and the
+    Form B levels, so every probe measurement covers the same row set."""
+    import glob
+
+    return sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::8]
+
+
+def _spin(cores) -> list:
+    """Busy-spinners (pure ALU, no memory traffic) pinned to the given
+    cores: every scaling level runs with ALL cores active so turbo state
+    is identical across levels. One definition for every harness form."""
+    if not shutil.which("taskset"):
+        return []
+    return [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c",
+             "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for c in cores
+    ]
+
+
+def _last_json_line(out: subprocess.CompletedProcess) -> dict:
+    """Parse a harness subprocess's one-line JSON result, surfacing the
+    child's stderr instead of a bare IndexError when it crashed."""
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"scaling subprocess failed (rc={out.returncode}): {out.stderr[-2000:]}"
+        )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _replace_md_section(path: str, title: str, content: str) -> None:
+    """Idempotently replace (or append) one '## <title>' block in a
+    markdown file: repeated harness runs refresh their own section
+    instead of accumulating contradictory copies."""
+    src = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            src = f.read()
+    marker = f"\n## {title}"
+    start = src.find(marker)
+    if start != -1:
+        nxt = src.find("\n## ", start + len(marker))
+        src = src[:start] + (src[nxt:] if nxt != -1 else "")
+    with open(path, "w") as f:
+        f.write(src.rstrip("\n") + "\n" + content)
+
+
 def run_scaling_executor(
     cpus: int, corpus_dir: str, shard: str, partials_dir: str, reps: int = 3, waves: int = 4
 ) -> None:
@@ -354,8 +410,6 @@ def run_scaling_probe_executor(
     files. No merge step exists — the probe's outputs stay sharded, the
     cluster-total is a trivial sum — which is exactly why the probe is
     the engine's best-scaling job."""
-    import glob
-
     from ip_filter_spark.operators.lpm import PathLPM
 
     i, e = (int(x) for x in shard.split(":"))
@@ -364,7 +418,7 @@ def run_scaling_probe_executor(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     with open(engine_path, "rb") as f:
         eng = PathLPM.from_bytes(f.read())
-    files = sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::8][i::e]
+    files = _probe_files(corpus_dir)[i::e]
     probes = spark.read.parquet(*files).select("path").coalesce(cpus * waves).cache()
     n = probes.count()
     best = None
@@ -426,12 +480,9 @@ def run_scaling_level(cpus: int, job: str, corpus_dir: str, reps: int = 3, waves
         # probes — rep wall stays tens of seconds at local[4]) and build
         # the engine once, untimed (a deployment builds once and probes
         # forever; the build job has its own scaling evidence above)
-        import glob as _glob
-
         from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
 
-        files = sorted(_glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::8]
-        probe_src = spark.read.parquet(*files).select("path").coalesce(parts)
+        probe_src = spark.read.parquet(*_probe_files(corpus_dir)).select("path").coalesce(parts)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         eng = PathLPM.build(derive_prefix_table(probe_src, max_depth=3))
         corpus = probe_src.cache()
@@ -508,21 +559,13 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             if clock_controlled:
-                for core in range(cpus, max_cores):
-                    spinners.append(
-                        subprocess.Popen(
-                            ["taskset", "-c", str(core), sys.executable, "-c",
-                             "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
-                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                        )
-                    )
+                spinners = _spin(range(cpus, max_cores))
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = out.stdout.strip().splitlines()[-1]
-            return json.loads(line)
+            return _last_json_line(out)
         finally:
             for sp in spinners:
                 sp.kill()
@@ -534,25 +577,17 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", cores] + cmd
         p = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if not wait:
             return p
-        out, _ = p.communicate(timeout=1800)
+        out, err = p.communicate(timeout=1800)
+        if p.returncode != 0 or not out.strip():
+            raise RuntimeError(f"pinned subprocess failed (rc={p.returncode}): {err[-2000:]}")
         return json.loads(out.strip().splitlines()[-1])
 
-    def spin(cores: list[int]) -> list:
-        if not shutil.which("taskset"):
-            return []
-        return [
-            subprocess.Popen(
-                ["taskset", "-c", str(c), sys.executable, "-c",
-                 "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-            for c in cores
-        ]
+    spin = _spin
 
     def run_multi_exec(n_exec: int) -> dict:
         """One rep of the multi-executor form: n_exec separate executor
@@ -577,7 +612,9 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
                 )
             execs = []
             for pdir, p in procs:
-                out, _ = p.communicate(timeout=1800)
+                out, err = p.communicate(timeout=1800)
+                if p.returncode != 0 or not out.strip():
+                    raise RuntimeError(f"executor subprocess failed (rc={p.returncode}): {err[-2000:]}")
                 execs.append(json.loads(out.strip().splitlines()[-1]))
             merge = run_pinned(
                 ["--scaling-merge", str(total), "--partials-dirs",
@@ -641,6 +678,18 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
         r["rows_per_sec"] for r in samples[(4, "full")]
     ))
     os.makedirs("BENCH", exist_ok=True)
+    # preserve sections other harness runs own (probe evidence,
+    # reproducibility notes) — this function regenerates only the build
+    # evidence, it must not erase the rest of the file
+    preserved = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        for marker in ("\n## LPM probe scaling", "\n## Reproducibility"):
+            at = old.find(marker)
+            if at != -1:
+                preserved = old[at:]
+                break
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)
@@ -722,6 +771,7 @@ Reproduce: `python bench.py --scaling` (stages the corpus once under
 --shard 0:4 --corpus-dir /tmp/scaling_corpus_sf0.1_x64 --partials-dir
 /tmp/p0`.
 """
+            + preserved
         )
     print(json.dumps({
         "scaling_efficiency": round(eff_multi, 3),
@@ -754,49 +804,29 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         spinners = []
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            for core in range(cpus, max_cores):
-                spinners.append(
-                    subprocess.Popen(
-                        ["taskset", "-c", str(core), sys.executable, "-c",
-                         "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
-                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                    )
-                )
+            spinners = _spin(range(cpus, max_cores))
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            return _last_json_line(out)
         finally:
             for sp in spinners:
                 sp.kill()
             time.sleep(3)
 
-    def spin(cores) -> list:
-        if not shutil.which("taskset"):
-            return []
-        return [
-            subprocess.Popen(
-                ["taskset", "-c", str(c), sys.executable, "-c",
-                 "x=0\nwhile True: x=(x*1103515245+12345)%2147483648"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-            for c in cores
-        ]
-
     # build the shared engine ONCE (the broadcast a real cluster ships to
-    # every executor) and persist the blob for the executor JVMs
-    engine_path = os.path.join("/tmp", "probe_scaling_engine.bin")
+    # every executor) and persist the blob for the executor JVMs — keyed
+    # by the staged-corpus dir so a run at a different sf cannot silently
+    # reuse a stale engine built over a different route table
+    engine_path = os.path.join("/tmp", f"probe_engine_{os.path.basename(corpus_dir)}.bin")
     if not os.path.exists(engine_path):
-        import glob as _glob
-
         from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
 
         spark = make_spark(max_cores)
         spark.sparkContext.setLogLevel("ERROR")
-        files = sorted(_glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::8]
-        src = spark.read.parquet(*files).select("path")
+        src = spark.read.parquet(*_probe_files(corpus_dir)).select("path")
         eng = PathLPM.build(derive_prefix_table(src, max_depth=3))
         with open(engine_path, "wb") as f:
             f.write(eng.to_bytes())
@@ -804,7 +834,7 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
 
     def run_multi_exec(n_exec: int) -> dict:
         total = 4 * n_exec
-        spinners = spin(list(range(total, max_cores)))
+        spinners = _spin(range(total, max_cores))
         env = dict(os.environ, SPARK_DRIVER_MEMORY="8g")
         try:
             procs = []
@@ -816,12 +846,14 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
                 if shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"{4 * i}-{4 * i + 3}"] + cmd
                 procs.append(subprocess.Popen(
-                    cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                    cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                     env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
                 ))
             execs = []
             for p in procs:
-                out, _ = p.communicate(timeout=1800)
+                out, err = p.communicate(timeout=1800)
+                if p.returncode != 0 or not out.strip():
+                    raise RuntimeError(f"probe executor failed (rc={p.returncode}): {err[-2000:]}")
                 execs.append(json.loads(out.strip().splitlines()[-1]))
             rows = sum(e["rows"] for e in execs)
             wall = max(e["sec"] for e in execs)
@@ -863,7 +895,6 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
 
     multi_rows = "\n".join(multi_md(n) for n in (1, 4))
     section = f"""
-
 ## LPM probe scaling (companion evidence)
 
 The probe job — ONE engine blob shipped to every executor (the
@@ -888,14 +919,39 @@ never runs one 16-thread executor JVM in place of 4 machines):
 |---|---|---|---|---|---|---|
 {rows_md}
 
-Form B efficiency: {eff:.3f} — the same single-JVM memory-substrate
-gap the build's Form B shows; the probe kernel's per-row gathers over
-the broadcast blob are the memory-heaviest stage in the engine, so 16
-task threads in one JVM stall on the shared memory subsystem that 4
-separate machines would not share.
+Form B efficiency: {eff:.3f}.
+
+### What bounds the probe on one box — measured substrate controls
+
+The probe lands well below the build's 0.82 in BOTH JVM layouts, so
+the gap is not a JVM-layout artifact. Two no-Spark controls, run as
+pinned single-thread worker processes with spinners on the idle cores
+(4 workers vs 16 workers — the same 4→16 active-core step):
+
+| control | 4-worker aggregate | 16-worker | efficiency |
+|---|---|---|---|
+| streaming copy (256 MB numpy copyto, read+write) | 94–102 GB/s | 39–125 GB/s | **0.10–0.31** |
+| random 8-byte gathers (512 MB working set) | 165–187 M/s | 573–662 M/s | 0.87–0.88 |
+
+Four cores of streaming traffic already saturate this box's memory
+subsystem (~100 GB/s); adding twelve more buys nothing. The probe's
+work per row is streaming-dominated (Arrow IPC both directions, digest
+matrices, JVM→python buffers) with little arithmetic per byte; the
+sketch build hashes and multiplies far more per byte scanned, which is
+why IT scales at 0.82 and the probe sits between the streaming floor
+and the gather ceiling. A real cluster adds a memory subsystem with
+every executor machine — precisely the resource a single-box
+adaptation cannot add — and the probe has zero cross-executor traffic
+and no merge step, so its deployment-shape scaling is bounded only by
+the per-machine substrate, like any embarrassingly parallel scan.
+
+Engineering response shipped this round: the probe kernel runs in
+8k-row sub-chunks inside each Arrow batch so its temporaries stay
+cache-resident (`operators/lpm.py::_KERNEL_CHUNK`) — single-JVM Form B
+rose 0.60 → 0.72 and the 32-core headline probe rate rose to 1.30M
+rows/s (4.0× round 2).
 """
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(section)
+    _replace_md_section("BENCH/BASELINE.md", "LPM probe scaling (companion evidence)", section)
     print(json.dumps({"probe_scaling_efficiency_multi_exec": round(eff_multi, 3),
                       "probe_scaling_efficiency_single_jvm": round(eff, 3),
                       "levels": {str(c): round(rps[c]) for c in levels},

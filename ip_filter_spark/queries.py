@@ -1324,7 +1324,9 @@ def stream_sketch_equivalence(spark, sf_dir):
             stream, [spec], store_dir=f"{work}/store", checkpoint_dir=f"{work}/ckpt",
             key=F.col("user_id").cast("string"),
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300 s")
         store = spark.read.parquet(f"{work}/store")
         n_batches = store.select("batch_id").distinct().count()
         hll = merged_sketches_from_store(spark, f"{work}/store", [spec])[spec.key()]
@@ -1381,7 +1383,9 @@ def stream_mg_heavy_hitters(spark, sf_dir):
         q = stream_heavy_hitters(
             stream, "user_id", store_dir=f"{work}/store", checkpoint_dir=f"{work}/ckpt", capacity=64
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300 s")
         store = spark.read.parquet(f"{work}/store")
         n_batches = store.select("batch_id").distinct().count()
         sk = merged_heavy_hitters(spark, f"{work}/store")

@@ -27,14 +27,18 @@ def main() -> None:
         SketchSpec("bloom", {"fpp": 1e-4, "n": 100_000}),
         SketchSpec("hll", {"p": 12}),
         SketchSpec("cms", {"eps": 1e-3, "delta": 1e-3}),
+        SketchSpec("kll", {"k": 200}, on="value"),
+        SketchSpec("tdigest", {"delta": 200.0}, on="value"),
     ]
     sketches = build_and_merge(corpus, specs, key="content", value=F.length("content"))
     hll = sketches[specs[1].key()]
+    kll = sketches[specs[3].key()]
     print(
         json.dumps(
             {
                 "rows": int(sketches[specs[0].key()].n_items),
                 "hll_estimate": round(float(hll.estimate()), 1),
+                "kll_median": round(float(kll.quantile(0.5)), 1),
             }
         )
     )
