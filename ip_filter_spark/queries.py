@@ -23,7 +23,6 @@ from ip_filter_spark.functions.text import (
     MOD,
     fingerprint_expr,
     lang_id_expr,
-    tokens_expr,
     token_count_expr,
 )
 
