@@ -370,10 +370,28 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # same verify shape as dedup.minhash_lsh_pairs: broadcast the bare
+    # pair list into two passes over the embeddings and join the two
+    # candidate-sized sides — shuffle is O(candidates · vec), never
+    # O(corpus · vec); guarded fallback to the shuffle form when the
+    # candidate list itself is too big to broadcast
+    pairs = pairs.cache()
+    if pairs.count() <= 2_000_000:
+        a_side = vecs.join(F.broadcast(pairs), vecs["id"] == pairs["id_a"]).select(
+            "id_a", "id_b", F.col("v").alias("va")
+        )
+        b_side = vecs.join(F.broadcast(pairs), vecs["id"] == pairs["id_b"]).select(
+            F.col("id_a").alias("ba"), F.col("id_b").alias("bb"), F.col("v").alias("vb")
+        )
+        joined = a_side.join(
+            b_side, (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb"))
+        ).drop("ba", "bb")
+    else:
+        joined = pairs.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a"
+        ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b")
     return (
-        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b")
-        .select(
+        joined.select(
             "id_a",
             "id_b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), round_to).alias("cosine"),
