@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ip_filter_spark.functions.text import tokens_expr
+from ip_filter_spark.operators.joins import broadcast_pair_join
 
 
 def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -181,36 +182,7 @@ def minhash_lsh_pairs(
         )
     )
     pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.id_a", "p.id_b").distinct()
-
-    # Verification shape: broadcast the bare pair list (16 B/pair) into
-    # TWO passes over the cached signature table, then join the two
-    # candidate-sized sides on the pair key. Shuffle volume is then
-    # O(candidates · sig), never O(corpus · sig) — at scale the signature
-    # table is the big thing and candidates are comparatively few. (The
-    # direct pairs⋈sig⋈sig form sort-merge-shuffles the full sig table
-    # twice: AQE cannot convert those joins to broadcast because the
-    # cached sig is an InMemoryRelation, which adaptive replanning does
-    # not see through.) Guarded: an adversarial corpus can make the
-    # candidate list itself too big to broadcast, so count it (it is the
-    # small output of the bucket stage) and fall back to the shuffle form
-    # past 2M pairs. Cached first: the guard count would otherwise run
-    # the banding/bucket stage once for itself and again for the verify.
-    pairs = pairs.cache()
-    n_pairs = pairs.count()
-    if n_pairs <= 2_000_000:
-        a_side = sig.join(F.broadcast(pairs), sig["id"] == pairs["id_a"]).select(
-            "id_a", "id_b", F.col("sig").alias("sig_a")
-        )
-        b_side = sig.join(F.broadcast(pairs), sig["id"] == pairs["id_b"]).select(
-            F.col("id_a").alias("ba"), F.col("id_b").alias("bb"), F.col("sig").alias("sig_b")
-        )
-        joined = a_side.join(
-            b_side, (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb"))
-        ).drop("ba", "bb")
-    else:
-        joined = pairs.join(
-            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a"
-        ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+    joined = broadcast_pair_join(pairs, sig, "sig", "sig_a", "sig_b")
     verified = (
         joined.withColumn(
             "est_jaccard",

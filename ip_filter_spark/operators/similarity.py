@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from ip_filter_spark.operators.joins import broadcast_pair_join
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -370,26 +372,7 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # same verify shape as dedup.minhash_lsh_pairs: broadcast the bare
-    # pair list into two passes over the embeddings and join the two
-    # candidate-sized sides — shuffle is O(candidates · vec), never
-    # O(corpus · vec); guarded fallback to the shuffle form when the
-    # candidate list itself is too big to broadcast
-    pairs = pairs.cache()
-    if pairs.count() <= 2_000_000:
-        a_side = vecs.join(F.broadcast(pairs), vecs["id"] == pairs["id_a"]).select(
-            "id_a", "id_b", F.col("v").alias("va")
-        )
-        b_side = vecs.join(F.broadcast(pairs), vecs["id"] == pairs["id_b"]).select(
-            F.col("id_a").alias("ba"), F.col("id_b").alias("bb"), F.col("v").alias("vb")
-        )
-        joined = a_side.join(
-            b_side, (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb"))
-        ).drop("ba", "bb")
-    else:
-        joined = pairs.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a"
-        ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b")
+    joined = broadcast_pair_join(pairs, vecs, "v", "va", "vb")
     return (
         joined.select(
             "id_a",
