@@ -217,6 +217,8 @@ WORKLOADS = {
     "lpm_cidr6_events": _timed_query("lpm_cidr6_events"),
     "cms_topk_users": _timed_query("cms_topk_users"),
     "mg_top_langs": _timed_query("mg_top_langs"),
+    "session_stats_events": _timed_query("session_stats_events"),
+    "asof_join_events_orders": _timed_query("asof_join_events_orders"),
     "kmv_user_overlap": _timed_query("kmv_user_overlap"),
     "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
 }

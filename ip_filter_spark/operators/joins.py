@@ -19,7 +19,9 @@ pruning ratio through lineage columns if asked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_membership
@@ -54,6 +56,74 @@ def bloom_semi_join(
     pruned = probe_membership(probe, probe_key, bf, out_col="__hit").where(F.col("__hit")).drop("__hit")
     confirm = keys if not broadcast_build else F.broadcast(keys)
     return pruned.join(confirm, on=pruned[probe_key] == confirm["__k"], how="left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    matched_time_col: str = "matched_t",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the same key and the greatest ``right_time`` <= ``left_time``
+    (inclusive). Left rows with no earlier right row get nulls — i.e.
+    ``ASOF LEFT JOIN`` semantics.
+
+    Spark lacks a native as-of join; the naive form (non-equi join +
+    window max) shuffles |L|·|matching R| intermediate rows. This is the
+    union-scan form instead: tag both inputs, union them, and do ONE
+    shuffle on the key with ONE sort by (time, tag); a running
+    ``last(value, ignorenulls)`` carries each right row's payload
+    forward to every left row until the next right row replaces it.
+    Shuffle volume is exactly |L| + |R| rows — the minimum any
+    partitioned as-of can move — and the whole operator is three Window
+    expressions over one Exchange, no UDF.
+
+    Right rows sort BEFORE left rows at equal time (tag 0 < 1), making
+    the match inclusive. ``right`` must be unique per (key, time) —
+    pre-aggregate with max_by/groupBy otherwise (duplicate right rows at
+    one (key, time) would make "the" matched row ill-defined in any
+    engine; DuckDB's ASOF JOIN has the same requirement). ``right_values``
+    must be non-null on right rows — the ignorenulls carry would
+    otherwise splice an older row's value into a newer match.
+
+    At 100 TB: keyed by ``left_on``, so the same skew story as any keyed
+    shuffle — high-cardinality keys balance; per-key work is a sorted
+    scan, spillable. Time-bucketed variants (shuffle on (key, coarse
+    time bucket) with per-bucket seed rows) bound per-task runs when
+    single keys are enormous; not needed at this corpus's shape.
+    """
+    lt = F.col(left_time).cast("timestamp").cast("long")
+    rt = F.col(right_time).cast("timestamp").cast("long")
+    nul = [F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values]
+
+    l_tagged = left.select(
+        F.col(left_on).alias("__k"), lt.alias("__t"), F.lit(1).alias("__tag"), "*", *nul,
+        F.lit(None).cast("long").alias("__rt"),
+    )
+    left_cols = [c for c in left.columns]
+    r_tagged = right.select(
+        F.col(right_on).alias("__k"), rt.alias("__t"), F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *right_values, rt.alias("__rt"),
+    )
+    both = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values]
+    out = both.select(
+        "__tag", *left_cols,
+        F.last("__rt", ignorenulls=True).over(w).alias(matched_time_col), *carried
+    )
+    return out.where(F.col("__tag") == 1).drop("__tag")
 
 
 def broadcast_pair_join(

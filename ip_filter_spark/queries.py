@@ -247,6 +247,77 @@ FROM g GROUP BY user_id
 """
 
 
+def session_stats_events(spark, sf_dir):
+    """Gap-threshold sessionization (operators/sessions.py): new session
+    after a >30 min gap; one window shuffle + one same-key aggregate."""
+    from ip_filter_spark.operators.sessions import session_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return session_stats(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+SESSION_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(t) AS start_s, MAX(t) AS end_s,
+       MAX(t) - MIN(t) AS duration_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def asof_join_events_orders(spark, sf_dir):
+    """Backward as-of join (operators/joins.py::asof_join): each event
+    matched to the user's latest order at or before the event. Union-scan
+    form — |L|+|R| shuffle rows, one sort, three window expressions, no
+    UDF. Right side pre-aggregated to one row per (custkey, orderdate)
+    with max_by (as-of requires unique right (key, time))."""
+    from ip_filter_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    j = asof_join(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"], matched_time_col="order_t",
+    )
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    return j.select(
+        "event_id", "user_id", ts_s.alias("ts_s"), "o_orderkey", "o_totalprice",
+        (ts_s - F.col("order_t")).alias("age_s"),
+    )
+
+
+ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ot,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate),
+l AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events)
+SELECT l.event_id, l.user_id, l.t AS ts_s, r.o_orderkey, r.o_totalprice,
+       l.t - r.ot AS age_s
+FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.t >= r.ot
+"""
+
+
 # =====================================================================
 # Quantiles (exact rank formulation — oracle-safe)
 # =====================================================================
@@ -1503,6 +1574,8 @@ QUERIES = {
     "events_daily_counts": events_daily_counts,
     "distinct_users_exact": distinct_users_exact,
     "user_session_stats": user_session_stats,
+    "session_stats_events": session_stats_events,
+    "asof_join_events_orders": asof_join_events_orders,
     "quantiles_exact": quantiles_exact,
     "sha256_distinct_exact": sha256_distinct_exact,
     "dup_groups_exact": dup_groups_exact,
@@ -1552,6 +1625,8 @@ ORACLES = {
     "events_daily_counts": EVENTS_DAILY_SQL,
     "distinct_users_exact": DISTINCT_USERS_SQL,
     "user_session_stats": USER_SESSION_SQL,
+    "session_stats_events": SESSION_STATS_SQL,
+    "asof_join_events_orders": ASOF_SQL,
     "quantiles_exact": QUANTILES_SQL,
     "sha256_distinct_exact": SHA_DISTINCT_SQL,
     "dup_groups_exact": DUP_GROUPS_SQL,

@@ -1,0 +1,120 @@
+"""Sessionization and as-of join — unit semantics + plan-shape coverage.
+
+Both operators claim a specific shuffle budget in their docstrings
+(sessions.py: one Exchange reused by the aggregate; joins.py::asof_join:
+one Exchange total for |L|+|R| rows). The plan tests pin those claims;
+the semantic tests pin the boundary conditions the oracle data may not
+exercise (gap exactly == gap_s, inclusive as-of match at equal time,
+no-earlier-right nulls).
+"""
+
+import datetime
+import re
+
+from pyspark.sql import functions as F
+
+from ip_filter_spark.operators.joins import asof_join
+from ip_filter_spark.operators.sessions import session_stats, sessionize
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted mode details each node once as "(N) Exchange"; after an
+    # action AQE appends an "Initial Plan" section that repeats every
+    # node — count only the final/current plan
+    return len(re.findall(r"\(\d+\) Exchange", plan.split("== Initial Plan ==")[0]))
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, _ts(t)) for u, e, t in rows], "user_id string, event_id long, ts timestamp"
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    """gap == gap_s stays in-session (strict > opens a new one); the
+    first event of every key always opens session 1."""
+    df = _events(
+        spark,
+        [
+            ("a", 1, 0),
+            ("a", 2, 100),
+            ("a", 3, 1900),   # gap 1800 == gap_s: same session
+            ("a", 4, 3701),   # gap 1801 > gap_s: new session
+            ("b", 5, 50),     # independent key
+        ],
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_s=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    """Equal timestamps: ordering falls to event_id, and the numbering is
+    invariant to input order (gap within an equal-ts run is 0)."""
+    rows = [("a", 3, 10), ("a", 1, 10), ("a", 2, 10), ("a", 4, 5000)]
+    df = _events(spark, rows)
+    df_rev = _events(spark, rows[::-1])
+    expect = {1: 1, 2: 1, 3: 1, 4: 2}
+    for d in (df, df_rev):
+        got = {r["event_id"]: r["session_idx"] for r in sessionize(d, gap_s=1800).collect()}
+        assert got == expect
+
+
+def test_session_stats_values_and_single_exchange(spark):
+    df = _events(spark, [("a", 1, 0), ("a", 2, 600), ("a", 3, 9000), ("b", 4, 7)])
+    out = session_stats(df, gap_s=1800)
+    got = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert got[("a", 1)]["n_events"] == 2
+    assert got[("a", 1)]["duration_s"] == 600
+    assert got[("a", 2)]["n_events"] == 1
+    assert got[("a", 2)]["start_s"] == got[("a", 2)]["end_s"]
+    assert got[("b", 1)]["n_events"] == 1
+    # the groupBy on (key, session_idx) must reuse the window's
+    # hashpartitioning(key) — one Exchange for the whole operator.
+    # Explain a fresh (unexecuted) plan: after an action, AQE's explain
+    # repeats every node in an Initial Plan section.
+    assert _n_exchanges(_plan(session_stats(df, gap_s=1800))) == 1
+
+
+def _asof_fixture(spark):
+    left = _events(spark, [("a", 1, 50), ("a", 2, 100), ("a", 3, 10), ("b", 4, 99), ("c", 5, 70)])
+    right = spark.createDataFrame(
+        [("a", _ts(20), 200, 1.5), ("a", _ts(100), 300, 2.5), ("b", _ts(100), 400, 3.5)],
+        "k string, rts timestamp, val long, price double",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "user_id", "k", "ts", "rts", ["val", "price"])
+    out = out.withColumn("lt", F.col("ts").cast("long"))
+    got = {
+        r["event_id"]: (r["val"], r["price"], None if r["matched_t"] is None else r["lt"] - r["matched_t"])
+        for r in out.collect()
+    }
+    assert len(got) == 5  # left-join: every left row survives
+    assert got[1] == (200, 1.5, 30)      # left t=50 matches right t=20
+    assert got[2] == (300, 2.5, 0)       # equal time matches (inclusive)
+    assert got[3] == (None, None, None)  # before any right row
+    assert got[4] == (None, None, None)  # right at 100 > left 99
+    assert got[5] == (None, None, None)  # key with no right rows at all
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The union-scan form: exactly one Exchange, and no join operator at
+    all (the naive non-equi form would show BroadcastNestedLoopJoin)."""
+    left, right = _asof_fixture(spark)
+    plan = _plan(asof_join(left, right, "user_id", "k", "ts", "rts", ["val", "price"]))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
