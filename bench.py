@@ -219,6 +219,7 @@ WORKLOADS = {
     "mg_top_langs": _timed_query("mg_top_langs"),
     "session_stats_events": _timed_query("session_stats_events"),
     "asof_join_events_orders": _timed_query("asof_join_events_orders"),
+    "range_join_purchase_windows": _timed_query("range_join_purchase_windows"),
     "kmv_user_overlap": _timed_query("kmv_user_overlap"),
     "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
 }

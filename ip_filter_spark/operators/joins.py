@@ -126,6 +126,69 @@ def asof_join(
     return out.where(F.col("__tag") == 1).drop("__tag")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each left row paired with every right row
+    of the same key whose ``[right_start, right_end]`` interval
+    (inclusive both ends) contains ``left_time``.
+
+    Catalyst plans a keyed non-equi join as an equi-join on the key with
+    the range as a post-filter — correct, but every (key, point) meets
+    every (key, interval) in the shuffle output before filtering, which
+    degenerates on hot keys; keyless range predicates become
+    BroadcastNestedLoopJoin outright. This is the bucketed equi-join
+    rewrite instead (the interval-join shape Flink/Trino use): intervals
+    explode to the coarse time buckets they overlap, points map to their
+    single bucket, and the join becomes a plain equi-join on
+    (key, bucket) — shuffle-partitioned by both key AND time, so a hot
+    key's work is spread over its time range instead of landing on one
+    task. The exact containment filter runs post-join; each matching
+    pair meets in exactly one bucket (the point's), so no dedup step.
+
+    ``bucket_s`` trades replication for pruning: each interval is
+    replicated to ceil(span / bucket_s) + 1 buckets, and each bucket
+    pairs points only with intervals overlapping that window — pick it
+    near the typical interval span. Replication is linear in span, so
+    enormous intervals (span >> bucket_s) should be pre-split or joined
+    via a broadcast side instead.
+
+    ``how``: 'inner' (matching pairs) or 'left' (every left row, nulls
+    when no interval matches).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lt = F.col(left_time).cast("timestamp").cast("long")
+    rs = F.col(right_start).cast("timestamp").cast("long")
+    re_ = F.col(right_end).cast("timestamp").cast("long")
+
+    l_b = left.withColumn("__lt", lt).withColumn("__b", F.floor(F.col("__lt") / bucket_s))
+    r_b = (
+        right.withColumn("__rs", rs)
+        .withColumn("__re", re_)
+        .where(F.col("__re") >= F.col("__rs"))
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(F.col("__rs") / bucket_s), F.floor(F.col("__re") / bucket_s))),
+        )
+    )
+    contained = (F.col("__lt") >= F.col("__rs")) & (F.col("__lt") <= F.col("__re"))
+    on = (l_b[left_on] == r_b[right_on]) & (l_b["__b"] == r_b["__b"])
+    if how == "inner":
+        out = l_b.join(r_b, on=on).where(contained)
+    else:
+        out = l_b.join(r_b, on=on & contained, how="left")
+    return out.drop("__lt", "__rs", "__re").drop(l_b["__b"]).drop(r_b["__b"])
+
+
 def broadcast_pair_join(
     pairs: DataFrame,
     table: DataFrame,

@@ -318,6 +318,49 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.t >= r.ot
 """
 
 
+def range_join_purchase_windows(spark, sf_dir):
+    """Point-in-interval join (operators/joins.py::range_join): clicks
+    and views landing within one hour after the same user's purchase.
+    Bucketed equi-join rewrite — intervals explode to the coarse hour
+    buckets they overlap, the join is a plain equi-join on
+    (user, bucket), exact containment filtered post-join. No
+    BroadcastNestedLoopJoin, partitioned by key AND time."""
+    from ip_filter_spark.operators.joins import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p_epoch = F.col("ts").cast("timestamp").cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        p_epoch.alias("p_start"),
+        (p_epoch + 3600).alias("p_end"),
+    )
+    j = range_join(clicks, purchases, "user_id", "p_user", "ts", "p_start", "p_end", bucket_s=3600)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    return j.select(
+        "event_id", "user_id", ts_s.alias("ts_s"), "event_type", "purchase_id",
+        F.col("p_start").alias("purchase_s"), (ts_s - F.col("p_start")).alias("delay_s"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH r AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase'),
+l AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT l.event_id, l.user_id, l.t AS ts_s, l.event_type, r.purchase_id,
+       r.s AS purchase_s, l.t - r.s AS delay_s
+FROM l JOIN r ON l.user_id = r.user_id AND l.t BETWEEN r.s AND r.s + 3600
+"""
+
+
 # =====================================================================
 # Quantiles (exact rank formulation — oracle-safe)
 # =====================================================================
@@ -1576,6 +1619,7 @@ QUERIES = {
     "user_session_stats": user_session_stats,
     "session_stats_events": session_stats_events,
     "asof_join_events_orders": asof_join_events_orders,
+    "range_join_purchase_windows": range_join_purchase_windows,
     "quantiles_exact": quantiles_exact,
     "sha256_distinct_exact": sha256_distinct_exact,
     "dup_groups_exact": dup_groups_exact,
@@ -1627,6 +1671,7 @@ ORACLES = {
     "user_session_stats": USER_SESSION_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "asof_join_events_orders": ASOF_SQL,
+    "range_join_purchase_windows": RANGE_JOIN_SQL,
     "quantiles_exact": QUANTILES_SQL,
     "sha256_distinct_exact": SHA_DISTINCT_SQL,
     "dup_groups_exact": DUP_GROUPS_SQL,

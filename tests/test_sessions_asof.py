@@ -111,6 +111,52 @@ def test_asof_join_semantics(spark):
     assert got[5] == (None, None, None)  # key with no right rows at all
 
 
+def _intervals(spark, rows):
+    return spark.createDataFrame(
+        [(k, i, _ts(s), _ts(e)) for k, i, s, e in rows],
+        "k string, iid long, start timestamp, stop timestamp",
+    )
+
+
+def test_range_join_semantics(spark):
+    from ip_filter_spark.operators.joins import range_join
+
+    left = _events(spark, [("a", 1, 50), ("a", 2, 100), ("a", 3, 9), ("b", 4, 60), ("c", 5, 60)])
+    right = _intervals(
+        spark,
+        [
+            ("a", 10, 10, 100),   # spans buckets 1..10 at bucket_s=10
+            ("a", 11, 45, 55),    # overlaps event 1 only
+            ("b", 12, 60, 60),    # degenerate single-point interval
+            ("b", 13, 70, 50),    # end < start: dropped
+        ],
+    )
+    out = range_join(left, right, "user_id", "k", "ts", "start", "stop", bucket_s=10)
+    got = sorted((r["event_id"], r["iid"]) for r in out.collect())
+    # ev1(t=50): in [10,100] and [45,55]; ev2(t=100): inclusive upper end
+    # of [10,100] and matched ONCE though the interval spans 10 buckets;
+    # ev3(t=9): before both; ev4(t=60): point interval inclusive both
+    # ends; ev5: key with no intervals
+    assert got == [(1, 10), (1, 11), (2, 10), (4, 12)]
+
+    out_l = range_join(left, right, "user_id", "k", "ts", "start", "stop", bucket_s=10, how="left")
+    got_l = sorted((r["event_id"], r["iid"]) for r in out_l.collect())
+    assert got_l == [(1, 10), (1, 11), (2, 10), (3, None), (4, 12), (5, None)]
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bucketed rewrite must plan as an equi-join on (key, bucket) —
+    never the BroadcastNestedLoopJoin Catalyst picks for raw range
+    predicates."""
+    from ip_filter_spark.operators.joins import range_join
+
+    left = _events(spark, [("a", 1, 50)])
+    right = _intervals(spark, [("a", 10, 10, 100)])
+    plan = _plan(range_join(left, right, "user_id", "k", "ts", "start", "stop", bucket_s=10))
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
 def test_asof_join_single_exchange_no_join_node(spark):
     """The union-scan form: exactly one Exchange, and no join operator at
     all (the naive non-equi form would show BroadcastNestedLoopJoin)."""
