@@ -220,6 +220,7 @@ WORKLOADS = {
     "session_stats_events": _timed_query("session_stats_events"),
     "asof_join_events_orders": _timed_query("asof_join_events_orders"),
     "range_join_purchase_windows": _timed_query("range_join_purchase_windows"),
+    "rollup_event_counts": _timed_query("rollup_event_counts"),
     "kmv_user_overlap": _timed_query("kmv_user_overlap"),
     "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
 }

@@ -212,6 +212,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def rollup_event_counts(spark, sf_dir):
+    """Multi-granularity rollup (the hypertable/continuous-aggregate
+    pattern): one pass over events produces (day, type), per-day, and
+    grand-total aggregates via native grouping sets — Spark expands
+    ROLLUP before the shuffle, so partial aggregation stays map-side and
+    the single Exchange moves one partial row per (grouping set, group),
+    not per input row. ``gid`` (grouping_id) disambiguates subtotal
+    NULLs from data NULLs; decimal-cast sum keeps float totals
+    order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id", "value"
+    )
+    return d.rollup("day", "event_type").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+ROLLUP_EVENTS_SQL = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id, value FROM events)
+SELECT day, event_type,
+       CAST(GROUPING_ID(day, event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM e GROUP BY ROLLUP(day, event_type)
+"""
+
+
 def distinct_users_exact(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -1615,6 +1648,7 @@ QUERIES = {
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "events_topk_exact": events_topk_exact,
     "events_daily_counts": events_daily_counts,
+    "rollup_event_counts": rollup_event_counts,
     "distinct_users_exact": distinct_users_exact,
     "user_session_stats": user_session_stats,
     "session_stats_events": session_stats_events,
@@ -1667,6 +1701,7 @@ ORACLES = {
     "supplier_balance_by_nation": SUPPLIER_BALANCE_SQL,
     "events_topk_exact": EVENTS_TOPK_SQL,
     "events_daily_counts": EVENTS_DAILY_SQL,
+    "rollup_event_counts": ROLLUP_EVENTS_SQL,
     "distinct_users_exact": DISTINCT_USERS_SQL,
     "user_session_stats": USER_SESSION_SQL,
     "session_stats_events": SESSION_STATS_SQL,
