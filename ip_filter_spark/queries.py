@@ -147,6 +147,156 @@ GROUP BY n_name, r_name
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + pushed-down filters + one global
+    aggregate — zero joins, zero wide shuffles (partials tree-reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(_dec_sum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-fact join + dimension broadcasts + grouped
+    revenue + global top-20 (single-shuffle window on the small grouped
+    result)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return g.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+
+
+Q10_SQL = """
+WITH g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rank
+FROM g QUALIFY rank <= 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join (customers with zero orders kept)
+    + two-level aggregation; second groupBy is on the tiny (c_count)
+    domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact scan windowed by date + broadcast dimension
+    join + conditional aggregate ratio (both sums exact via decimal,
+    ratio derived from the identical doubles on both sides)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    g = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        _dec_sum(promo, "promo_revenue"), _dec_sum(rev, "total_revenue")
+    )
+    return g.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
+Q14_SQL = """
+WITH g AS (
+  SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM g
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: grouped revenue over a date window, then the
+    argmax via a broadcast one-row max join (no keyless window over a
+    single partition); exact-decimal sums make the double equality join
+    deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(_dec_sum(rev, "total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.total_revenue == mx["__mx"])
+        .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+"""
+
+
 def order_priority_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1644,6 +1794,11 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
     "order_priority_counts": order_priority_counts,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "events_topk_exact": events_topk_exact,
@@ -1697,6 +1852,11 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
     "order_priority_counts": ORDER_PRIORITY_SQL,
     "supplier_balance_by_nation": SUPPLIER_BALANCE_SQL,
     "events_topk_exact": EVENTS_TOPK_SQL,
