@@ -395,6 +395,68 @@ FROM e GROUP BY ROLLUP(day, event_type)
 """
 
 
+def session_window_events(spark, sf_dir):
+    """Spark's NATIVE gap-based session operator (F.session_window) —
+    the streaming-capable form of operators/sessions.py: groupBy(key,
+    session_window) merges events closer than the gap, window end =
+    last event + gap. One shuffle; identical plan shape batch or
+    streaming. Boundary differs from sessionize(): native merges iff
+    strictly < gap (a gap of exactly 30 min starts a NEW session) —
+    the oracle mirrors with >= at microsecond precision."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    return g.select(
+        "user_id",
+        F.col("session_window.start").cast("long").alias("start_s"),
+        F.col("session_window.end").cast("long").alias("end_s"),
+        "n_events",
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER w IS NULL OR t - LAG(t) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id,
+       CAST(MIN(t) // 1000000 AS BIGINT) AS start_s,
+       CAST((MAX(t) + 1800000000) // 1000000 AS BIGINT) AS end_s,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def hash_sample_docs(spark, sf_dir):
+    """Deterministic content-hash sampling — the reproducible-subset
+    primitive a training pipeline needs (the same ~10% of documents
+    selected on every run, every engine, any partitioning): keep rows
+    whose sha256(text) starts below a hex threshold. Pure JVM
+    expressions, filter runs at the scan."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.sha2(F.col("text"), 256), 1, 2)
+    return (
+        d.where(bucket < "1a")
+        .select("doc_id", "lang", bucket.alias("bucket"), F.length("text").alias("n_chars"))
+    )
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, substr(sha256(text), 1, 2) AS bucket,
+       CAST(LENGTH(text) AS INT) AS n_chars
+FROM documents WHERE substr(sha256(text), 1, 2) < '1a'
+"""
+
+
 def distinct_users_exact(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
@@ -1804,6 +1866,8 @@ QUERIES = {
     "events_topk_exact": events_topk_exact,
     "events_daily_counts": events_daily_counts,
     "rollup_event_counts": rollup_event_counts,
+    "session_window_events": session_window_events,
+    "hash_sample_docs": hash_sample_docs,
     "distinct_users_exact": distinct_users_exact,
     "user_session_stats": user_session_stats,
     "session_stats_events": session_stats_events,
@@ -1862,6 +1926,8 @@ ORACLES = {
     "events_topk_exact": EVENTS_TOPK_SQL,
     "events_daily_counts": EVENTS_DAILY_SQL,
     "rollup_event_counts": ROLLUP_EVENTS_SQL,
+    "session_window_events": SESSION_WINDOW_SQL,
+    "hash_sample_docs": HASH_SAMPLE_SQL,
     "distinct_users_exact": DISTINCT_USERS_SQL,
     "user_session_stats": USER_SESSION_SQL,
     "session_stats_events": SESSION_STATS_SQL,

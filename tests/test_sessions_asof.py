@@ -11,6 +11,10 @@ no-earlier-right nulls).
 import datetime
 import re
 
+import numpy as np
+import pandas as pd
+import pytest
+
 from pyspark.sql import functions as F
 
 from ip_filter_spark.operators.joins import asof_join
@@ -155,6 +159,78 @@ def test_range_join_no_nested_loop(spark):
     plan = _plan(range_join(left, right, "user_id", "k", "ts", "start", "stop", bucket_s=10))
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_random_vs_pandas(spark, seed):
+    """Randomized agreement with pandas merge_asof (backward,
+    inclusive) — integer epochs exercise the numeric-time path (the
+    operator accepts longs as well as timestamps)."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(300),
+            "k": rng.integers(0, 8, 300),
+            "t": rng.integers(0, 5000, 300),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, 80),
+                "rt": rng.integers(0, 5000, 80),
+                "val": rng.integers(0, 10**6, 80),
+            }
+        )
+        .drop_duplicates(["k", "rt"])
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "k", "k", "t", "rt", ["val"],
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("rt", kind="stable"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    a = {(r.lid, None if pd.isna(r.val) else int(r.val)) for r in got.itertuples()}
+    b = {(r.lid, None if pd.isna(r.val) else int(r.val)) for r in want.itertuples()}
+    assert a == b
+
+
+@pytest.mark.parametrize("seed,bucket_s", [(0, 7), (1, 50), (2, 1000)])
+def test_range_join_random_vs_pandas(spark, seed, bucket_s):
+    """Randomized agreement with a brute-force containment reference,
+    across bucket widths smaller than, near, and larger than the
+    interval spans."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {"lid": np.arange(200), "k": rng.integers(0, 6, 200), "t": rng.integers(0, 2000, 200)}
+    )
+    start = rng.integers(0, 2000, 60)
+    right = pd.DataFrame(
+        {"rid": np.arange(60), "k": rng.integers(0, 6, 60), "s": start,
+         "e": start + rng.integers(0, 300, 60)}
+    )
+    from ip_filter_spark.operators.joins import range_join
+
+    out = range_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right.rename(columns={"k": "rk"})),
+        "k", "rk", "t", "s", "e", bucket_s=bucket_s,
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    brute = left.merge(right, on="k")
+    brute = brute[(brute.t >= brute.s) & (brute.t <= brute.e)]
+    want = sorted(zip(brute.lid, brute.rid))
+    assert got == want
 
 
 def test_asof_join_single_exchange_no_join_node(spark):
