@@ -1713,6 +1713,70 @@ FROM events
 """
 
 
+def stream_session_equivalence(spark, sf_dir):
+    """Streaming sessionization under the hard gate, FULL-VALUE: the
+    availableNow session_window stream (streaming/sessions.py) over a
+    bounded replay of events must emit exactly the batch session table —
+    the oracle is the same microsecond-exact DuckDB window replica that
+    gates the batch operator (session_window_events).
+
+    Replay mechanics: file order is not time order, so the watermark
+    delay covers the full event-time span (nothing is ever 'late'), and
+    a single later-than-everything sentinel row written as the LAST
+    source file (FileStreamSource processes in mtime order) pushes the
+    final watermark past every real session's end so the closing no-data
+    micro-batch flushes them all. One sentinel suffices — watermarks are
+    global, not per-key. The sentinel's own session stays in state and
+    is filtered by key."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+    import time
+
+    from ip_filter_spark.streaming import stream_session_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = tempfile.mkdtemp(prefix="ifs_stream_sess_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(4).write.parquet(src)
+        time.sleep(1.1)  # sentinel file must sort AFTER the data files by mtime
+        sent = spark.createDataFrame([(-1,)], "user_id bigint").withColumn(
+            "ts", F.lit(mx) + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_session_stats(
+            stream, key="user_id", ts="ts", gap="30 minutes",
+            watermark_delay=f"{delay_s} seconds",
+            out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow session stream did not finish in 300 s")
+        out = (
+            spark.read.parquet(f"{work}/out")
+            .where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("long").alias("start_s"),
+                F.col("session_window.end").cast("long").alias("end_s"),
+                "n_events",
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "user_id bigint, start_s bigint, end_s bigint, n_events bigint")
+
+
 def stream_mg_heavy_hitters(spark, sf_dir):
     """Streaming Misra–Gries under the hard gate: an availableNow stream
     over events maintains per-batch MG partials in the idempotent
@@ -1909,6 +1973,7 @@ QUERIES = {
     "kmv_user_overlap": kmv_user_overlap,
     "cms_topk_users": cms_topk_users,
     "stream_sketch_equivalence": stream_sketch_equivalence,
+    "stream_session_equivalence": stream_session_equivalence,
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
 }
 
@@ -1968,6 +2033,7 @@ ORACLES = {
     "kmv_user_overlap": KMV_OVERLAP_SQL,
     "cms_topk_users": CMS_TOPK_SQL,
     "stream_sketch_equivalence": STREAM_EQUIV_SQL,
+    "stream_session_equivalence": SESSION_WINDOW_SQL,
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

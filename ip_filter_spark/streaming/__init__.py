@@ -5,9 +5,11 @@ from ip_filter_spark.streaming.sketch_stream import (
     stream_sketch_build,
     windowed_event_counts,
 )
+from ip_filter_spark.streaming.sessions import stream_session_stats
 from ip_filter_spark.streaming.stateful import running_distinct_by_key
 
 __all__ = [
+    "stream_session_stats",
     "stream_sketch_build",
     "merged_sketches_from_store",
     "stream_heavy_hitters",

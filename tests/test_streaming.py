@@ -174,3 +174,57 @@ def test_compact_store_preserves_merged_state(spark, events_stream_dir, tmp_path
     assert (after.registers == before.registers).all()
     assert after.estimate() == before.estimate()
     assert after.n_items == 2 * before.n_items
+
+
+def test_stream_session_merges_across_microbatches(spark, tmp_path):
+    """A session whose events arrive in DIFFERENT micro-batches must be
+    emitted as ONE merged session (the state-store merge path), and a
+    session closed in-stream must match the batch operator exactly."""
+    import datetime
+    import time
+
+    from ip_filter_spark.streaming import stream_session_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(*secs):
+        return [(1, t0 + datetime.timedelta(seconds=s)) for s in secs]
+
+    src = str(tmp_path / "src")
+    # file 1: two events of session A; file 2: one MORE event of session
+    # A (within gap) plus session B (far later). maxFilesPerTrigger=1
+    # puts them in separate micro-batches.
+    spark.createDataFrame(rows(0, 100), "user_id long, ts timestamp").coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows(200, 10_000), "user_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    # sentinel far past everything flushes both sessions
+    spark.createDataFrame(rows(10_000_000), "user_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_session_stats(
+        stream, key="user_id", ts="ts", gap="5 minutes", watermark_delay="0 seconds",
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(240), "stream did not finish"
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(
+        (r["start"], r["end"], r["n"])
+        for r in out.select(
+            F.col("session_window.start").cast("long").alias("start"),
+            F.col("session_window.end").cast("long").alias("end"),
+            F.col("n_events").alias("n"),
+        ).collect()
+        if r["start"] < 1704067200 + 10_000_000  # drop the sentinel session
+    )
+    base = 1704067200  # 2024-01-01 UTC
+    # session A: events at 0,100,200 -> [0, 200+300); session B: one event
+    assert got == [(base, base + 500, 3), (base + 10_000, base + 10_300, 1)]
