@@ -395,6 +395,28 @@ FROM e GROUP BY ROLLUP(day, event_type)
 """
 
 
+def salted_event_type_stats(spark, sf_dir):
+    """Two-phase salted aggregation over a genuinely skewed key —
+    event_type has only 5 values, so an unsalted shuffle lands ~20% of
+    the table on single reducers. The salted plan's first exchange is on
+    (event_type, salt): balanced; the second moves 32 partial rows per
+    type. Decimal partials make the result bit-identical to the plain
+    GROUP BY oracle."""
+    from ip_filter_spark.operators.aggregates import salted_group_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_group_stats(
+        ev, keys=["event_type"], entropy=["event_id"], value="value", n_salts=32
+    )
+
+
+SALTED_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def session_window_events(spark, sf_dir):
     """Spark's NATIVE gap-based session operator (F.session_window) —
     the streaming-capable form of operators/sessions.py: groupBy(key,
@@ -1930,6 +1952,7 @@ QUERIES = {
     "events_topk_exact": events_topk_exact,
     "events_daily_counts": events_daily_counts,
     "rollup_event_counts": rollup_event_counts,
+    "salted_event_type_stats": salted_event_type_stats,
     "session_window_events": session_window_events,
     "hash_sample_docs": hash_sample_docs,
     "distinct_users_exact": distinct_users_exact,
@@ -1991,6 +2014,7 @@ ORACLES = {
     "events_topk_exact": EVENTS_TOPK_SQL,
     "events_daily_counts": EVENTS_DAILY_SQL,
     "rollup_event_counts": ROLLUP_EVENTS_SQL,
+    "salted_event_type_stats": SALTED_STATS_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
     "hash_sample_docs": HASH_SAMPLE_SQL,
     "distinct_users_exact": DISTINCT_USERS_SQL,

@@ -147,3 +147,27 @@ def test_minhash_verify_joins_broadcast_pairs(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_salted_agg_two_phase_shape_and_equivalence(spark, sf_dir):
+    """The salted aggregate must plan two Exchanges — the first
+    partitioned by (key, salt) so hot keys spread — and return exactly
+    the unsalted answer (decimal partials make the double sum
+    order-independent)."""
+    from ip_filter_spark.operators.aggregates import salted_group_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = salted_group_stats(ev, keys=["event_type"], entropy=["event_id"], value="value")
+    plan = _plan(out)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    # Catalyst inlines the salt alias as _groupingexpression — assert the
+    # first exchange partitions by (event_type, <salt expr>)
+    assert re.search(r"hashpartitioning\(event_type#\d+, _groupingexpression", plan), plan
+
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
