@@ -240,3 +240,26 @@ def test_asof_join_single_exchange_no_join_node(spark):
     plan = _plan(asof_join(left, right, "user_id", "k", "ts", "rts", ["val", "price"]))
     assert _n_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "session_stats_events", "asof_join_events_orders", "range_join_purchase_windows",
+    "rollup_event_counts", "salted_event_type_stats", "session_window_events",
+])
+def test_new_queries_partitioning_invariant(spark, name):
+    """The answer must not depend on parallelism: same rows at 4 and 17
+    shuffle partitions (17 is prime — no accidental alignment with the
+    4-partition test session)."""
+    from ip_filter_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        key = lambda t: tuple(map(repr, t))  # rollup subtotals contain None
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = sorted(map(tuple, QUERIES[name](spark, sf).collect()), key=key)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, QUERIES[name](spark, sf).collect()), key=key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
