@@ -2000,6 +2000,10 @@ QUERIES = {
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
 }
 
+from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH2_QUERIES)
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
@@ -2061,3 +2065,5 @@ ORACLES = {
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }
+
+ORACLES.update(TPCH2_ORACLES)
