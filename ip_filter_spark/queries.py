@@ -1799,6 +1799,81 @@ def stream_session_equivalence(spark, sf_dir):
     return spark.createDataFrame(rows, "user_id bigint, start_s bigint, end_s bigint, n_events bigint")
 
 
+def stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation under the hard gate,
+    FULL-VALUE: an availableNow append-mode stream over a bounded replay
+    of events runs streaming/sketch_stream.windowed_event_counts (1-hour
+    windows, watermark-bounded state) and must emit exactly the batch
+    per-(hour, event_type) counts and value sums — the oracle is the
+    equivalent date_trunc GROUP BY in DuckDB.
+
+    Replay mechanics (same as stream_session_equivalence): file order is
+    not time order, so the watermark delay covers the full event-time
+    span, and one later-than-everything sentinel row in the mtime-last
+    source file pushes the final watermark past every real window's end;
+    the closing no-data micro-batch then flushes all windows in append
+    mode. The sentinel's own window never closes (the watermark stops
+    short of it) and is filtered by key regardless."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+    import time
+
+    from ip_filter_spark.streaming import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = tempfile.mkdtemp(prefix="ifs_stream_win_")
+    try:
+        src = f"{work}/src"
+        ev.repartition(4).write.parquet(src)
+        time.sleep(1.1)  # sentinel file must sort AFTER the data files by mtime
+        sent = spark.createDataFrame([("__sentinel__", 0.0)], "event_type string, value double").select(
+            (F.lit(mx) + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")).alias("ts"),
+            "event_type",
+            "value",
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        counts = windowed_event_counts(
+            stream, ts_col="ts", key_col="event_type", window="1 hour",
+            watermark=f"{delay_s} seconds",
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start(f"{work}/out", format="parquet")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow windowed stream did not finish in 300 s")
+        out = spark.read.parquet(f"{work}/out").where(F.col("event_type") != "__sentinel__")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start string, event_type string, n bigint, total_value double"
+    )
+
+
+STREAM_WINDOWED_SQL = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
 def stream_mg_heavy_hitters(spark, sf_dir):
     """Streaming Misra–Gries under the hard gate: an availableNow stream
     over events maintains per-batch MG partials in the idempotent
@@ -1998,6 +2073,7 @@ QUERIES = {
     "stream_sketch_equivalence": stream_sketch_equivalence,
     "stream_session_equivalence": stream_session_equivalence,
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
+    "stream_windowed_counts": stream_windowed_counts,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -2063,6 +2139,7 @@ ORACLES = {
     "stream_sketch_equivalence": STREAM_EQUIV_SQL,
     "stream_session_equivalence": SESSION_WINDOW_SQL,
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
+    "stream_windowed_counts": STREAM_WINDOWED_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }
 

@@ -161,7 +161,13 @@ def windowed_event_counts(
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal sum exposed as double: summation order differs
+            # between micro-batch state updates and any batch replica, so a
+            # raw double sum would not be value-hash comparable
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             key_col,
