@@ -764,6 +764,76 @@ FROM documents
 """
 
 
+def curation_pipeline_docs(spark, sf_dir):
+    """End-to-end training-data curation composed as ONE declarative plan:
+    per-doc featurize (chars, whitespace tokens, normalized-content sha)
+    -> quality filter (length + token floors) -> exact dedup on the
+    normalized sha (keep the lowest doc_id; quality docs outrank filtered
+    ones inside a group so a surviving group always keeps a quality doc)
+    -> per-language corpus stats. Two shuffles total at any scale: the
+    dedup window partitions by norm_sha, the final rollup by lang; the
+    featurize stage is pure JVM expressions fused into the scan.
+
+    The whole pipeline is replicated in DuckDB SQL, so the gate checks
+    the composition — filter interacting with dedup interacting with the
+    rollup — not just each stage alone."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("chars"),
+        token_count_expr("text").alias("tokens"),
+        F.sha2(norm, 256).alias("norm_sha"),
+    ).withColumn(
+        "q", (F.col("chars") >= 100) & (F.col("tokens") >= 20)
+    )
+    w = Window.partitionBy("norm_sha").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = feats.withColumn("rn", F.row_number().over(w))
+    keep = F.col("q") & (F.col("rn") == 1)
+    ki = F.when(keep, 1).otherwise(0)
+    g = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum(F.col("q").cast("int")).alias("n_quality"),
+        F.sum(ki).alias("n_kept"),
+        F.sum(ki * F.col("tokens")).alias("total_tokens"),
+        F.sum(ki * F.col("chars")).alias("total_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs_in",
+        "n_quality",
+        "n_kept",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("total_tokens") / F.col("n_kept").cast("double"), 6).alias("mean_tokens"),
+    )
+
+
+CURATION_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang, length(text) AS chars,
+         len({_SQL_TOKENS}) AS tokens,
+         sha256(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_sha,
+         (length(text) >= 100 AND len({_SQL_TOKENS}) >= 20) AS q
+  FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_sha ORDER BY q DESC, doc_id) AS rn
+  FROM feats)
+SELECT lang,
+       COUNT(*) AS n_docs_in,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN q AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN q AND rn = 1 THEN tokens ELSE 0 END) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN q AND rn = 1 THEN chars ELSE 0 END) AS BIGINT) AS total_chars,
+       ROUND(SUM(CASE WHEN q AND rn = 1 THEN tokens ELSE 0 END)
+             / CAST(SUM(CASE WHEN q AND rn = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS mean_tokens
+FROM ranked GROUP BY lang
+"""
+
+
 # =====================================================================
 # LPM over documents-derived paths (flagship: guided == linear == SQL)
 # =====================================================================
@@ -2041,6 +2111,7 @@ QUERIES = {
     "token_stats_by_lang": token_stats_by_lang,
     "quality_by_lang": quality_by_lang,
     "lang_id_counts": lang_id_counts,
+    "curation_pipeline_docs": curation_pipeline_docs,
     "fingerprint_docs": fingerprint_docs,
     "lpm_exact_docs": lpm_exact_docs,
     "lpm_guided_docs": lpm_guided_docs,
@@ -2108,6 +2179,7 @@ ORACLES = {
     "token_stats_by_lang": TOKEN_STATS_SQL,
     "quality_by_lang": QUALITY_SQL,
     "lang_id_counts": _lang_id_sql(),
+    "curation_pipeline_docs": CURATION_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "lpm_exact_docs": LPM_SQL,
     "lpm_guided_docs": LPM_SQL,
