@@ -1128,6 +1128,67 @@ SELECT CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine, CAST(10
 """
 
 
+def fd_embedding_gram(spark, sf_dir):
+    """Frequent Directions matrix sketch under the hard gate: a
+    distributed FD build (per-partition partials -> tree_merge, ~16 KB
+    blobs) approximates the 64x64 Gram matrix of the embeddings table;
+    every coordinate's exact column energy (the e_i directions of the FD
+    guarantee |x^T(A^T A - B^T B)x| <= ||A||_F^2/ell) must be within the
+    sketch's self-reported bound. The exact side is order-independent in
+    BOTH engines: per-element FLOOR(x^2 * 1e8) bigints summed exactly,
+    so the 64 exact_sumsq values are full-value oracle columns, not just
+    booleans. ingested_all pins exactly-once ingestion through the merge
+    tree; trace_shrunk pins the shrinkage invariant trace(B^T B) <=
+    ||A||_F^2."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.matrix import fd_sketch
+
+    ell, dim = 16, 64
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    sk = fd_sketch(emb, "embedding", ell=ell, dim=dim)
+    diag = sk.gram_diag()
+    bound = sk.error_bound()
+    exact = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("coord", "x"))
+        .groupBy("coord")
+        .agg(F.sum(F.floor(F.col("x") * F.col("x") * F.lit(1e8))).alias("sumsq_e8"))
+        .select(
+            "coord",
+            F.round(F.col("sumsq_e8") / F.lit(1e8), 6).alias("exact_sumsq"),
+            "sumsq_e8",
+        )
+        .collect()
+    )
+    slack = bound * 1e-9 + 1e-6
+    ingested_all = bool(sk.n_items == n_rows)
+    trace_shrunk = bool(sk.trace() <= sk.frobsq * (1 + 1e-9) + 1e-6)
+    rows = [
+        (
+            int(r.coord),
+            float(r.exact_sumsq),
+            bool(abs(r.sumsq_e8 / 1e8 - diag[r.coord]) <= bound + slack),
+            ingested_all,
+            trace_shrunk,
+        )
+        for r in sorted(exact, key=lambda r: r.coord)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "coord bigint, exact_sumsq double, within_bound boolean, ingested_all boolean, trace_shrunk boolean",
+    )
+
+
+FD_GRAM_SQL = """
+SELECT i AS coord,
+       ROUND(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE) * 1e8)
+                      AS BIGINT)) / 1e8, 6) AS exact_sumsq,
+       TRUE AS within_bound, TRUE AS ingested_all, TRUE AS trace_shrunk
+FROM embeddings, range(64) t(i)
+GROUP BY i
+"""
+
+
 def embedding_near_dup_exact(spark, sf_dir):
     """All-pairs cosine >= 0.9 — exact O(n^2) formulation (oracle tier;
     the LSH-bucketed variant is the scale path). Guarded: refuses to
@@ -2124,6 +2185,7 @@ QUERIES = {
     "reservoir_sample_events": reservoir_sample_events,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "fd_embedding_gram": fd_embedding_gram,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_pairs_docs": simhash_pairs_docs,
@@ -2191,6 +2253,7 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "reservoir_sample_events": RESERVOIR_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
+    "fd_embedding_gram": FD_GRAM_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
     "simhash_pairs_docs": simhash_sql(max_hamming=3),

@@ -427,3 +427,62 @@ def test_kmv_estimates_and_set_algebra():
     assert whole.to_bytes() == fwd.to_bytes() == rev.to_bytes()
     rt = from_bytes(whole.to_bytes())
     assert (rt.mins == whole.mins).all() and rt.n_items == whole.n_items
+
+
+def test_frequent_directions_bound_merge_and_roundtrip():
+    """FD guarantee: 0 <= x^T A^T A x - x^T B^T B x <= ||A||_F^2 / ell for
+    unit x (Liberty KDD'13), preserved under arbitrary merge trees
+    (Ghashami et al.); serialization roundtrips bit-exactly."""
+    from ip_filter_spark.sketches import FrequentDirections, from_bytes
+
+    rng = np.random.default_rng(7)
+    ell, dim, n = 16, 48, 4000
+    # low-rank structure + noise: FD must capture the dominant subspace
+    A = rng.normal(size=(n, 6)) @ rng.normal(size=(6, dim)) + 0.1 * rng.normal(size=(n, dim))
+
+    sk = FrequentDirections(ell=ell, dim=dim).update_vectors(A)
+    G = A.T @ A
+    bound = sk.error_bound()
+    assert abs(sk.frobsq - np.linalg.norm(A, "fro") ** 2) <= 1e-6 * sk.frobsq
+    assert sk.n_items == n
+    # spectral-norm check (strictly stronger than any single direction)
+    assert np.linalg.norm(G - sk.gram(), 2) <= bound
+    # underestimation property: B^T B never overshoots along any x
+    evals = np.linalg.eigvalsh(G - sk.gram())
+    assert evals.min() >= -1e-6 * bound
+    # trace shrinkage
+    assert sk.trace() <= sk.frobsq * (1 + 1e-12) + 1e-9
+
+    # merge across an uneven split, two different tree shapes (merge is
+    # in-place, so build a fresh partial set per tree)
+    def fresh_parts():
+        return [
+            FrequentDirections(ell=ell, dim=dim).update_vectors(c)
+            for c in np.array_split(A, 7)
+        ]
+
+    parts = fresh_parts()
+    left = parts[0]
+    for p in parts[1:]:
+        left = left.merge(p)
+    pair = fresh_parts()
+    while len(pair) > 1:
+        nxt = []
+        for i in range(0, len(pair) - 1, 2):
+            nxt.append(pair[i].merge(pair[i + 1]))
+        if len(pair) % 2:
+            nxt.append(pair[-1])
+        pair = nxt
+    for m in (left, pair[0]):
+        assert m.n_items == n
+        assert abs(m.frobsq - sk.frobsq) <= 1e-6 * sk.frobsq
+        assert np.linalg.norm(G - m.gram(), 2) <= m.error_bound()
+
+    # roundtrip is bit-exact
+    rt = from_bytes(sk.to_bytes())
+    assert np.array_equal(rt.b, sk.b) and rt.nbuf == sk.nbuf
+    assert rt.frobsq == sk.frobsq and rt.n_items == sk.n_items
+
+    # misuse guard: FD is a vector sketch
+    with pytest.raises(TypeError):
+        sk.update_hashes(np.zeros(4, dtype=np.uint64))
