@@ -223,6 +223,10 @@ WORKLOADS = {
     "rollup_event_counts": _timed_query("rollup_event_counts"),
     "kmv_user_overlap": _timed_query("kmv_user_overlap"),
     "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
+    "q4_order_priority_exists": _timed_query("q4_order_priority_exists"),
+    "q9_product_profit": _timed_query("q9_product_profit"),
+    "curation_pipeline_docs": _timed_query("curation_pipeline_docs"),
+    "fd_embedding_gram": _timed_query("fd_embedding_gram"),
 }
 
 

@@ -171,3 +171,42 @@ def test_salted_agg_two_phase_shape_and_equivalence(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_q4_exists_is_semi_join_not_nested_loop(spark, sf_dir):
+    """The EXISTS decorrelation must keep the equi key as the join key:
+    a semi join (broadcast or sort-merge), never BroadcastNestedLoopJoin,
+    with the date predicate as a post-join condition."""
+    from ip_filter_spark.queries_tpch import q4_order_priority_exists
+
+    plan = _plan(q4_order_priority_exists(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_curation_pipeline_two_exchanges(spark, sf_dir):
+    """featurize -> filter -> dedup window -> rollup compiles to exactly
+    two Exchanges (norm_sha window, lang aggregate) with a map-side
+    partial aggregate before the second."""
+    from ip_filter_spark.queries import curation_pipeline_docs
+
+    plan = _plan(curation_pipeline_docs(spark, sf_dir))
+    # count plan nodes (the "(N) Exchange" detail lines), not tree+detail
+    # duplicates
+    n_exchange = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    )
+    assert n_exchange == 2, plan
+    assert "Window" in plan, plan
+
+
+def test_fd_partials_shuffle_free(spark, sf_dir):
+    """FD partials ride the scan partitioning: no Exchange before the
+    python stage (the merge tree is where blobs move)."""
+    from ip_filter_spark.operators.matrix import fd_partials
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(fd_partials(emb, "embedding", ell=8, dim=64))
+    assert "Exchange" not in plan, plan
