@@ -1528,6 +1528,41 @@ FROM events GROUP BY event_type
 """
 
 
+def cms_join_size_events_orders(spark, sf_dir):
+    """Join-cardinality estimation WITHOUT running the join: two CMS
+    sketches built independently over events.user_id and orders.o_custkey
+    (same params -> same hash family), inner product = row-wise dot
+    products, min over rows (Cormode & Muthukrishnan SS4.2). The gate
+    compares against the exact |events JOIN orders| computed by both
+    engines (full-value column) and pins the published guarantees: the
+    estimate never underestimates, and overshoots by at most
+    (e/w)*N1*N2. At 100 TB this replaces a fact-fact shuffle with two
+    independent scans + one KB-scale blob merge — the planner's
+    join-size oracle."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    eps, delta = 1e-4, 1e-3
+    spec = SketchSpec("cms", {"eps": eps, "delta": delta})
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    cms_e = build_and_merge(ev, [spec], key=F.col("user_id").cast("string"))[spec.key()]
+    cms_o = build_and_merge(o, [spec], key=F.col("o_custkey").cast("string"))[spec.key()]
+    est = cms_e.inner_product(cms_o)
+    bound = cms_e.inner_product_bound(cms_o)
+    exact = ev.join(o, ev.user_id == o.o_custkey).count()
+    return spark.createDataFrame(
+        [(int(exact), bool(est >= exact), bool(est - exact <= bound))],
+        "exact_join_size long, never_underestimates boolean, within_bound boolean",
+    )
+
+
+CMS_JOIN_SIZE_SQL = """
+SELECT (SELECT COUNT(*) FROM events JOIN orders ON user_id = o_custkey) AS exact_join_size,
+       TRUE AS never_underestimates, TRUE AS within_bound
+"""
+
+
 def _quantile_sketch_query(spark, sf_dir, kind: str, rank_bound: float):
     """Shared shape for KLL / t-digest: exact quantile values (SQL twin)
     + a boolean that the sketch estimate's NORMALIZED RANK is within
@@ -2005,6 +2040,61 @@ GROUP BY window_start, event_type
 """
 
 
+def stream_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup under the hard gate: the documents table is
+    replayed TWICE (two file sets, maxFilesPerTrigger=1, so every doc
+    arrives again in a later micro-batch) through
+    streaming/dedup.stream_exact_dedup; the dropDuplicates state must
+    emit each content sha exactly once. n_unique is a full-value oracle
+    column (= batch COUNT(DISTINCT sha256(text))); no per-key breakdown
+    on purpose — WHICH copy of a cross-source duplicate survives is
+    first-arrival (nondeterministic under file scheduling), the COUNT of
+    survivors is not. all_rows_ingested proves both copies actually
+    flowed through the query (recentProgress row counts — the dropped
+    second copy is otherwise indistinguishable from an unread one);
+    multi_batch proves the state crossed micro-batch boundaries."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.streaming import stream_exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", F.sha2("text", 256).alias("sha"))
+    n_docs = d.count()
+    work = tempfile.mkdtemp(prefix="ifs_stream_dedup_")
+    try:
+        src = f"{work}/src"
+        d.repartition(4).write.parquet(src)
+        d.repartition(4).write.mode("append").parquet(src)  # the duplicate replay
+        stream = (
+            spark.readStream.schema("doc_id bigint, source string, sha string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_exact_dedup(
+            stream, ["sha"], out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow dedup stream did not finish in 300 s")
+        ingested = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        n_batches = sum(1 for p in (q.recentProgress or []) if p["numInputRows"])
+        n_unique = spark.read.parquet(f"{work}/out").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_unique), bool(ingested == 2 * n_docs), bool(n_batches >= 2))],
+        "n_unique long, all_rows_ingested boolean, multi_batch boolean",
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT COUNT(DISTINCT sha256(text)) AS n_unique,
+       TRUE AS all_rows_ingested, TRUE AS multi_batch
+FROM documents
+"""
+
+
 def stream_mg_heavy_hitters(spark, sf_dir):
     """Streaming Misra–Gries under the hard gate: an availableNow stream
     over events maintains per-batch MG partials in the idempotent
@@ -2192,6 +2282,7 @@ QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
     "cms_event_counts": cms_event_counts,
+    "cms_join_size_events_orders": cms_join_size_events_orders,
     "kll_price_quantiles": kll_price_quantiles,
     "tdigest_price_quantiles": tdigest_price_quantiles,
     "bloom_membership": bloom_membership,
@@ -2207,6 +2298,7 @@ QUERIES = {
     "stream_session_equivalence": stream_session_equivalence,
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_dedup_docs": stream_dedup_docs,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -2260,6 +2352,7 @@ ORACLES = {
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
     "cms_event_counts": CMS_SQL,
+    "cms_join_size_events_orders": CMS_JOIN_SIZE_SQL,
     "kll_price_quantiles": QUANTILE_BOUND_SQL,
     "tdigest_price_quantiles": QUANTILE_BOUND_SQL,
     "bloom_membership": BLOOM_SQL,
@@ -2275,6 +2368,7 @@ ORACLES = {
     "stream_session_equivalence": SESSION_WINDOW_SQL,
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "stream_windowed_counts": STREAM_WINDOWED_SQL,
+    "stream_dedup_docs": STREAM_DEDUP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }
 

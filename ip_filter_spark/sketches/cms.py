@@ -68,6 +68,17 @@ class CountMinSketch(Sketch):
         """Additive overestimate bound eps*N (holds w.p. >= 1-delta)."""
         return (e / self.w) * self.n_items
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate a.b (Cormode & Muthukrishnan
+        §4.2): row-wise dot products, min over rows. Never underestimates;
+        overshoot <= (e/w) * N_a * N_b with probability >= 1 - delta.
+        Requires identical (w, d) so both tables use the same hash family."""
+        assert self.w == other.w and self.d == other.d, "incompatible CMS params"
+        return int(np.einsum("ij,ij->i", self.table, other.table).min())
+
+    def inner_product_bound(self, other: "CountMinSketch") -> float:
+        return (e / self.w) * self.n_items * other.n_items
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         assert self.w == other.w and self.d == other.d
         self.table += other.table

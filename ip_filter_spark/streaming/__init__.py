@@ -5,6 +5,7 @@ from ip_filter_spark.streaming.sketch_stream import (
     stream_sketch_build,
     windowed_event_counts,
 )
+from ip_filter_spark.streaming.dedup import stream_exact_dedup
 from ip_filter_spark.streaming.sessions import stream_session_stats
 from ip_filter_spark.streaming.stateful import running_distinct_by_key
 
@@ -16,4 +17,5 @@ __all__ = [
     "merged_heavy_hitters",
     "windowed_event_counts",
     "running_distinct_by_key",
+    "stream_exact_dedup",
 ]

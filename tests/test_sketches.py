@@ -486,3 +486,29 @@ def test_frequent_directions_bound_merge_and_roundtrip():
     # misuse guard: FD is a vector sketch
     with pytest.raises(TypeError):
         sk.update_hashes(np.zeros(4, dtype=np.uint64))
+
+
+def test_cms_inner_product_join_size():
+    """CMS inner product (C&M SS4.2): never underestimates a.b, overshoot
+    <= (e/w)*N1*N2."""
+    rng = np.random.default_rng(11)
+    a_keys = rng.integers(0, 200, size=20_000).astype(np.uint64)
+    b_keys = rng.integers(100, 400, size=5_000).astype(np.uint64)
+    # true inner product of frequency vectors = join size on the key
+    ca = np.bincount(a_keys.astype(int), minlength=400)
+    cb = np.bincount(b_keys.astype(int), minlength=400)
+    true_ip = int((ca * cb).sum())
+
+    from ip_filter_spark.sketches.hashing import rehash
+
+    ha = rehash(a_keys, 99)  # hash the raw ints into the 64-bit key space
+    hb = rehash(b_keys, 99)
+    A = CountMinSketch(eps=1e-3, delta=1e-3).update_hashes(ha)
+    B = CountMinSketch(eps=1e-3, delta=1e-3).update_hashes(hb)
+    est = A.inner_product(B)
+    assert est >= true_ip
+    assert est - true_ip <= A.inner_product_bound(B)
+
+    # incompatible params fail loudly
+    with pytest.raises(AssertionError):
+        A.inner_product(CountMinSketch(eps=1e-2, delta=1e-3))

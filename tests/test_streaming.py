@@ -228,3 +228,30 @@ def test_stream_session_merges_across_microbatches(spark, tmp_path):
     base = 1704067200  # 2024-01-01 UTC
     # session A: events at 0,100,200 -> [0, 200+300); session B: one event
     assert got == [(base, base + 500, 3), (base + 10_000, base + 10_300, 1)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicates arriving inside the
+    watermark window are caught; state is evictable (the bounded-state
+    mode for unbounded streams)."""
+    from ip_filter_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    rows = [(k, f"2024-01-01 00:{m:02d}:00") for m in range(10) for k in ("a", "b")]
+    df = spark.createDataFrame(rows, "k string, ts string")
+    # duplicate every row in a second file set, same event times
+    df.repartition(2).write.parquet(src)
+    df.repartition(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, ts string").option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_exact_dedup(
+        stream,
+        ["k", "ts"],
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        within_watermark=("ts", "2 hours"),
+    )
+    assert q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # every (k, minute) emitted exactly once despite arriving twice
+    assert out.count() == 20
+    assert out.groupBy("k", "ts").count().where("count > 1").count() == 0
