@@ -225,6 +225,7 @@ WORKLOADS = {
     "bloom_semijoin_customers": _timed_query("bloom_semijoin_customers"),
     "q4_order_priority_exists": _timed_query("q4_order_priority_exists"),
     "q9_product_profit": _timed_query("q9_product_profit"),
+    "q21_waiting_suppliers": _timed_query("q21_waiting_suppliers"),
     "curation_pipeline_docs": _timed_query("curation_pipeline_docs"),
     "fd_embedding_gram": _timed_query("fd_embedding_gram"),
 }

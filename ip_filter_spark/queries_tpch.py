@@ -1,9 +1,11 @@
-"""TPC-H-shaped relational gates, batch 2: the decorrelation / anti-join /
-disjunctive-pushdown patterns the first batch (queries.py q1..q15) does not
-exercise. Adapted to the trimmed testdata schemas (no partsupp table — the
-distinct (l_partkey, l_suppkey) projection of lineitem stands in for it; no
-l_commitdate/l_receiptdate — "shipped more than 30 days after the order
-date" stands in for the late-delivery predicate).
+"""TPC-H-shaped relational gates, batches 2+3: the decorrelation /
+anti-join / disjunctive-pushdown patterns the first batch (queries.py
+q1..q15) does not exercise. With q2/q11/q12/q20/q21 here, every one of the
+22 TPC-H query patterns has a gated analog. Adapted to the trimmed testdata
+schemas (no partsupp table — the distinct (l_partkey, l_suppkey) projection
+of lineitem stands in for it; no l_commitdate/l_receiptdate — "shipped more
+than N days after the order date" stands in for the late-delivery
+predicate; no l_shipmode — l_returnflag classes stand in for q12's modes).
 
 Same determinism discipline as queries.py: exact decimal sums exposed as
 double, ratios as one final division over identical doubles, identical
@@ -460,7 +462,306 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------
+# Q2 shape: correlated MIN subquery (cheapest supplier per part) ->
+# per-part min + equality join-back, deterministic tie-break.
+# ---------------------------------------------------------------------
+def q2_min_cost_supplier(spark, sf_dir):
+    """For STANDARD parts under size 25, the ASIA supplier with the lowest
+    account balance (the trimmed schema's supply-cost stand-in) among those
+    who actually supply the part (distinct lineitem pairs = the partsupp
+    proxy). The correlated MIN decorrelates into a per-part MIN aggregate
+    joined back on (partkey, balance) equality; ties break on MIN(suppkey)
+    so the answer is deterministic. part and the region-filtered supplier
+    both broadcast; the partsupp-proxy distinct is the one big shuffle,
+    and the min/join-back reuse its partkey partitioning. Balance equality
+    is exact: both sides compare the same stored float, never a
+    recomputed expression."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 25))
+        .select("p_partkey", "p_name", "p_size")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sup = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
+        F.broadcast(s), ps.l_suppkey == F.col("s_suppkey")
+    )
+    min_bal = sup.groupBy(F.col("p_partkey").alias("mb_key")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    best = (
+        sup.join(
+            F.broadcast(min_bal),
+            (sup.p_partkey == F.col("mb_key")) & (sup.s_acctbal == F.col("min_bal")),
+        )
+        .groupBy("p_partkey", "p_name", "p_size", "min_bal")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+    )
+    return (
+        best.join(F.broadcast(s.select("s_suppkey", "s_name", "n_name")), "s_suppkey")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("min_bal").alias("s_acctbal"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH sup AS (
+  SELECT p_partkey, p_name, p_size, s_suppkey, s_name, s_acctbal, n_name
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size < 25 AND r_name = 'ASIA'),
+m AS (SELECT p_partkey AS mb_key, MIN(s_acctbal) AS min_bal FROM sup GROUP BY 1),
+b AS (
+  SELECT p_partkey, p_name, p_size, min_bal, MIN(s_suppkey) AS s_suppkey
+  FROM sup JOIN m ON p_partkey = mb_key AND s_acctbal = min_bal
+  GROUP BY 1, 2, 3, 4)
+SELECT b.p_partkey, b.p_name, b.p_size, b.s_suppkey, s.s_name, s.n_name,
+       b.min_bal AS s_acctbal
+FROM b JOIN (SELECT DISTINCT s_suppkey, s_name, n_name FROM sup) s
+  ON b.s_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------
+# Q11 shape: grouped value filtered against a scalar aggregate of the
+# SAME derived table (important stock). The threshold comparison is done
+# in exact integer cents (value*10^4) so no double summation order or
+# decimal-division rounding can flip a borderline group between engines.
+# ---------------------------------------------------------------------
+def q11_important_parts(spark, sf_dir):
+    """Parts whose shipped value (sum of extendedprice*quantity over
+    solvent suppliers' lines) exceeds twice the mean part value. The
+    scalar subquery over the same aggregate becomes a one-row broadcast
+    cross join; the filter `value_cents * n_parts > 2 * total_cents`
+    stays in BIGINT so both engines evaluate the identical integers.
+    supplier broadcasts; the per-part group is the one shuffle and
+    partial-aggregates map-side at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") >= 0).select("s_suppkey")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    v = (
+        li.join(F.broadcast(sv), li.l_suppkey == sv.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(val.cast("decimal(18,4)")) * 10000).cast("bigint").alias("value_cents")
+        )
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
+    )
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select("l_partkey", (F.col("value_cents") / 10000.0).alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+  GROUP BY l_partkey),
+t AS (SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM v)
+SELECT l_partkey, value_cents / 10000.0 AS part_value
+FROM v, t
+WHERE value_cents * n_parts > 2 * total_cents
+"""
+
+
+# ---------------------------------------------------------------------
+# Q12 shape: fact-fact join + dual conditional counts per class (the
+# trimmed schema has no l_shipmode; l_returnflag is the class column and
+# ">45 days after order date" the late predicate).
+# ---------------------------------------------------------------------
+def q12_late_lines_by_flag(spark, sf_dir):
+    """Per return flag, how many 1997-shipped late lines belong to
+    critical (URGENT/HIGH) vs other orders. One shuffle joining the
+    pruned lineitem scan to orders on orderkey; the two counts are
+    CASE-conditional sums in a single aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------
+# Q20 shape: nested semi-join chain with a correlated aggregate
+# threshold (suppliers with excess stock of a named part family).
+# ---------------------------------------------------------------------
+def q20_excess_suppliers(spark, sf_dir):
+    """Solvent suppliers who shipped more than 30% of their all-time
+    quantity of bolt parts during 1997. The correlated threshold
+    (per-pair 1997 quantity vs total quantity) is one grouped aggregate
+    with a conditional partial — no second scan — and the comparison is
+    exact integer deci-units (qty*10) so no float ratio is evaluated.
+    The qualifying pair set semi-joins supplier via a broadcast of the
+    DISTINCT suppkeys (bounded by |supplier|, tiny)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
+    )
+    qty_d = F.col("l_quantity").cast("decimal(18,4)")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(F.when(in97, qty_d).otherwise(F.lit(0).cast("decimal(18,4)"))) * 10)
+        .cast("bigint")
+        .alias("qty97_deci"),
+        (F.sum(qty_d) * 10).cast("bigint").alias("qty_total_deci"),
+    )
+    excess = (
+        pairs.where(F.col("qty97_deci") * 10 > 3 * F.col("qty_total_deci"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_acctbal > 0
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate < TIMESTAMP '1998-01-01'
+                           THEN CAST(l_quantity AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) * 10 AS BIGINT)
+               AS qty97_deci,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10 AS BIGINT)
+               AS qty_total_deci
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      GROUP BY l_partkey, l_suppkey)
+    WHERE qty97_deci * 10 > 3 * qty_total_deci)
+"""
+
+
+# ---------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS self-joins on the fact table (suppliers
+# who kept multi-supplier orders waiting). The oracle keeps the literal
+# EXISTS/NOT EXISTS form; the Spark plan decorrelates both into one
+# per-order aggregate — the scalable rewrite.
+# ---------------------------------------------------------------------
+def q21_waiting_suppliers(spark, sf_dir):
+    """Suppliers who were the SOLE late supplier (>60 days after order
+    date) on a finalized multi-supplier order, with the number of such
+    orders. EXISTS(another supplier on the order) becomes
+    n_suppliers > 1; NOT EXISTS(another LATE supplier) becomes
+    n_late_suppliers = 1 (the late row's own supplier is late, so
+    'exactly one' == 'no other'). Both counts come from ONE per-order
+    aggregate over the joined fact — no self-joins of lineitem at scale;
+    the orderkey shuffle is reused by the aggregate and the join-back.
+    supplier broadcasts for the name."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.where(late)
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            F.col("l_orderkey") == F.col("po_key"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
 TPCH2_QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_lines_by_flag": q12_late_lines_by_flag,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q4_order_priority_exists": q4_order_priority_exists,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -473,6 +774,11 @@ TPCH2_QUERIES = {
 }
 
 TPCH2_ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_late_lines_by_flag": Q12_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q4_order_priority_exists": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,

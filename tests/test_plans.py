@@ -210,3 +210,38 @@ def test_fd_partials_shuffle_free(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(fd_partials(emb, "embedding", ell=8, dim=64))
     assert "Exchange" not in plan, plan
+
+
+def test_q21_decorrelates_without_self_join_nested_loop(spark, sf_dir):
+    """The EXISTS/NOT EXISTS pair must become ONE per-order aggregate
+    joined back on orderkey — no nested-loop and no second fact-fact
+    sort-merge beyond the lineitem->orders equi joins."""
+    from ip_filter_spark.queries_tpch import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashAggregate" in plan, plan  # the decorrelated per-order counts
+
+
+def test_q2_and_q20_semi_chain_broadcasts(spark, sf_dir):
+    """q2's min-join-back and q20's qualifying-supplier semi join must
+    both resolve as broadcasts (candidate sets are dimension-bounded),
+    never nested loops."""
+    from ip_filter_spark.queries_tpch import q2_min_cost_supplier, q20_excess_suppliers
+
+    for fn in (q2_min_cost_supplier, q20_excess_suppliers):
+        plan = _plan(fn(spark, sf_dir))
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q11_threshold_is_single_row_broadcast(spark, sf_dir):
+    """The scalar-subquery threshold is a one-row broadcast cross join;
+    the only other joins are broadcast hash joins (solvent-supplier
+    filter), and the integer-cents comparison shows up as a post-join
+    Filter, not a second aggregate pass."""
+    from ip_filter_spark.queries_tpch import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the one-row threshold
+    assert "SortMergeJoin" not in plan, plan
