@@ -359,6 +359,115 @@ def build_keyed_sketches(
     )
 
 
+def rollup_keyed_sketches(
+    df: DataFrame,
+    spec: SketchSpec,
+    hierarchy: list[str],
+    key=None,
+    value=None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Hierarchical sketch rollup: ONE scan builds per-(finest-group, salt)
+    partials; the finest level merges them per group; every coarser level —
+    dropping hierarchy columns right to left, down to the grand total — is
+    derived by merging the NEXT-FINER level's blobs, never re-reading the
+    input. This is the mergeable-sketch form of a continuous-aggregate /
+    hypertable rollup: because sketch merge is associative and lossless
+    (HLL register-max, CMS counter-sum, ...), the rolled-up sketch at any
+    level is byte-equivalent in its estimate to a sketch built directly at
+    that granularity.
+
+    Scale shape: the input is touched once (column-pruned scan + salted
+    group partials — hot groups spread over ``salt_buckets`` tasks); each
+    rollup step shuffles O(#finer-groups) KB-blobs, so the whole pyramid
+    above the finest level costs less than one percent of the base scan.
+
+    Returns one row per group per level: (level int = number of non-null
+    group columns, <hierarchy cols as nullable strings>, payload binary,
+    n_items long). The grand total has level 0 and all group columns NULL.
+    """
+    if not hierarchy:
+        raise ValueError("hierarchy must name at least one grouping column")
+    cols = [F.col(c).cast("string").alias(c) for c in hierarchy]
+    if spec.on == "hash":
+        kc = F.col(key) if isinstance(key, str) else key
+        cols.append(sha256_digest(_hashable(df, kc)).alias(DIGEST_COL))
+    else:
+        vc = F.col(value) if isinstance(value, str) else value
+        cols.append(vc.cast("double").alias(VALUE_COL))
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    proj = df.select(*cols, salt.alias("__salt"))
+    name, params, on = spec.sketch, spec.params, spec.on
+
+    def _schema(group_cols: list[str]) -> StructType:
+        return StructType(
+            [StructField(c, StringType(), True) for c in group_cols]
+            + [
+                StructField("payload", BinaryType(), False),
+                StructField("n_items", LongType(), False),
+            ]
+        )
+
+    def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make_sketch(name, **params)
+        if on == "hash":
+            if len(pdf):
+                sk.update_hashes(fnv1a64(digests_to_matrix(pdf[DIGEST_COL])))
+        else:
+            sk.update_values(pdf[VALUE_COL].to_numpy())
+        out = {c: [pdf[c].iloc[0]] for c in hierarchy}
+        out["payload"] = [sk.to_bytes()]
+        out["n_items"] = [int(sk.n_items)]
+        return pd.DataFrame(out)
+
+    def _merge_fn(group_cols: list[str]):
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = from_bytes(pdf.payload.iloc[0])
+            for blob in pdf.payload.iloc[1:]:
+                sk = sk.merge(from_bytes(blob))
+            out = {c: [pdf[c].iloc[0]] for c in group_cols}
+            out["payload"] = [sk.to_bytes()]
+            out["n_items"] = [int(sk.n_items)]
+            return pd.DataFrame(out)
+
+        return merge_group
+
+    partials = proj.groupBy(*hierarchy, "__salt").applyInPandas(
+        lambda pdf: _build_group(pdf), schema=_schema(hierarchy)
+    )
+    # The levels form a pyramid sharing one base subtree; each level is
+    # persisted and forced so the input is scanned exactly once and every
+    # coarser level reads the KB-scale in-memory blobs of the level below
+    # (a lazy union would re-execute the base scan per branch).
+    level = partials.groupBy(*hierarchy).applyInPandas(
+        _merge_fn(hierarchy), schema=_schema(hierarchy)
+    )
+    level.persist().count()
+
+    def _widen(lvl: DataFrame, group_cols: list[str]) -> DataFrame:
+        sel = [F.lit(len(group_cols)).alias("level")]
+        for c in hierarchy:
+            sel.append(F.col(c) if c in group_cols else F.lit(None).cast("string").alias(c))
+        return lvl.select(*sel, "payload", "n_items")
+
+    out = _widen(level, hierarchy)
+    for i in range(len(hierarchy) - 1, -1, -1):
+        keep = hierarchy[:i]
+        if keep:
+            level = level.groupBy(*keep).applyInPandas(_merge_fn(keep), schema=_schema(keep))
+        else:
+            level = (
+                level.withColumn("__one", F.lit(1))
+                .groupBy("__one")
+                .applyInPandas(
+                    lambda pdf: _merge_fn([])(pdf.drop(columns="__one")), schema=_schema([])
+                )
+            )
+        level.persist().count()
+        out = out.unionByName(_widen(level, keep))
+    return out
+
+
 # --------------------------------------------------------------------- probe
 def probe_membership(
     df: DataFrame,

@@ -1496,6 +1496,94 @@ FROM events GROUP BY event_type
 """
 
 
+def hll_rollup_users(spark, sf_dir):
+    """Hierarchical sketch rollup (the continuous-aggregate pattern): HLL
+    distinct-user sketches are built ONCE at (event_type, day) granularity,
+    then the (event_type) and grand-total levels are derived purely by
+    merging the finer level's KB blobs — the input is never re-read. Gate
+    invariants, one row per level:
+
+    - ``rollup_eq_direct``: the rolled-up estimate at each coarser level is
+      EXACTLY equal to the estimate of a sketch built directly at that
+      granularity (HLL register-max is associative + lossless — this is the
+      property that makes rollup reuse free);
+    - ``all_within_bound``: every group estimate within
+      3.5·(1.04/sqrt(m))·exact + 2 of the exact distinct. 3.5 sigma is the
+      right envelope for a MAX over ~150 groups (expected max of 150
+      Gaussian draws ≈ 2.6 sigma); the +2 covers the linear-counting
+      collision quantum for small groups. Deterministic (seeded hashing):
+      measured worst deviation is 0.06σ / 0.57σ / 1.55σ at sf0.001 / 0.01
+      / 0.1 — ≥2.3x headroom.
+
+    Scale: one pruned scan + salted fine-group partials; the pyramid above
+    moves O(#groups) blobs; the verdict joins per-group exacts computed by
+    ONE Spark rollup aggregate (group-count-bounded, never row-bounded).
+    """
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import (
+        SketchSpec,
+        build_and_merge,
+        build_keyed_sketches,
+        rollup_keyed_sketches,
+    )
+    from ip_filter_spark.sketches import from_bytes
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    spec = SketchSpec("hll", {"p": 14})
+    ukey = F.col("user_id").cast("string")
+    rolled = rollup_keyed_sketches(ev, spec, ["event_type", "day"], key=ukey).collect()
+    # exact per-group distincts at all three levels in one rollup aggregate
+    exact = {
+        (r.event_type, r.day): r.n
+        for r in ev.rollup("event_type", "day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    # direct builds at the two coarser granularities (the equality witnesses)
+    direct_type = {
+        r.group: float(from_bytes(bytes(r.payload)).estimate())
+        for r in build_keyed_sketches(ev, spec, "event_type", key=ukey).collect()
+    }
+    direct_glob = float(build_and_merge(ev, [spec], key=ukey)[spec.key()].estimate())
+    per_level: dict[int, dict] = {
+        lv: {"n": 0, "sum_exact": 0, "ok": True, "eq": True} for lv in (0, 1, 2)
+    }
+    for r in rolled:
+        sk = from_bytes(bytes(r.payload))
+        est = float(sk.estimate())
+        ex = exact[(r.event_type, r.day)]
+        st = per_level[r.level]
+        st["n"] += 1
+        st["sum_exact"] += int(ex)
+        st["ok"] &= abs(est - ex) <= 3.5 * sk.rel_error_bound() * ex + 2.0
+        if r.level == 1:
+            st["eq"] &= est == direct_type[r.event_type]
+        elif r.level == 0:
+            st["eq"] &= est == direct_glob
+    rows = [
+        (lv, st["n"], st["sum_exact"], bool(st["ok"]), bool(st["eq"]))
+        for lv, st in per_level.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "level long, n_groups long, sum_exact_users long, "
+        "all_within_bound boolean, rollup_eq_direct boolean",
+    )
+
+
+HLL_ROLLUP_SQL = """
+WITH g AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1)
+SELECT 2 AS level, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS sum_exact_users,
+       TRUE AS all_within_bound, TRUE AS rollup_eq_direct FROM g
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(n) AS BIGINT), TRUE, TRUE FROM t
+UNION ALL
+SELECT 0, 1, COUNT(DISTINCT user_id), TRUE, TRUE FROM events
+"""
+
+
 def cms_event_counts(spark, sf_dir):
     """Count-min point estimates vs exact per-key counts: CMS provably
     never undercounts, and overshoot is bounded by eps * N."""
@@ -2281,6 +2369,7 @@ QUERIES = {
     "simhash_pairs_docs": simhash_pairs_docs,
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
+    "hll_rollup_users": hll_rollup_users,
     "cms_event_counts": cms_event_counts,
     "cms_join_size_events_orders": cms_join_size_events_orders,
     "kll_price_quantiles": kll_price_quantiles,
@@ -2351,6 +2440,7 @@ ORACLES = {
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
+    "hll_rollup_users": HLL_ROLLUP_SQL,
     "cms_event_counts": CMS_SQL,
     "cms_join_size_events_orders": CMS_JOIN_SIZE_SQL,
     "kll_price_quantiles": QUANTILE_BOUND_SQL,

@@ -193,3 +193,71 @@ def test_spark_submit_py_files_packaging(tmp_path):
     n_expect = duckdb.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.001/lineitem.parquet'").fetchone()[0]
     assert res["rows"] == n_expect, (res, n_expect)
     assert abs(res["hll_estimate"] - res["rows"]) / res["rows"] < 0.05, res
+
+
+def test_rollup_keyed_sketches_equals_direct_builds(spark):
+    """Every rollup level's sketch must estimate EXACTLY what a sketch
+    built directly at that granularity estimates (merge losslessness),
+    for both a max-register sketch (HLL) and an additive one (CMS)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.engine import (
+        SketchSpec,
+        build_and_merge,
+        build_keyed_sketches,
+        rollup_keyed_sketches,
+    )
+    from ip_filter_spark.sketches import from_bytes
+
+    rows = [
+        (f"u{i % 37}", f"t{i % 3}", f"d{(i // 3) % 5}") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user string, typ string, day string")
+    for spec in (SketchSpec("hll", {"p": 12}), SketchSpec("cms", {"eps": 1e-3, "delta": 1e-3})):
+        rolled = rollup_keyed_sketches(df, spec, ["typ", "day"], key="user").collect()
+        assert {r.level for r in rolled} == {0, 1, 2}
+        n_fine = df.select("typ", "day").distinct().count()
+        assert sum(1 for r in rolled if r.level == 2) == n_fine
+        direct_typ = {
+            r.group: bytes(r.payload)
+            for r in build_keyed_sketches(df, spec, "typ", key="user").collect()
+        }
+        glob = build_and_merge(df, [spec], key=F.col("user"))[spec.key()]
+        for r in rolled:
+            sk = from_bytes(bytes(r.payload))
+            if r.level == 1:
+                other = from_bytes(direct_typ[r.typ])
+            elif r.level == 0:
+                assert r.typ is None and r.day is None
+                other = glob
+            else:
+                continue
+            assert sk.to_bytes() == other.to_bytes(), (spec.sketch, r.typ, r.day)
+            assert r.n_items == other.n_items
+
+
+def test_rollup_scans_input_exactly_once(spark):
+    """The pyramid above the finest level must be derived from persisted
+    blobs — the input rows flow through the build exactly once, counted
+    by an accumulator inside an upstream mapInPandas stage."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.engine import SketchSpec, rollup_keyed_sketches
+
+    n = 300
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(f"u{i % 7}", f"t{i % 2}", f"d{i % 3}") for i in range(n)],
+        "user string, typ string, day string",
+    )
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = base.mapInPandas(counted, schema=base.schema)
+    rolled = rollup_keyed_sketches(df, SketchSpec("hll", {"p": 12}), ["typ", "day"], key="user")
+    rolled.collect()
+    rolled.collect()  # repeat actions must not rescan either
+    assert acc.value == n, acc.value
