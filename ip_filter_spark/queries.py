@@ -2128,6 +2128,81 @@ GROUP BY window_start, event_type
 """
 
 
+def stream_range_join_equivalence(spark, sf_dir):
+    """Stream-stream interval join under the hard gate, FULL-VALUE: two
+    availableNow streams (purchases, clicks/views replayed from disjoint
+    file sets, one file per micro-batch so matches genuinely cross
+    micro-batch state) run streaming/joins.stream_interval_join and must
+    emit exactly the batch interval join — the oracle is the SAME DuckDB
+    BETWEEN-join SQL that gates the batch operator
+    (range_join_purchase_windows).
+
+    Inner stream-stream joins emit on match, not on watermark, so no
+    sentinel is needed; the full-span watermark delay only reflects that
+    replay file order is not time order (production uses the stream's
+    real disorder bound and gets bounded state). Timestamps are floored
+    to whole seconds on BOTH sides before the join so the stream
+    condition and the oracle's integer BETWEEN agree on boundaries."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", sec.cast("timestamp").alias("c_ts"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        sec.cast("timestamp").alias("p_ts"),
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay = f"{int((mx - mn).total_seconds()) + 3601} seconds"
+    work = tempfile.mkdtemp(prefix="ifs_stream_rj_")
+    try:
+        clicks.repartition(3).write.parquet(f"{work}/clicks")
+        purchases.repartition(3).write.parquet(f"{work}/purchases")
+        cs = (
+            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/clicks")
+        )
+        ps = (
+            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/purchases")
+        )
+        q = stream_interval_join(
+            cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
+            upper_s=3600, watermark_left=delay, watermark_right=delay,
+            out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream-stream join did not finish in 300 s")
+        out = spark.read.parquet(f"{work}/out").select(
+            "event_id",
+            "user_id",
+            F.col("c_ts").cast("long").alias("ts_s"),
+            "event_type",
+            "purchase_id",
+            F.col("p_ts").cast("long").alias("purchase_s"),
+            (F.col("c_ts").cast("long") - F.col("p_ts").cast("long")).alias("delay_s"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts_s bigint, event_type string, "
+        "purchase_id bigint, purchase_s bigint, delay_s bigint",
+    )
+
+
 def stream_dedup_docs(spark, sf_dir):
     """Streaming exact dedup under the hard gate: the documents table is
     replayed TWICE (two file sets, maxFilesPerTrigger=1, so every doc
@@ -2387,6 +2462,7 @@ QUERIES = {
     "stream_session_equivalence": stream_session_equivalence,
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_range_join_equivalence": stream_range_join_equivalence,
     "stream_dedup_docs": stream_dedup_docs,
 }
 
@@ -2458,6 +2534,7 @@ ORACLES = {
     "stream_session_equivalence": SESSION_WINDOW_SQL,
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "stream_windowed_counts": STREAM_WINDOWED_SQL,
+    "stream_range_join_equivalence": RANGE_JOIN_SQL,
     "stream_dedup_docs": STREAM_DEDUP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
 }

@@ -255,3 +255,58 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # every (k, minute) emitted exactly once despite arriving twice
     assert out.count() == 20
     assert out.groupBy("k", "ts").count().where("count > 1").count() == 0
+
+
+def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """A click arriving in a LATER micro-batch than its purchase (and the
+    reverse) must still pair: stream-stream join state buffers both
+    sides. One file per trigger forces the cross-batch path."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1_700_000_000
+    # file 1: purchase by u1 at t0; click by u2 at t0+100 (purchase comes later)
+    f1 = spark.createDataFrame(
+        [(10, 1, base, "purchase"), (21, 2, base + 100, "click")],
+        "event_id long, user_id long, t long, event_type string",
+    )
+    # file 2: click by u1 at t0+200 (matches file 1's purchase);
+    #         purchase by u2 at t0+50 (matches file 1's click)
+    f2 = spark.createDataFrame(
+        [(22, 1, base + 200, "click"), (11, 2, base + 50, "purchase")],
+        "event_id long, user_id long, t long, event_type string",
+    )
+    src_c, src_p = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    for i, f in enumerate([f1, f2]):
+        ev = f.withColumn("ts", F.col("t").cast("timestamp"))
+        ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.col("ts").alias("c_ts")
+        ).coalesce(1).write.mode("append").parquet(src_c)
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ).coalesce(1).write.mode("append").parquet(src_p)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    cs = (
+        spark.readStream.schema("event_id long, user_id long, c_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src_c)
+    )
+    ps = (
+        spark.readStream.schema("purchase_id long, p_user long, p_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src_p)
+    )
+    q = stream_interval_join(
+        cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
+        upper_s=3600, watermark_left="1 hour", watermark_right="1 hour",
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120), "stream join did not finish"
+    got = {
+        (r.event_id, r.purchase_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {(22, 10), (21, 11)}, got
