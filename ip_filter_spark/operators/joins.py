@@ -236,3 +236,35 @@ def broadcast_pair_join(
     return pairs.join(
         table.select(F.col(id_col).alias("id_a"), F.col(value_col).alias(a_alias)), on="id_a"
     ).join(table.select(F.col(id_col).alias("id_b"), F.col(value_col).alias(b_alias)), on="id_b")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str | Sequence[str],
+    buckets: int,
+    path: str | None = None,
+    sort_by: str | Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows are hash-partitioned into
+    ``buckets`` files per partition by ``key`` at write time, and the
+    layout is recorded in the catalog. A later equi-join (or aggregation)
+    on ``key`` between two tables bucketed the same way runs WITHOUT any
+    Exchange — the shuffle was paid once at write time and amortizes over
+    every subsequent query. This is the co-located-join half of the
+    partitioning story (broadcast covers small dims, salting covers skew;
+    bucketing covers repeated fact-fact joins on a stable key — at 100 TB
+    re-shuffling two fact tables per query is the dominant cost).
+
+    ``sort_by`` additionally sorts within buckets, letting the join skip
+    its Sort. ``path`` makes the table external (data under ``path``,
+    metadata in the catalog) — pass a scratch dir in tests.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort_by is not None:
+        sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sb)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)

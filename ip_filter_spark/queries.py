@@ -1905,6 +1905,65 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
 """
 
 
+def bucketed_join_segment_revenue(spark, sf_dir):
+    """Co-located fact-fact join via bucketing: orders and customer are
+    written as tables bucketed by custkey (the one-time shuffle), then
+    the equi-join on custkey runs with ZERO Exchange — the plan property
+    is asserted IN the gate, so a regression to a shuffling plan fails
+    the driver run, not just pytest. At 100 TB this is the pattern for a
+    fact-fact join repeated across queries: pay the partitioning once at
+    ingest, never re-shuffle either table again. Values are the plain
+    join aggregate, so the oracle is ordinary SQL."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from ip_filter_spark.operators.joins import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    to, tc = f"b_orders_{tag}", f"b_cust_{tag}"
+    work = tempfile.mkdtemp(prefix="ifs_bucketed_")
+    try:
+        write_bucketed(
+            _t(spark, sf_dir, "orders"), to, "o_custkey", 8, path=f"{work}/orders"
+        )
+        write_bucketed(
+            _t(spark, sf_dir, "customer"), tc, "c_custkey", 8, path=f"{work}/cust"
+        )
+        # merge hint: at gate SFs the planner would broadcast the small
+        # side (its BroadcastExchange is not the shuffle being tested);
+        # the 100 TB shape is the sort-merge join, which bucketing makes
+        # Exchange-free.
+        j = spark.table(to).hint("merge").join(
+            spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+        if "Exchange" in plan:
+            raise AssertionError(f"bucketed join must be Exchange-free:\n{plan}")
+        rows = (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                _dec_sum(F.col("o_totalprice"), "total_price"),
+            )
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "c_mktsegment string, n_orders long, total_price double")
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def cms_topk_users(spark, sf_dir):
     """Count-min-backed top-k as a FULL-VALUE gate: with the sketch sized
     so collisions are deterministically absent on this corpus (eps=1e-5 →
@@ -2456,6 +2515,7 @@ QUERIES = {
     "mg_top_langs": mg_top_langs,
     "mg_heavy_users": mg_heavy_users,
     "bloom_semijoin_customers": bloom_semijoin_customers,
+    "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
     "kmv_user_overlap": kmv_user_overlap,
     "cms_topk_users": cms_topk_users,
     "stream_sketch_equivalence": stream_sketch_equivalence,
@@ -2528,6 +2588,7 @@ ORACLES = {
     "mg_top_langs": MG_TOP_LANGS_SQL,
     "mg_heavy_users": MG_HEAVY_USERS_SQL,
     "bloom_semijoin_customers": BLOOM_SEMIJOIN_SQL,
+    "bucketed_join_segment_revenue": BUCKETED_JOIN_SQL,
     "kmv_user_overlap": KMV_OVERLAP_SQL,
     "cms_topk_users": CMS_TOPK_SQL,
     "stream_sketch_equivalence": STREAM_EQUIV_SQL,

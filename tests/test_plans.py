@@ -245,3 +245,34 @@ def test_q11_threshold_is_single_row_broadcast(spark, sf_dir):
     plan = _plan(q11_important_parts(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan  # the one-row threshold
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the same key join with ZERO Exchange: the
+    shuffle is paid once at write time and amortizes over every later
+    query — the fact-fact join pattern at 100 TB. The gate query asserts
+    this inline too; this pins the helper itself plus value equality
+    against the plain (shuffling) join."""
+    from ip_filter_spark.operators.joins import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    try:
+        write_bucketed(orders, "tb_orders", "o_custkey", 4, path=str(tmp_path / "o"))
+        write_bucketed(cust, "tb_cust", "c_custkey", 4, path=str(tmp_path / "c"), sort_by="c_custkey")
+        j = (
+            spark.table("tb_orders")
+            .hint("merge")
+            .join(spark.table("tb_cust"), F.col("o_custkey") == F.col("c_custkey"))
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        got = j.groupBy("c_mktsegment").count().orderBy("c_mktsegment").collect()
+        want = (
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment").count().orderBy("c_mktsegment").collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_cust")
