@@ -268,3 +268,51 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table_name)
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing shuffle equi-join: the big side gets a per-ROW salt
+    in ``[0, n_salts)``, the small side is replicated once per salt
+    value, and the join runs on ``(key, salt)`` — so a hot key's rows
+    spread over ``n_salts`` reducers instead of piling onto one. Each
+    big row carries exactly one salt and matches exactly the one replica
+    with that salt, so the output is row-for-row the plain join (the
+    property the gate query's oracle checks).
+
+    This is the third leg of the skew story (broadcast for dims that fit
+    an executor, AQE skew-split for sort-merge joins it can see): use it
+    when the small side is too big to broadcast and the big side's key
+    distribution is known-skewed — at 100 TB one hot key on one reducer
+    is the difference between minutes and hours. Cost: the small side is
+    shuffled ``n_salts`` times its size; pick ``n_salts`` around the
+    cluster's task-slots-per-hot-key target, not thousands.
+
+    ``how`` supports ``inner`` and ``left`` (both big-side-preserving;
+    a right/full join would need the salt on the other side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    small_key = small_key or big_key
+    out_cols = [c for c in big.columns] + [c for c in small.columns if c != small_key]
+
+    # per-row (not per-key!) salt: id-based so a single hot key still
+    # round-robins across all n_salts reducers
+    salted = big.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), n_salts).cast("int"))
+    replicas = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).withColumnRenamed(small_key, "__sk")
+    # shuffle_hash hint: the whole point is the non-broadcast path (AQE
+    # would happily broadcast a small test dim and hide the salt)
+    joined = salted.join(
+        replicas.hint("shuffle_hash"),
+        on=(F.col(big_key) == F.col("__sk")) & (salted["__salt"] == replicas["__salt"]),
+        how=how,
+    )
+    return joined.select(*out_cols)

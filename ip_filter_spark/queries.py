@@ -1964,6 +1964,96 @@ GROUP BY c_mktsegment
 """
 
 
+def salted_join_event_enrichment(spark, sf_dir):
+    """Skew-defused fact-to-dim shuffle join: events.event_type has 5
+    values (~20% of the table each), so a plain shuffle join puts a
+    fifth of the fact table on single reducers. ``salted_skew_join``
+    salts the fact rows and replicates the dim per salt; the inline plan
+    assert pins BOTH properties that make it the skew pattern — the join
+    keys include the salt, and the dim side is NOT broadcast (a
+    broadcast would hide the salt and is exactly what you can't do when
+    the dim outgrows an executor at 100 TB). The output is row-for-row
+    the plain join, so the oracle is ordinary SQL."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import salted_skew_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("*").alias("type_count"),
+        F.min("value").alias("type_min"),
+    )
+    j = salted_skew_join(ev, dim, big_key="event_type", small_key="et", n_salts=16)
+    plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    if "__salt" not in plan:
+        raise AssertionError(f"join keys must include the salt:\n{plan}")
+    if "BroadcastHashJoin" in plan:
+        raise AssertionError(f"salted join must not broadcast the dim:\n{plan}")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("type_count").alias("type_count"),
+        _dec_sum(F.col("value") - F.col("type_min"), "sum_over_min"),
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT event_type AS et, COUNT(*) AS type_count, MIN(value) AS type_min
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_events, MAX(d.type_count) AS type_count,
+       CAST(SUM(CAST(e.value - d.type_min AS DECIMAL(18,4))) AS DOUBLE) AS sum_over_min
+FROM events e JOIN dim d ON e.event_type = d.et
+GROUP BY e.event_type
+"""
+
+
+def partition_pruned_events(spark, sf_dir):
+    """Time-partitioned table layout + partition pruning: events are
+    written ``partitionBy(event_date)`` — the hypertable layout every
+    100 TB time-series store uses — and a one-week slice query then
+    opens ONLY the 7 matching date directories. The inline assert pins
+    ``PartitionFilters`` on ``event_date`` in the scan (directory-level
+    skipping, decided before any file is opened) and that the data
+    filter did NOT degrade to a post-scan Filter over all 30 days.
+    Values are the plain slice aggregate, so the oracle is ordinary SQL
+    over the unpartitioned source."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ifs_partitioned_")
+    try:
+        ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(work)
+        back = spark.read.parquet(work)
+        sliced = back.where(
+            (F.col("event_date") >= F.lit("2024-01-08")) & (F.col("event_date") <= F.lit("2024-01-14"))
+        )
+        plan = sliced._sc._jvm.PythonSQLUtils.explainString(
+            sliced._jdf.queryExecution(), "formatted"
+        )
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        if not pf or "event_date" not in pf[0]:
+            raise AssertionError(f"slice must prune date partitions at the scan:\n{plan}")
+        rows = (
+            sliced.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value"), "sum_value"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n_events long, sum_value double")
+
+
+PARTITION_PRUNED_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+"""
+
+
 def cms_topk_users(spark, sf_dir):
     """Count-min-backed top-k as a FULL-VALUE gate: with the sketch sized
     so collisions are deterministically absent on this corpus (eps=1e-5 →
@@ -2516,6 +2606,8 @@ QUERIES = {
     "mg_heavy_users": mg_heavy_users,
     "bloom_semijoin_customers": bloom_semijoin_customers,
     "bucketed_join_segment_revenue": bucketed_join_segment_revenue,
+    "salted_join_event_enrichment": salted_join_event_enrichment,
+    "partition_pruned_events": partition_pruned_events,
     "kmv_user_overlap": kmv_user_overlap,
     "cms_topk_users": cms_topk_users,
     "stream_sketch_equivalence": stream_sketch_equivalence,
@@ -2589,6 +2681,8 @@ ORACLES = {
     "mg_heavy_users": MG_HEAVY_USERS_SQL,
     "bloom_semijoin_customers": BLOOM_SEMIJOIN_SQL,
     "bucketed_join_segment_revenue": BUCKETED_JOIN_SQL,
+    "salted_join_event_enrichment": SALTED_JOIN_SQL,
+    "partition_pruned_events": PARTITION_PRUNED_SQL,
     "kmv_user_overlap": KMV_OVERLAP_SQL,
     "cms_topk_users": CMS_TOPK_SQL,
     "stream_sketch_equivalence": STREAM_EQUIV_SQL,

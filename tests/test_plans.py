@@ -276,3 +276,73 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_cust")
+
+
+def test_salted_skew_join_equals_plain_join(spark, sf_dir):
+    """Row-for-row equivalence with the plain join (the salt must be
+    invisible in the output), plus the two plan properties: join keys
+    include the salt, dim side not broadcast."""
+    from ip_filter_spark.operators.joins import salted_skew_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "event_type", "value")
+    dim = ev.groupBy(F.col("event_type").alias("et")).agg(F.count("*").alias("tc"))
+    j = salted_skew_join(ev, dim, big_key="event_type", small_key="et", n_salts=8)
+    plan = _plan(j)
+    assert "__salt" in plan and "BroadcastHashJoin" not in plan, plan
+    got = sorted(tuple(r) for r in j.collect())
+    want = sorted(
+        tuple(r)
+        for r in ev.join(dim, ev["event_type"] == dim["et"]).drop("et").collect()
+    )
+    assert got == want
+    # left join keeps unmatched big rows exactly once
+    dim_missing = dim.where(F.col("et") != "click")
+    lj = salted_skew_join(ev, dim_missing, "event_type", "et", n_salts=8, how="left")
+    assert lj.count() == ev.count()
+    assert lj.where(F.col("tc").isNull()).count() == ev.where(F.col("event_type") == "click").count()
+
+
+def _scan_metric(df, name: str) -> int:
+    """Sum of an executed-plan metric across scan nodes (run an action
+    first). Plan strings don't carry runtime pruning, and inputFiles()
+    lists the WHOLE relation — executed metrics are the ground truth
+    for what a scan actually opened."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == name:
+                total += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """partitionBy layout: a date-slice filter becomes a PartitionFilter
+    (directory skipping), and the executed scan's numFiles/filesSize
+    metrics show only the 7 matching date directories were opened."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "ev_by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    sliced = back.where(F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14")))
+    plan = _plan(sliced)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf, plan
+
+    # metrics live on the DataFrame's OWN QueryExecution — .count() would
+    # execute a different one and leave these at zero
+    back.collect()
+    sliced.collect()
+    full_size = _scan_metric(back, "filesSize")
+    pruned_size = _scan_metric(sliced, "filesSize")
+    assert 0 < pruned_size < full_size / 2, (pruned_size, full_size)  # 7 of 30 days
+    full_n, pruned_n = _scan_metric(back, "numFiles"), _scan_metric(sliced, "numFiles")
+    if full_n:  # metric name present in this Spark version
+        assert pruned_n * 30 <= full_n * 7 + 30, (pruned_n, full_n)
