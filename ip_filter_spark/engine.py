@@ -502,6 +502,41 @@ def probe_membership(
     return src.mapInPandas(probe, schema=out_schema)
 
 
+def probe_counts(
+    df: DataFrame,
+    key,
+    sketch: Sketch,
+    out_col: str = "est_count",
+    key_is_digest: bool = False,
+) -> DataFrame:
+    """Vectorized count probe: like ``probe_membership`` but emits the
+    sketch's per-key count estimate (CBF ``min_count`` / CMS
+    ``query_hashes``) — one broadcast blob, one gather per Arrow batch,
+    no keys to the driver."""
+    spark = df.sparkSession
+    blob_bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    kc = F.col(key) if isinstance(key, str) else key
+    dcol = (kc if key_is_digest else sha256_digest(_hashable(df, kc))).alias(DIGEST_COL)
+    src = df.withColumn(DIGEST_COL, dcol)
+    keep_fields = [f for f in src.schema.fields if f.name != DIGEST_COL]
+    out_schema = StructType(keep_fields + [StructField(out_col, LongType(), True)])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = from_bytes(blob_bc.value)
+        counter = getattr(sk, "min_count", None) or getattr(sk, "query_hashes")
+        for batch in batches:
+            if len(batch):
+                h64 = fnv1a64(digests_to_matrix(batch[DIGEST_COL]))
+                est = np.asarray(counter(h64), dtype=np.int64)
+            else:
+                est = np.zeros(0, dtype=np.int64)
+            res = batch.drop(columns=[DIGEST_COL])
+            res[out_col] = est
+            yield res
+
+    return src.mapInPandas(probe, schema=out_schema)
+
+
 # ---------------------------------------------------------------- checkpoint
 def checkpoint_partials(partials: DataFrame, path: str) -> None:
     """Persist per-partition sketch blobs + lineage for resumable runs."""

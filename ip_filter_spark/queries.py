@@ -1749,6 +1749,48 @@ FROM events GROUP BY event_type
 """
 
 
+def cbf_deletion_membership(spark, sf_dir):
+    """Distributed deletion — the counting filter's reason to exist over
+    plain Bloom. One CBF is built over every event's user_id, a second
+    over just the 'error' events (the deletions) with the SAME
+    scan→partials→merge pipeline, and the blobs are subtracted (counters
+    are linear, so blob subtraction ≡ per-key removal — no replay). The
+    remaining filter is probed DISTRIBUTEDLY (``probe_counts``: broadcast
+    blob + Arrow gather; no keys to the driver). Deletion is exact
+    multiset subtraction, so users who still have non-error events are
+    always contained and ``min_count`` never undercounts their remaining
+    multiplicity — both booleans provable, oracle is plain SQL."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_counts
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("cbf", {"fpp": 1e-4, "n": 1_000_000})
+    full = build_and_merge(ev, [spec], key="user_id")[spec.key()]
+    dele = build_and_merge(ev.where(F.col("event_type") == "error"), [spec], key="user_id")[
+        spec.key()
+    ]
+    remaining = full.subtract(dele)
+    exact = (
+        ev.where(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_remaining"))
+    )
+    probed = probe_counts(exact, "user_id", remaining, out_col="est")
+    return probed.select(
+        "user_id",
+        "exact_remaining",
+        (F.col("est") > 0).alias("still_contained"),
+        (F.col("est") >= F.col("exact_remaining")).alias("never_undercounts"),
+    )
+
+
+CBF_DELETION_SQL = """
+SELECT user_id, COUNT(*) AS exact_remaining,
+       TRUE AS still_contained, TRUE AS never_undercounts
+FROM events WHERE event_type <> 'error' GROUP BY user_id
+"""
+
+
 def minhash_corpus_signature(spark, sf_dir):
     """Corpus-level MinHash: the merge algebra must be partitioning-
     invariant — building over 4 partitions and over 13 partitions must
@@ -2600,6 +2642,7 @@ QUERIES = {
     "tdigest_price_quantiles": tdigest_price_quantiles,
     "bloom_membership": bloom_membership,
     "cbf_duplicate_counts": cbf_duplicate_counts,
+    "cbf_deletion_membership": cbf_deletion_membership,
     "minhash_corpus_signature": minhash_corpus_signature,
     "multimodal_features": multimodal_features,
     "mg_top_langs": mg_top_langs,
@@ -2675,6 +2718,7 @@ ORACLES = {
     "tdigest_price_quantiles": QUANTILE_BOUND_SQL,
     "bloom_membership": BLOOM_SQL,
     "cbf_duplicate_counts": CBF_SQL,
+    "cbf_deletion_membership": CBF_DELETION_SQL,
     "minhash_corpus_signature": MINHASH_CORPUS_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "mg_top_langs": MG_TOP_LANGS_SQL,

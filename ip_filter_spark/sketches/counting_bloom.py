@@ -64,6 +64,22 @@ class CountingBloomFilter(Sketch):
         self.n_items = max(0, self.n_items - len(h64))
         return self
 
+    def subtract(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        """Blob-level deletion: counters are linear, so subtracting a
+        filter built over the deleted multiset equals having removed
+        those keys hash-by-hash (exact when deletions ⊆ insertions,
+        which the caller guarantees; clipped at 0 otherwise). This is
+        what makes deletion DISTRIBUTABLE: build the deletion filter
+        with the same scan→partials→merge pipeline as the insert filter
+        and subtract two blobs on the driver — no per-key replay."""
+        if self._params() != other._params():
+            raise ValueError("subtract requires identical CBF params")
+        wide = self.counters.astype(np.int64) - other.counters.astype(np.int64)
+        np.clip(wide, 0, _MAX, out=wide)
+        self.counters = wide.astype(np.uint16)
+        self.n_items = max(0, self.n_items - other.n_items)
+        return self
+
     def contains_hashes(self, h64: np.ndarray) -> np.ndarray:
         if len(h64) == 0:
             return np.zeros(0, dtype=bool)

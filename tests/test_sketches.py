@@ -512,3 +512,26 @@ def test_cms_inner_product_join_size():
     # incompatible params fail loudly
     with pytest.raises(AssertionError):
         A.inner_product(CountMinSketch(eps=1e-2, delta=1e-3))
+
+
+def test_cbf_subtract_equals_remove():
+    """Blob subtraction ≡ hash-level removal (counters are linear), and
+    params must match."""
+    import numpy as np
+    import pytest
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
+    from ip_filter_spark.sketches.hashing import fnv1a64
+
+    rng = np.random.default_rng(7)
+    digs = rng.integers(0, 256, size=(500, 32), dtype=np.uint8)
+    h = fnv1a64(digs)
+    a = CountingBloomFilter(fpp=1e-3, n=10_000).update_hashes(h).update_hashes(h[:200])
+    via_remove = from_bytes(a.to_bytes()).remove_hashes(h[:200])
+    d = CountingBloomFilter(fpp=1e-3, n=10_000).update_hashes(h[:200])
+    via_subtract = from_bytes(a.to_bytes()).subtract(d)
+    assert (via_remove.counters == via_subtract.counters).all()
+    assert (via_subtract.min_count(h) >= 1).all()
+    with pytest.raises(ValueError):
+        a.subtract(CountingBloomFilter(fpp=1e-3, n=20_000))
