@@ -227,6 +227,10 @@ WORKLOADS = {
     "q9_product_profit": _timed_query("q9_product_profit"),
     "q21_waiting_suppliers": _timed_query("q21_waiting_suppliers"),
     "curation_pipeline_docs": _timed_query("curation_pipeline_docs"),
+    "bucketed_join_segment_revenue": _timed_query("bucketed_join_segment_revenue"),
+    "salted_join_event_enrichment": _timed_query("salted_join_event_enrichment"),
+    "partition_pruned_events": _timed_query("partition_pruned_events"),
+    "cbf_deletion_membership": _timed_query("cbf_deletion_membership"),
     "fd_embedding_gram": _timed_query("fd_embedding_gram"),
 }
 

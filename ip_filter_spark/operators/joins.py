@@ -261,7 +261,12 @@ def write_bucketed(
     metadata in the catalog) — pass a scratch dir in tests.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    # pre-shuffle to one task per bucket: otherwise every input partition
+    # writes a file per bucket (P × buckets small files — at 1000
+    # executors that's the small-file problem at its worst)
+    w = df.repartition(buckets, *[F.col(k) for k in keys]).write.mode("overwrite").bucketBy(
+        buckets, *keys
+    )
     if sort_by is not None:
         sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*sb)

@@ -1764,7 +1764,11 @@ def cbf_deletion_membership(spark, sf_dir):
     from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_counts
 
     ev = _t(spark, sf_dir, "events")
-    spec = SketchSpec("cbf", {"fpp": 1e-4, "n": 1_000_000})
+    # both booleans are one-sided bounds that hold for ANY params (no
+    # false negatives / never undercounts are structural), so size the
+    # filter for the workload instead of maximal: m tracks n linearly,
+    # and per-batch update cost tracks m
+    spec = SketchSpec("cbf", {"fpp": 1e-3, "n": 100_000})
     full = build_and_merge(ev, [spec], key="user_id")[spec.key()]
     dele = build_and_merge(ev.where(F.col("event_type") == "error"), [spec], key="user_id")[
         spec.key()
@@ -2066,7 +2070,12 @@ def partition_pruned_events(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="ifs_partitioned_")
     try:
         ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(work)
+        # one task per date -> one file per partition dir (32 input
+        # partitions would otherwise each write every date: P x days
+        # small files)
+        ev.repartition(F.col("event_date")).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(work)
         back = spark.read.parquet(work)
         sliced = back.where(
             (F.col("event_date") >= F.lit("2024-01-08")) & (F.col("event_date") <= F.lit("2024-01-14"))
