@@ -1496,6 +1496,43 @@ FROM events GROUP BY event_type
 """
 
 
+def sql_udaf_users_by_type(spark, sf_dir):
+    """The sketch algebra as REGISTERED SQL UDAFs (functions/udaf.py):
+    per-type distinct users computed entirely in SQL text — level 1
+    aggregates digests per (event_type, salt) into HLL blobs (a
+    GROUPED_AGG pandas UDF, Arrow-vectorized), level 2 merges blobs per
+    type — the skew-safe two-level shape as two GROUP BYs. Same
+    bound-column oracle as the engine-path `hll_users_by_type`, so the
+    two surfaces are held to the same invariant."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_sketch_udafs
+    from ip_filter_spark.sketches import make_sketch
+
+    register_sketch_udafs(spark, "hll", "hll", p=14)
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn(
+        "digest", F.unhex(F.sha2(F.col("user_id").cast("string"), 256))
+    ).createOrReplaceTempView("udaf_ev_digest")
+    bound = make_sketch("hll", p=14).rel_error_bound()
+    return spark.sql(f"""
+      WITH partials AS (
+        SELECT event_type, pmod(xxhash64(event_id), 16) AS salt, hll_agg(digest) AS p
+        FROM udaf_ev_digest GROUP BY event_type, salt
+      ), merged AS (
+        SELECT event_type, hll_estimate(hll_merge(p)) AS est
+        FROM partials GROUP BY event_type
+      )
+      SELECT m.event_type AS key, e.exact_users,
+             abs(m.est - e.exact_users) / e.exact_users <= {bound} AS within_error_bound
+      FROM merged m
+      JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM udaf_ev_digest GROUP BY event_type) e USING (event_type)
+    """)
+
+
+SQL_UDAF_BY_TYPE_SQL = HLL_BY_TYPE_SQL
+
+
 def hll_rollup_users(spark, sf_dir):
     """Hierarchical sketch rollup (the continuous-aggregate pattern): HLL
     distinct-user sketches are built ONCE at (event_type, day) granularity,
@@ -1914,8 +1951,18 @@ def kmv_user_overlap(spark, sf_dir):
         )[spec.key()]
     a, b = sketches["click"], sketches["purchase"]
     assert a._theta() >= 1.0 and b._theta() >= 1.0, "user domain exceeded KMV capacity; oracle form invalid"
-    row = (int(round(a.estimate())), int(round(b.estimate())), int(round(a.intersect_estimate(b))))
-    return spark.createDataFrame([row], "click_users long, purchase_users long, overlap_users long")
+    row = (
+        int(round(a.estimate())),
+        int(round(b.estimate())),
+        int(round(a.intersect_estimate(b))),
+        int(round(a.union_estimate(b))),
+        int(round(a.difference_estimate(b))),
+    )
+    return spark.createDataFrame(
+        [row],
+        "click_users long, purchase_users long, overlap_users long,"
+        " either_users long, click_only_users long",
+    )
 
 
 KMV_OVERLAP_SQL = """
@@ -1925,7 +1972,13 @@ SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
      INTERSECT
-     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS overlap_users
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS overlap_users,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+     WHERE event_type IN ('click', 'purchase')) AS either_users,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+     EXCEPT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS click_only_users
 """
 
 
@@ -2644,6 +2697,7 @@ QUERIES = {
     "simhash_pairs_docs": simhash_pairs_docs,
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
+    "sql_udaf_users_by_type": sql_udaf_users_by_type,
     "hll_rollup_users": hll_rollup_users,
     "cms_event_counts": cms_event_counts,
     "cms_join_size_events_orders": cms_join_size_events_orders,
@@ -2720,6 +2774,7 @@ ORACLES = {
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
+    "sql_udaf_users_by_type": SQL_UDAF_BY_TYPE_SQL,
     "hll_rollup_users": HLL_ROLLUP_SQL,
     "cms_event_counts": CMS_SQL,
     "cms_join_size_events_orders": CMS_JOIN_SIZE_SQL,

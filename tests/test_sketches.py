@@ -535,3 +535,29 @@ def test_cbf_subtract_equals_remove():
     assert (via_subtract.min_count(h) >= 1).all()
     with pytest.raises(ValueError):
         a.subtract(CountingBloomFilter(fpp=1e-3, n=20_000))
+
+
+def test_sql_udaf_blobs_interoperate_with_engine(spark, sf_dir):
+    """functions/udaf.py blobs and engine-path blobs are the SAME
+    algebra: merging a DataFrame-API GROUPED_AGG blob with an engine
+    build_and_merge blob equals one build over the union (byte-identical
+    HLL registers)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.functions.udaf import sketch_agg
+    from ip_filter_spark.sketches import from_bytes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("user_id").cast("string")
+    dig = F.unhex(F.sha2(key, 256)).alias("digest")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+
+    agg = sketch_agg("hll", p=14)
+    blob_a = bytes(half_a.select(dig).agg(agg(F.col("digest"))).collect()[0][0])
+    spec = SketchSpec("hll", {"p": 14})
+    sk_b = build_and_merge(half_b, [spec], key=key)[spec.key()]
+    merged = from_bytes(blob_a).merge(sk_b)
+    full = build_and_merge(ev, [spec], key=key)[spec.key()]
+    assert (merged.registers == full.registers).all()
