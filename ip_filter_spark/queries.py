@@ -1533,6 +1533,61 @@ def sql_udaf_users_by_type(spark, sf_dir):
 SQL_UDAF_BY_TYPE_SQL = HLL_BY_TYPE_SQL
 
 
+def sliding_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users — the sliding-window form of the
+    sketch rollup, in pure SQL: ONE daily HLL blob per day (one scan),
+    then `hll_merge OVER (ORDER BY day RANGE 6 PRECEDING)` slides the
+    MERGE over 30 daily blobs. Exact rolling COUNT(DISTINCT) is
+    non-decomposable (each window must re-deduplicate from rows); the
+    sketch version touches each row once and each window merges ≤7
+    KB-sized blobs — at 100 TB this is the difference between 30 scans
+    and 1. Bound-column oracle: exact per-window distincts via a
+    correlated re-scan in DuckDB."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_sketch_udafs
+    from ip_filter_spark.sketches import make_sketch
+
+    register_sketch_udafs(spark, "hll", "hll", p=14)
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn("digest", F.unhex(F.sha2(F.col("user_id").cast("string"), 256))).withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    ).createOrReplaceTempView("udaf_ev_sliding")
+    bound = make_sketch("hll", p=14).rel_error_bound()
+    est = spark.sql("""
+      WITH daily AS (
+        SELECT day, hll_agg(digest) AS blob FROM udaf_ev_sliding GROUP BY day
+      )
+      SELECT day, hll_estimate(hll_merge(blob) OVER
+               (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS est
+      FROM daily
+    """)
+    exact = spark.sql("""
+      SELECT a.day, COUNT(DISTINCT b.user_id) AS exact_users
+      FROM (SELECT DISTINCT day FROM udaf_ev_sliding) a
+      JOIN udaf_ev_sliding b ON b.day BETWEEN a.day - 6 AND a.day
+      GROUP BY a.day
+    """)
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= bound).alias(
+            "within_error_bound"
+        ),
+    )
+
+
+SLIDING_DISTINCT_SQL = """
+WITH evd AS (
+  SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, user_id
+  FROM events
+)
+SELECT a.day, COUNT(DISTINCT b.user_id) AS exact_users, TRUE AS within_error_bound
+FROM (SELECT DISTINCT day FROM evd) a
+JOIN evd b ON b.day BETWEEN a.day - 6 AND a.day
+GROUP BY a.day
+"""
+
+
 def hll_rollup_users(spark, sf_dir):
     """Hierarchical sketch rollup (the continuous-aggregate pattern): HLL
     distinct-user sketches are built ONCE at (event_type, day) granularity,
@@ -2698,6 +2753,7 @@ QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
     "sql_udaf_users_by_type": sql_udaf_users_by_type,
+    "sliding_distinct_users": sliding_distinct_users,
     "hll_rollup_users": hll_rollup_users,
     "cms_event_counts": cms_event_counts,
     "cms_join_size_events_orders": cms_join_size_events_orders,
@@ -2775,6 +2831,7 @@ ORACLES = {
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
     "sql_udaf_users_by_type": SQL_UDAF_BY_TYPE_SQL,
+    "sliding_distinct_users": SLIDING_DISTINCT_SQL,
     "hll_rollup_users": HLL_ROLLUP_SQL,
     "cms_event_counts": CMS_SQL,
     "cms_join_size_events_orders": CMS_JOIN_SIZE_SQL,
