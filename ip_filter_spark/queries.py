@@ -1789,6 +1789,67 @@ ORDER BY q
 """
 
 
+def tdigest_by_priority(spark, sf_dir):
+    """Keyed VALUE sketches: one t-digest per o_orderpriority via the
+    skew-safe two-level ``build_keyed_sketches`` (the value-path twin of
+    the keyed-HLL gate). Per group the gate emits the exact median (SQL
+    twin) and a boolean that the sketch median's NORMALIZED RANK within
+    its group is ≤ the published bound — rank is measured with one
+    distributed pass (a per-group WHEN lookup of the 5 estimates), no
+    per-group jobs."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_keyed_sketches
+    from ip_filter_spark.sketches import from_bytes
+
+    orders = _t(spark, sf_dir, "orders")
+    keyed = build_keyed_sketches(
+        orders, SketchSpec("tdigest", {"delta": 200.0}, on="value"),
+        "o_orderpriority", value="o_totalprice",
+    ).collect()
+    est = {r.group: float(from_bytes(bytes(r.payload)).quantile(0.5)) for r in keyed}
+    est_col = F.lit(None).cast("double")
+    for k, v in est.items():
+        est_col = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(est_col)
+    w = Window.partitionBy("o_orderpriority")
+    ranked = (
+        orders.withColumn("__est", est_col)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((F.col("o_totalprice") <= F.col("__est")).cast("long")).alias("r"),
+        )
+    )
+    exact = (
+        orders.select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("v"),
+            F.row_number().over(w.orderBy("o_totalprice")).alias("rn"),
+            F.count("*").over(w).alias("c"),
+        )
+        .where(F.col("rn") == (F.floor((F.col("c") - 1) * 0.5) + 1))
+        .select(F.col("o_orderpriority").alias("key"), F.col("v").alias("exact_median"))
+    )
+    return (
+        ranked.select(
+            F.col("o_orderpriority").alias("key"),
+            (F.abs(F.col("r") / F.col("c") - 0.5) <= 0.01).alias("within_rank_bound"),
+        )
+        .join(exact, "key")
+        .select("key", "exact_median", "within_rank_bound")
+    )
+
+
+TDIGEST_BY_PRIORITY_SQL = """
+WITH sorted AS (
+  SELECT o_orderpriority AS key, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS c
+  FROM orders)
+SELECT key, v AS exact_median, TRUE AS within_rank_bound
+FROM sorted WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
 def bloom_membership(spark, sf_dir):
     """Bloom invariants: zero false negatives (provable by construction),
     empirical FPR on 10k absent keys within 10x the configured fpp
@@ -2759,6 +2820,7 @@ QUERIES = {
     "cms_join_size_events_orders": cms_join_size_events_orders,
     "kll_price_quantiles": kll_price_quantiles,
     "tdigest_price_quantiles": tdigest_price_quantiles,
+    "tdigest_by_priority": tdigest_by_priority,
     "bloom_membership": bloom_membership,
     "cbf_duplicate_counts": cbf_duplicate_counts,
     "cbf_deletion_membership": cbf_deletion_membership,
@@ -2837,6 +2899,7 @@ ORACLES = {
     "cms_join_size_events_orders": CMS_JOIN_SIZE_SQL,
     "kll_price_quantiles": QUANTILE_BOUND_SQL,
     "tdigest_price_quantiles": QUANTILE_BOUND_SQL,
+    "tdigest_by_priority": TDIGEST_BY_PRIORITY_SQL,
     "bloom_membership": BLOOM_SQL,
     "cbf_duplicate_counts": CBF_SQL,
     "cbf_deletion_membership": CBF_DELETION_SQL,
