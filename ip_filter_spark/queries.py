@@ -15,6 +15,7 @@ Determinism discipline (what makes value-hash comparison possible):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1806,7 +1807,7 @@ def tdigest_by_priority(spark, sf_dir):
         orders, SketchSpec("tdigest", {"delta": 200.0}, on="value"),
         "o_orderpriority", value="o_totalprice",
     ).collect()
-    est = {r.group: float(from_bytes(bytes(r.payload)).quantile(0.5)) for r in keyed}
+    est = {r.group: float(np.asarray(from_bytes(bytes(r.payload)).quantile(0.5)).item()) for r in keyed}
     est_col = F.lit(None).cast("double")
     for k, v in est.items():
         est_col = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(est_col)
