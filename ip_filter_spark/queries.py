@@ -1542,8 +1542,9 @@ def sliding_distinct_users(spark, sf_dir):
     non-decomposable (each window must re-deduplicate from rows); the
     sketch version touches each row once and each window merges ≤7
     KB-sized blobs — at 100 TB this is the difference between 30 scans
-    and 1. Bound-column oracle: exact per-window distincts via a
-    correlated re-scan in DuckDB."""
+    and 1. The exact side (range self-join re-deduplicating every
+    window) is ORACLE-TIER verification; the deployable operator is the
+    daily-blob scan + windowed merge."""
     _ensure_shipped(spark)
     from ip_filter_spark.functions.udaf import register_sketch_udafs
     from ip_filter_spark.sketches import make_sketch
@@ -1797,7 +1798,9 @@ def tdigest_by_priority(spark, sf_dir):
     twin) and a boolean that the sketch median's NORMALIZED RANK within
     its group is ≤ the published bound — rank is measured with one
     distributed pass (a per-group WHEN lookup of the 5 estimates), no
-    per-group jobs."""
+    per-group jobs. The exact-median side (full per-group sort) is
+    ORACLE-TIER — it exists to verify; the deployable operator is the
+    sketch build + rank check, both single-scan."""
     _ensure_shipped(spark)
     from ip_filter_spark.engine import SketchSpec, build_keyed_sketches
     from ip_filter_spark.sketches import from_bytes
