@@ -1440,6 +1440,39 @@ def simhash_pairs_docs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_fn="sha")
 
 
+def dedup_components_docs(spark, sf_dir):
+    """Near-dup pairs → dedup CLUSTERS: connected components over the
+    simhash pair graph by distributed min-label propagation (a curation
+    pipeline keeps one representative per component, not per pair). The
+    oracle recomputes the same components as a recursive-CTE transitive
+    closure over the identical (all-pairs-verified) simhash edge SQL —
+    so a hash match proves both the pair generation AND the clustering."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.dedup import connected_components, simhash_pairs
+
+    pairs = simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_fn="sha"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def dedup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({simhash_sql(max_hamming=3)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, nd) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.nd = e.a
+),
+lab AS (SELECT src AS node, MIN(nd) AS component FROM reach GROUP BY src)
+SELECT component, COUNT(*) AS size FROM lab GROUP BY component
+"""
+
+
 # =====================================================================
 # Sketch queries — bound-column oracle pattern (VERDICT r1 "Next round"
 # #2): every output column is either (a) exactly SQL-computable, or
@@ -2815,6 +2848,7 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_pairs_docs": simhash_pairs_docs,
+    "dedup_components_docs": dedup_components_docs,
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
     "sql_udaf_users_by_type": sql_udaf_users_by_type,
@@ -2894,6 +2928,7 @@ ORACLES = {
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
+    "dedup_components_docs": dedup_components_sql(),
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
     "sql_udaf_users_by_type": SQL_UDAF_BY_TYPE_SQL,

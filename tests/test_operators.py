@@ -291,3 +291,19 @@ def test_bloom_semi_join_exact_and_pruning(spark, sf_dir):
     total = cust.count()
     assert survivors <= len(want) + max(10, int(1e-3 * total)), (survivors, len(want), total)
     assert survivors < total, "prefilter pruned nothing"
+
+
+def test_connected_components_shapes(spark):
+    """Chain (diameter stress), two cliques, shared-node merge; only
+    edge-touched nodes appear."""
+    from ip_filter_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(9)]          # one component 0..9
+    cliq = [(20, 21), (21, 22), (20, 22)]           # component 20..22
+    bridge = [(22, 30), (40, 41)]                   # 30 joins 20s; 40-41 separate
+    edges = spark.createDataFrame(chain + cliq + bridge, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(10)} == {0}
+    assert {got[i] for i in (20, 21, 22, 30)} == {20}
+    assert got[40] == got[41] == 40
+    assert set(got) == set(range(10)) | {20, 21, 22, 30, 40, 41}
