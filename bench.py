@@ -231,6 +231,10 @@ WORKLOADS = {
     "salted_join_event_enrichment": _timed_query("salted_join_event_enrichment"),
     "partition_pruned_events": _timed_query("partition_pruned_events"),
     "cbf_deletion_membership": _timed_query("cbf_deletion_membership"),
+    "sql_udaf_users_by_type": _timed_query("sql_udaf_users_by_type"),
+    "sliding_distinct_users": _timed_query("sliding_distinct_users"),
+    "tdigest_by_priority": _timed_query("tdigest_by_priority"),
+    "dedup_components_docs": _timed_query("dedup_components_docs"),
     "fd_embedding_gram": _timed_query("fd_embedding_gram"),
 }
 
