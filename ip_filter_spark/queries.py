@@ -1457,6 +1457,49 @@ def dedup_components_docs(spark, sf_dir):
     return cc.groupBy("component").agg(F.count("*").alias("size"))
 
 
+def curation_near_dup_docs(spark, sf_dir):
+    """The near-dup curation composition: simhash pairs → connected
+    components → keep ONE representative (min doc_id) per cluster →
+    per-lang corpus stats of the kept set. The drop-list (non-
+    representative members) is bounded by the pair count — a small
+    fraction of the corpus by construction — so it broadcasts into a
+    left-anti join; the corpus is never shuffled. Oracle replicates the
+    entire composition: all-pairs edges, recursive-CTE components,
+    NOT-IN keep-list, rollup."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.dedup import connected_components, simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="sha")
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.where(F.col("node") != F.col("component")).select(F.col("node").alias("doc_id"))
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(token_count_expr("text")).alias("total_tokens"),
+    )
+
+
+def curation_near_dup_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({simhash_sql(max_hamming=3)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, nd) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.nd = e.a
+),
+lab AS (SELECT src AS node, MIN(nd) AS component FROM reach GROUP BY src),
+dropped AS (SELECT node FROM lab WHERE node <> component)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens
+FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)
+GROUP BY lang
+"""
+
+
 def dedup_components_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({simhash_sql(max_hamming=3)}),
@@ -2849,6 +2892,7 @@ QUERIES = {
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_pairs_docs": simhash_pairs_docs,
     "dedup_components_docs": dedup_components_docs,
+    "curation_near_dup_docs": curation_near_dup_docs,
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
     "sql_udaf_users_by_type": sql_udaf_users_by_type,
@@ -2929,6 +2973,7 @@ ORACLES = {
     "minhash_pairs_docs": minhash_lsh_sql(num_perm=128, bands=32, threshold=0.5),
     "simhash_pairs_docs": simhash_sql(max_hamming=3),
     "dedup_components_docs": dedup_components_sql(),
+    "curation_near_dup_docs": curation_near_dup_sql(),
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
     "sql_udaf_users_by_type": SQL_UDAF_BY_TYPE_SQL,
