@@ -668,8 +668,36 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
     eff_scan = rps[(hi, "scan")] / (x * rps[(lo, "scan")])
     n_rows = samples[(lo, "full")][0]["rows"]
     mrps = {n: statistics.median(r["rows_per_sec"] for r in multi[n]) for n in (1, 4)}
-    eff_multi = mrps[4] / (4 * mrps[1])
+    eff_indep = mrps[4] / (4 * mrps[1])
+    # paired estimator: rep i of both cluster sizes runs back-to-back
+    # (the loop interleaves levels within each invocation), so a host
+    # steal window contaminates BOTH sides of ratio i and cancels in the
+    # ratio; the median over per-invocation ratios is therefore the
+    # steal-robust estimator on a shared VM. The independent-median form
+    # is reported alongside — a clean box gives the same number.
+    pair_ratios = [
+        m4["rows_per_sec"] / (4 * m1["rows_per_sec"])
+        for m1, m4 in zip(multi[1], multi[4])
+    ]
+    eff_multi = statistics.median(pair_ratios)
     verdict = "meets" if eff_multi >= 0.8 else "misses"
+    # per-rep samples -> append-only history so every harness run stays
+    # auditable (estimates must never exist without their raw reps)
+    import json as _json
+    import time as _time
+
+    with open("BENCH/scaling_runs.jsonl", "a") as hist:
+        hist.write(_json.dumps({
+            "ts": int(_time.time()),
+            "eff_paired_median": round(eff_multi, 4),
+            "eff_independent_median": round(eff_indep, 4),
+            "pair_ratios": [round(r, 4) for r in pair_ratios],
+            "multi_rps": {n: [round(r["rows_per_sec"]) for r in multi[n]] for n in (1, 4)},
+            "single_jvm_rps": {f"{c}:{j}": [round(r["rows_per_sec"]) for r in samples[(c, j)]]
+                                for c in levels for j in ("full", "scan")},
+            "stime_med": {f"{c}:{j}": round(med(c, j, "stime"), 1)
+                           for c in levels for j in ("full", "scan")},
+        }) + "\n")
 
     def row_md(c, j):
         vals = [r["rows_per_sec"] for r in samples[(c, j)]]
@@ -734,8 +762,15 @@ sharded build equal the one-JVM build byte-for-byte (pytest-pinned).
 |---|---|---|---|
 {multi_rows}
 
-**Scaling efficiency 1 -> 4 executors: {eff_multi:.3f}** — {verdict} the
->= 0.8 criterion.
+**Scaling efficiency 1 -> 4 executors: {eff_multi:.3f}** (paired
+per-invocation ratio median; per-level independent medians give
+{eff_indep:.3f}) — {verdict} the >= 0.8 criterion. The paired form is
+the headline because the harness interleaves both cluster sizes inside
+each invocation: a host-steal window (this VM's documented artifact —
+stime explosions with idle guest cores) hits both sides of an
+invocation's ratio and cancels, where per-level medians taken across
+invocations can straddle the window. Per-rep raw samples for every run:
+`BENCH/scaling_runs.jsonl`.
 
 ## Form B (diagnostic) — one JVM, local[4] vs local[16], + scan control
 
@@ -792,6 +827,7 @@ Reproduce: `python bench.py --scaling` (stages the corpus once under
         )
     print(json.dumps({
         "scaling_efficiency": round(eff_multi, 3),
+        "scaling_efficiency_independent_median": round(eff_indep, 3),
         "single_jvm_efficiency": round(eff_full, 3),
         "scan_control_efficiency": round(eff_scan, 3),
         "box_sharing_factor": round(share, 3),
