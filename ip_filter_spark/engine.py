@@ -513,6 +513,8 @@ def probe_counts(
     sketch's per-key count estimate (CBF ``min_count`` / CMS
     ``query_hashes``) — one broadcast blob, one gather per Arrow batch,
     no keys to the driver."""
+    if not (hasattr(sketch, "min_count") or hasattr(sketch, "query_hashes")):
+        raise TypeError(f"{type(sketch).__name__} has no count query (min_count/query_hashes)")
     spark = df.sparkSession
     blob_bc = spark.sparkContext.broadcast(sketch.to_bytes())
     kc = F.col(key) if isinstance(key, str) else key

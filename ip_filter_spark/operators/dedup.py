@@ -328,10 +328,12 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
+        # lazy checkpoint: the convergence count below materializes it,
+        # so each round runs ONE job, not two
         new_labels = (
             labels.join(nbr_min, on="node", how="left")
             .select("node", F.least("label", "nbr_label").alias("label"), F.col("label").alias("old"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("label") != F.col("old")).count()
         labels = new_labels.drop("old")
         if changed == 0:

@@ -305,6 +305,12 @@ def salted_skew_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
     small_key = small_key or big_key
+    clash = (set(big.columns) & set(small.columns)) - {small_key}
+    if clash:
+        raise ValueError(
+            f"non-key columns present on both sides would be ambiguous: {sorted(clash)}; "
+            "rename or drop them on one side first"
+        )
     out_cols = [c for c in big.columns] + [c for c in small.columns if c != small_key]
 
     # per-row (not per-key!) salt: id-based so a single hot key still
