@@ -770,7 +770,10 @@ each invocation: a host-steal window (this VM's documented artifact —
 stime explosions with idle guest cores) hits both sides of an
 invocation's ratio and cancels, where per-level medians taken across
 invocations can straddle the window. Per-rep raw samples for every run:
-`BENCH/scaling_runs.jsonl`.
+`BENCH/scaling_runs.jsonl`. Single-run point estimates on this shared
+VM are window-dependent — read the round's full distribution in
+"## Reproducibility — full run history" below before concluding either
+way.
 
 ## Form B (diagnostic) — one JVM, local[4] vs local[16], + scan control
 
