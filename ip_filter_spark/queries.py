@@ -25,6 +25,7 @@ from ip_filter_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     token_count_expr,
+    tokens_expr,
 )
 
 QS = [0.1, 0.25, 0.5, 0.75, 0.9]
@@ -1457,6 +1458,56 @@ def dedup_components_docs(spark, sf_dir):
     return cc.groupBy("component").agg(F.count("*").alias("size"))
 
 
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus vocabulary scoring — top-3 terms per language by TF-IDF
+    (smooth IDF: tf_lang(t) · ln((1+N)/(1+df(t)))). Every aggregate
+    input is an EXACT integer (per-lang term counts, global document
+    frequency, corpus size), the doc-frequency table broadcasts into the
+    scoring join, and the only float is one deterministic ln of
+    identical integer ratios — so both engines rank from bit-equal
+    inputs and the output carries the integer evidence columns, not the
+    float. One explode scan feeds both aggregates; at 100 TB the
+    vocabulary table (terms) is orders smaller than the corpus, which is
+    what makes the broadcast the right join shape."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("term"))
+    docfreq = (
+        tok.select("doc_id", "term").distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("term_count"))
+    scored = counts.join(F.broadcast(docfreq), "term").withColumn(
+        "score",
+        F.col("term_count") * F.log((1.0 + n_docs) / (1 + F.col("doc_freq"))),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("lang", "rank", "term", "term_count", "doc_freq")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+docfreq AS (
+  SELECT term, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+counts AS (SELECT lang, term, COUNT(*) AS term_count FROM tok GROUP BY lang, term),
+scored AS (
+  SELECT c.lang, c.term, c.term_count, d.doc_freq,
+         c.term_count * ln((1.0 + n.n_docs) / (1 + d.doc_freq)) AS score
+  FROM counts c JOIN docfreq d USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT lang, CAST(rank AS INTEGER) AS rank, term, term_count, doc_freq
+FROM ranked WHERE rank <= 3
+"""
+
+
 def curation_near_dup_docs(spark, sf_dir):
     """The near-dup curation composition: simhash pairs → connected
     components → keep ONE representative (min doc_id) per cluster →
@@ -2876,6 +2927,7 @@ QUERIES = {
     "lang_id_counts": lang_id_counts,
     "curation_pipeline_docs": curation_pipeline_docs,
     "fingerprint_docs": fingerprint_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "lpm_exact_docs": lpm_exact_docs,
     "lpm_guided_docs": lpm_guided_docs,
     "lpm_linear_docs": lpm_linear_docs,
@@ -2958,6 +3010,7 @@ ORACLES = {
     "lang_id_counts": _lang_id_sql(),
     "curation_pipeline_docs": CURATION_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "lpm_exact_docs": LPM_SQL,
     "lpm_guided_docs": LPM_SQL,
     "lpm_linear_docs": LPM_SQL,
