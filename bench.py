@@ -235,6 +235,7 @@ WORKLOADS = {
     "sliding_distinct_users": _timed_query("sliding_distinct_users"),
     "tdigest_by_priority": _timed_query("tdigest_by_priority"),
     "dedup_components_docs": _timed_query("dedup_components_docs"),
+    "tfidf_top_terms": _timed_query("tfidf_top_terms"),
     "fd_embedding_gram": _timed_query("fd_embedding_gram"),
 }
 
