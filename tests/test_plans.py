@@ -346,3 +346,14 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     full_n, pruned_n = _scan_metric(back, "numFiles"), _scan_metric(sliced, "numFiles")
     if full_n:  # metric name present in this Spark version
         assert pruned_n * 30 <= full_n * 7 + 30, (pruned_n, full_n)
+
+
+def test_salted_join_rejects_ambiguous_columns(spark, sf_dir):
+    import pytest
+
+    from ip_filter_spark.operators.joins import salted_skew_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "event_type", "value")
+    dim = ev.select(F.col("event_type").alias("et"), "value").distinct()
+    with pytest.raises(ValueError, match="ambiguous"):
+        salted_skew_join(ev, dim, "event_type", "et")

@@ -561,3 +561,14 @@ def test_sql_udaf_blobs_interoperate_with_engine(spark, sf_dir):
     merged = from_bytes(blob_a).merge(sk_b)
     full = build_and_merge(ev, [spec], key=key)[spec.key()]
     assert (merged.registers == full.registers).all()
+
+
+def test_probe_counts_rejects_uncountable_sketch(spark, sf_dir):
+    import pytest
+
+    from ip_filter_spark.engine import probe_counts
+    from ip_filter_spark.sketches import make_sketch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(TypeError, match="count query"):
+        probe_counts(df, "user_id", make_sketch("hll", p=12))
