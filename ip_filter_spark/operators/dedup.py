@@ -307,32 +307,41 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
 ) -> DataFrame:
     """Dedup CLUSTERS from near-dup pairs: connected components by
-    min-label propagation. Each round every node takes the minimum label
+    min-label propagation. Each hop every node takes the minimum label
     in its closed neighborhood — one join + one groupBy (two shuffles)
-    per round, converging in O(component diameter) rounds. Near-dup
+    per hop, converging in O(component diameter) hops. Near-dup
     components are near-cliques (diameter 1-3), so this beats
     star-contraction's constant factors there; a long-chain graph would
     want the Kiveris et al. (2014) alternating algorithm instead.
 
-    Iteration state is `localCheckpoint`ed each round to cut lineage
-    (on a cluster, use a checkpoint dir + `checkpoint` for fault
+    TWO hops are composed lazily per materialization, so each Spark job
+    (and each convergence count) covers two propagation steps — label
+    propagation is monotone non-increasing, so "two hops changed
+    nothing" implies "one hop changes nothing" and the convergence test
+    stays sound. Iteration state is `localCheckpoint`ed per job to cut
+    lineage (on a cluster, use a checkpoint dir + `checkpoint` for fault
     tolerance past executor loss). Returns (node, component) for every
     node that appears in an edge; component = min node id reachable.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    for _ in range(max_iter):
+
+    def hop(lbl, carry):
         nbr_min = (
-            sym.join(labels.select(F.col("node").alias("b"), F.col("label").alias("nl")), on="b")
+            sym.join(lbl.select(F.col("node").alias("b"), F.col("label").alias("nl")), on="b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
-        # lazy checkpoint: the convergence count below materializes it,
-        # so each round runs ONE job, not two
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select("node", F.least("label", "nbr_label").alias("label"), F.col("label").alias("old"))
+        return lbl.join(nbr_min, on="node", how="left").select(
+            "node", F.least("label", "nbr_label").alias("label"), *carry
+        )
+
+    for _ in range(0, max_iter, 2):
+        # lazy checkpoint: the convergence count below materializes the
+        # two composed hops, so each double-hop runs ONE job, not two
+        new_labels = hop(
+            hop(labels.withColumn("old", F.col("label")), ["old"]), ["old"]
         ).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("label") != F.col("old")).count()
         labels = new_labels.drop("old")
