@@ -251,10 +251,13 @@ def run_bench(only: str | None = None, cpus: int = CPUS, sf_dir: str = SF_DIR) -
     # wall is the least-contaminated estimate and makes BENCH_rN.json
     # comparable round-over-round
     best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
+    reps: dict[str, list[float]] = {}
     for name in names:
         res = WORKLOADS[name](spark, sf_dir)
+        reps[name] = [res["sec"]]
         for _ in range(best_of - 1):
             again = WORKLOADS[name](spark, sf_dir)
+            reps[name].append(again["sec"])
             if again["sec"] < res["sec"]:
                 res = again
         queries[name] = round(res["sec"], 3)
@@ -263,6 +266,17 @@ def run_bench(only: str | None = None, cpus: int = CPUS, sf_dir: str = SF_DIR) -
         # squeeze later workloads' memory — isolate each measurement
         spark.catalog.clearCache()
     spark.stop()
+    import statistics
+
+    spread = {
+        name: {
+            "best": round(min(ts), 3),
+            "median": round(statistics.median(ts), 3),
+            "worst": round(max(ts), 3),
+            "reps": [round(t, 3) for t in ts],
+        }
+        for name, ts in reps.items()
+    }
     return {
         "metric": "headline query wall-clock at sf on local[%d]" % cpus,
         "value": round(sum(queries.values()), 3),
@@ -270,6 +284,7 @@ def run_bench(only: str | None = None, cpus: int = CPUS, sf_dir: str = SF_DIR) -
         "queries": queries,
         "sf": _sf_of(sf_dir),
         "extra": extra,
+        "spread": spread,
     }
 
 
@@ -1125,4 +1140,24 @@ if __name__ == "__main__":
     elif args.sweep:
         run_sweep(cpus=args.cpus)
     else:
-        print(json.dumps(run_bench(args.only, args.cpus, args.sf_dir)))
+        result = run_bench(args.only, args.cpus, args.sf_dir)
+        # Full detail (extras, per-rep spread) goes to a committed file;
+        # stdout's FINAL line stays compact because the driver records only
+        # a 2000-char tail of it (BENCH_r03.json was truncated to
+        # parsed=null when the one-line JSON outgrew that).
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+        compact = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+            "sf": result["sf"],
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # still too big: drop per-query detail, keep total
+            compact["queries"] = {"detail": "BENCH/last_run.json"}
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
