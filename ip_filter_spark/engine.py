@@ -66,9 +66,15 @@ VALUE_COL = "__value"
 
 
 def sha256_digest(col) -> "F.Column":
-    """32-byte sha256(content) digest, computed JVM-side (whole-stage
-    codegen) — the per-row hashing invariant from BASELINE.json."""
-    return F.unhex(F.sha2(col, 256))
+    """Key digest: sha256(content) truncated to DIGEST_W (16) bytes,
+    computed JVM-side (whole-stage codegen) — the per-row hashing
+    invariant from BASELINE.json. Truncation halves the Arrow bytes/row
+    crossing into the Python kernels (and the FNV loop length) with no
+    semantic change: 128 bits stay collision-free far past 100-TB row
+    counts (birthday bound ~2^64)."""
+    from ip_filter_spark.sketches.hashing import DIGEST_W
+
+    return F.substring(F.unhex(F.sha2(col, 256)), 1, DIGEST_W)
 
 
 def _hashable(df: DataFrame, col) -> "F.Column":
@@ -135,7 +141,7 @@ def build_partials(
 
     key: column/expr whose sha256 digest feeds hash sketches (by default
          the digest is computed JVM-side via sha2). If ``key_is_digest``,
-         the column already holds 32-byte digests.
+         the column already holds fixed-width key digests.
     value: numeric column feeding quantile sketches (KLL / t-digest).
 
     Returns the sketch-row DataFrame (one row per spec per partition).
@@ -154,7 +160,7 @@ def build_partials(
     # instead of the source's split count — a single-file source
     # otherwise computes every digest in 1-4 tasks and only the cheap
     # kernels parallelize. Costs shuffling the raw key bytes instead of
-    # 32 B digests; when the source is already well-partitioned pass
+    # DIGEST_W-byte digests; when the source is already well-partitioned pass
     # num_partitions=None and nothing shuffles at all.
     proj = (df.repartition(num_partitions) if num_partitions else df).select(*cols)
     if skip_partitions:

@@ -19,7 +19,7 @@ Two surfaces expose the same mergeable kernels
   first, then merge blobs per key — the skew-safe two-level shape as
   two GROUP BYs (see ``queries.sql_udaf_users_by_type``).
 
-All UDFs take the 32-byte sha256 digest column (``F.unhex(F.sha2(col,
+All UDFs take the DIGEST_W-byte truncated sha256 digest column (``sha256_digest(col)`` /
 256))`` — the per-row invariant), not raw values, so the hash pipeline
 is identical to the engine path and blobs from either surface merge
 interchangeably.

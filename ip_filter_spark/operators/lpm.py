@@ -60,6 +60,7 @@ from pyspark.sql.types import (
 
 from ip_filter_spark.plans.obst import GuideTree
 from ip_filter_spark.sketches.bloom import BloomFilter
+from ip_filter_spark.sketches.hashing import DIGEST_W as DIG_W
 from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
 
 SEP = "/"
@@ -69,11 +70,16 @@ _KERNEL_CHUNK = 8192
 
 
 def _digest_expr(path_col, depth_col):
-    """32-byte digest of a (prefix, depth) pair, JVM-side — the analog of
-    the reference's encoded key ``(len << b) + prefix``
-    (/root/reference/prototype/utils.py:53-56) with sha256 as the
-    per-row hashing invariant."""
-    return F.unhex(F.sha2(F.concat_ws(_KEY_SEP, depth_col.cast("string"), path_col), 256))
+    """DIG_W-byte digest of a (prefix, depth) pair, JVM-side — the analog
+    of the reference's encoded key ``(len << b) + prefix``
+    (/root/reference/prototype/utils.py:53-56) with truncated sha256 as
+    the per-row hashing invariant. 16 bytes halve the probe path's
+    dominant Arrow traffic (D digests/row) and the FIB's driver+broadcast
+    footprint vs full sha256, while 128 bits keep both the Bloom hashes
+    and the exact FIB confirm collision-free at any realistic scale."""
+    return F.substring(
+        F.unhex(F.sha2(F.concat_ws(_KEY_SEP, depth_col.cast("string"), path_col), 256)), 1, DIG_W
+    )
 
 
 def _arrow_fixed_binary_matrix(arr, width: int) -> np.ndarray:
@@ -213,7 +219,7 @@ class PathLPM:
         bf: BloomFilter,
         tree: GuideTree,
         depths: list[int],
-        fib: np.ndarray,  # (n_routes, 32) uint8 digests, lexicographically sorted rows
+        fib: np.ndarray,  # (n_routes, DIG_W) uint8 digests, lexicographically sorted rows
         enc_bits: int,
     ):
         self.bf = bf
@@ -448,8 +454,8 @@ class PathLPM:
             assert len(merged) == 1
             bf = from_bytes(bytes(merged[0].payload))
 
-        # FIB digests do come to the driver: 32 B/route — 24 MB at 750k
-        # routes, ~3 GB at 100M routes; the exact-confirm set must live
+        # FIB digests do come to the driver: DIG_W (16) B/route — 12 MB at 750k
+        # routes, ~1.6 GB at 100M routes; the exact-confirm set must live
         # wherever probes run, so it is bounded by design. Assert the
         # documented bound rather than failing opaquely later.
         assert n_routes <= 50_000_000, (
@@ -466,7 +472,7 @@ class PathLPM:
 
     # --------------------------------------------------------------- helpers
     def _fib_contains(self, digs: np.ndarray) -> np.ndarray:
-        """Exact membership of (n, 32) digest rows in the sorted FIB matrix
+        """Exact membership of (n, DIG_W) digest rows in the sorted FIB matrix
         — two-column searchsorted prefilter + full-row verify, all numpy."""
         if len(digs) == 0:
             return np.zeros(0, dtype=bool)
@@ -476,7 +482,7 @@ class PathLPM:
         hi = np.searchsorted(fib64, cand64, side="right")
         out = np.zeros(len(digs), dtype=bool)
         pending = np.nonzero(hi > lo)[0]
-        # verify full 32 bytes for prefilter survivors (max multiplicity is
+        # verify all DIG_W bytes for prefilter survivors (max multiplicity is
         # tiny: 8-byte prefix collisions are ~n^2/2^64)
         for width in range(int((hi - lo).max()) if len(pending) else 0):
             idx = pending[(hi[pending] - lo[pending]) > width]
@@ -504,7 +510,7 @@ class PathLPM:
         Python stage is ``mapInArrow``, not ``mapInPandas``: passthrough
         columns are re-emitted as the SAME Arrow arrays (zero copy — a
         wide corpus row never materializes as pandas objects) and the
-        digest column is viewed as a (n, D, 32) uint8 matrix straight
+        digest column is viewed as a (n, D, DIG_W) uint8 matrix straight
         from the Arrow data buffer. Measured at sf0.1/local[32]: 0.98M →
         1.17M rows/s with all five corpus columns carried through.
 
@@ -517,7 +523,7 @@ class PathLPM:
         bc = spark.sparkContext.broadcast(payload)
         depths = self.depths
 
-        # ONE concatenated (D*32)-byte binary per row, NOT array<binary>:
+        # ONE concatenated (D*DIG_W)-byte binary per row, NOT array<binary>:
         # a nested list column materializes D python bytes objects per row
         # plus a worker-side explode — measured as the probe job's
         # dominant cost (~2.1 s of 3.5 s at sf0.1/8 cores vs 0.25 s for
@@ -552,8 +558,8 @@ class PathLPM:
                     fell = np.zeros(0, dtype=bool)
                 else:
                     digs = _arrow_fixed_binary_matrix(
-                        b.column(b.schema.get_field_index("__digs")), 32 * D
-                    ).reshape(nb, D, 32)
+                        b.column(b.schema.get_field_index("__digs")), DIG_W * D
+                    ).reshape(nb, D, DIG_W)
                     # kernel sub-chunks: one Arrow batch can be 64k+ rows
                     # (transfer-efficient), but the kernel's temporaries
                     # (hash/slot/hit matrices) scale with rows x depths —
@@ -588,7 +594,7 @@ class PathLPM:
     # ------------------------------------------------------- batch kernels
     def _hash_cols(self, digs: np.ndarray) -> np.ndarray:
         n, D, _ = digs.shape
-        return fnv1a64(digs.reshape(n * D, 32)).reshape(n, D)
+        return fnv1a64(digs.reshape(n * D, DIG_W)).reshape(n, D)
 
     def _scan_below(
         self, digs: np.ndarray, H: np.ndarray, rows: np.ndarray, cap_col: np.ndarray

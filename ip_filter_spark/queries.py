@@ -1633,13 +1633,14 @@ def sql_udaf_users_by_type(spark, sf_dir):
     bound-column oracle as the engine-path `hll_users_by_type`, so the
     two surfaces are held to the same invariant."""
     _ensure_shipped(spark)
+    from ip_filter_spark.engine import sha256_digest
     from ip_filter_spark.functions.udaf import register_sketch_udafs
     from ip_filter_spark.sketches import make_sketch
 
     register_sketch_udafs(spark, "hll", "hll", p=14)
     ev = _t(spark, sf_dir, "events")
     ev.withColumn(
-        "digest", F.unhex(F.sha2(F.col("user_id").cast("string"), 256))
+        "digest", sha256_digest(F.col("user_id").cast("string"))
     ).createOrReplaceTempView("udaf_ev_digest")
     bound = make_sketch("hll", p=14).rel_error_bound()
     return spark.sql(f"""
@@ -1673,12 +1674,13 @@ def sliding_distinct_users(spark, sf_dir):
     window) is ORACLE-TIER verification; the deployable operator is the
     daily-blob scan + windowed merge."""
     _ensure_shipped(spark)
+    from ip_filter_spark.engine import sha256_digest
     from ip_filter_spark.functions.udaf import register_sketch_udafs
     from ip_filter_spark.sketches import make_sketch
 
     register_sketch_udafs(spark, "hll", "hll", p=14)
     ev = _t(spark, sf_dir, "events")
-    ev.withColumn("digest", F.unhex(F.sha2(F.col("user_id").cast("string"), 256))).withColumn(
+    ev.withColumn("digest", sha256_digest(F.col("user_id").cast("string"))).withColumn(
         "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
     ).createOrReplaceTempView("udaf_ev_sliding")
     bound = make_sketch("hll", p=14).rel_error_bound()
@@ -1809,10 +1811,8 @@ def cms_event_counts(spark, sf_dir):
     """Count-min point estimates vs exact per-key counts: CMS provably
     never undercounts, and overshoot is bounded by eps * N."""
     _ensure_shipped(spark)
-    import hashlib
-
     from ip_filter_spark.engine import SketchSpec, build_and_merge
-    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
 
     ev = _t(spark, sf_dir, "events")
     eps = 1e-4
@@ -1821,7 +1821,7 @@ def cms_event_counts(spark, sf_dir):
     exact = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
     n_total = sum(exact.values())
     keys = sorted(exact)
-    h = fnv1a64(digests_to_matrix([hashlib.sha256(k.encode()).digest() for k in keys]))
+    h = fnv1a64(digests_to_matrix([key_digest(k) for k in keys]))
     est = cms.query_hashes(h)
     rows = [
         (k, int(exact[k]), bool(int(e) >= exact[k]), bool(int(e) - exact[k] <= eps * n_total))
@@ -2011,17 +2011,15 @@ def cbf_duplicate_counts(spark, sf_dir):
     """Counting-Bloom multiplicity estimates vs exact duplicate counts on
     the events event_type column: min-count provably never undercounts."""
     _ensure_shipped(spark)
-    import hashlib
-
     from ip_filter_spark.engine import SketchSpec, build_and_merge
-    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
 
     ev = _t(spark, sf_dir, "events")
     spec = SketchSpec("cbf", {"fpp": 1e-4, "n": 1_000_000})
     cbf = build_and_merge(ev, [spec], key="event_type")[spec.key()]
     exact = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
     keys = sorted(exact)
-    h = fnv1a64(digests_to_matrix([hashlib.sha256(k.encode()).digest() for k in keys]))
+    h = fnv1a64(digests_to_matrix([key_digest(k) for k in keys]))
     est = cbf.min_count(h)
     rows = [(k, int(exact[k]), bool(int(e) >= exact[k])) for k, e in zip(keys, est.tolist())]
     return spark.createDataFrame(rows, "key string, exact_count long, cbf_never_undercounts boolean")

@@ -2,9 +2,16 @@
 
 Every per-row hash in the library is computed on ``sha256(content)``
 digests (the per-row invariant from BASELINE.json `input_hint`): Spark
-computes ``unhex(sha2(col, 256))`` JVM-side, the Arrow boundary hands the
-32-byte digests to numpy, and everything below is batch matrix math —
-no per-row Python.
+computes ``unhex(sha2(col, 256))`` JVM-side, truncated to the first
+``DIGEST_W`` (16) bytes, the Arrow boundary hands the digests to numpy,
+and everything below is batch matrix math — no per-row Python.
+
+``DIGEST_W = 16``: the JVM→Python Arrow traffic and the FNV loop are both
+linear in digest width, and on a memory-bandwidth-bound host halving the
+bytes/row is the single biggest kernel-path lever (BENCH/BASELINE.md).
+128 truncated sha256 bits remain collision-resistant (birthday bound
+~2^64 keys before any collision is expected — far beyond 100 TB row
+counts), so estimates and exact-confirm semantics are unchanged.
 
 Kernels:
 
@@ -34,17 +41,26 @@ FNV_PRIME = np.uint64(0x100000001B3)
 _U64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 _LOW32 = np.uint64(0xFFFFFFFF)
 
+# Library-wide key-digest width: sha256 truncated to its first 16 bytes.
+# Kernel traffic (Arrow transfer, FNV loop, FIB rows) is linear in this.
+DIGEST_W = 16
 
-def digests_to_matrix(digests, width: int = 32) -> np.ndarray:
-    """(n,) sequence of ``width``-byte ``bytes`` -> (n, width) uint8 matrix.
 
-    The ``b"".join`` runs at C speed; no per-row Python logic.
+def digests_to_matrix(digests, width: int | None = None) -> np.ndarray:
+    """(n,) sequence of fixed-width ``bytes`` -> (n, width) uint8 matrix.
+
+    ``width=None`` infers the width from the data (all keys must share
+    it). The ``b"".join`` runs at C speed; no per-row Python logic.
     """
     if hasattr(digests, "to_list"):
         digests = digests.to_list()
     if len(digests) == 0:
-        return np.empty((0, width), dtype=np.uint8)
+        return np.empty((0, width if width else DIGEST_W), dtype=np.uint8)
     buf = b"".join(digests)
+    if width is None:
+        width, rem = divmod(len(buf), len(digests))
+        if rem:
+            raise ValueError("keys are not fixed-width")
     if len(buf) != width * len(digests):
         raise ValueError(f"expected fixed-width {width}-byte keys")
     return np.frombuffer(buf, dtype=np.uint8).reshape(-1, width)
@@ -54,7 +70,8 @@ def fnv1a64(byte_matrix: np.ndarray) -> np.ndarray:
     """Canonical FNV-1a 64-bit, vectorized across rows.
 
     byte_matrix: (n, w) uint8. Returns (n,) uint64. The loop is over the
-    fixed key width w (32 for sha256), each iteration a full-batch numpy op.
+    fixed key width w (DIGEST_W for truncated sha256), each iteration a
+    full-batch numpy op.
     """
     n, w = byte_matrix.shape
     with np.errstate(over="ignore"):
@@ -111,7 +128,16 @@ def sha256_bytes(data: bytes) -> bytes:
     return hashlib.sha256(data).digest()
 
 
+def key_digest(data: bytes | str) -> bytes:
+    """The library's per-row key digest: sha256 truncated to DIGEST_W
+    bytes — the Python replica of the JVM-side
+    ``substring(unhex(sha2(col, 256)), 1, DIGEST_W)``."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.sha256(data).digest()[:DIGEST_W]
+
+
 def series_sha256(texts) -> np.ndarray:
-    """pd.Series[str] -> (n, 32) uint8 digest matrix (test utility;
-    production path computes sha2 JVM-side in Spark)."""
-    return digests_to_matrix([hashlib.sha256(t.encode("utf-8")).digest() for t in texts])
+    """pd.Series[str] -> (n, DIGEST_W) uint8 key-digest matrix (test
+    utility; production path computes sha2 JVM-side in Spark)."""
+    return digests_to_matrix([key_digest(t) for t in texts], width=DIGEST_W)

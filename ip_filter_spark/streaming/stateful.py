@@ -75,9 +75,11 @@ def running_distinct_by_key(stream_df: DataFrame, key_col: str, value_col) -> Da
 
     value_col: column/expr whose sha256 digest feeds the per-key HLL.
     Emits one updated (key, estimate, rows_seen) row per key per batch."""
+    from ip_filter_spark.engine import sha256_digest
+
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     src = stream_df.select(
-        F.col(key_col).alias("key"), F.unhex(F.sha2(vc.cast("string"), 256)).alias("__digest")
+        F.col(key_col).alias("key"), sha256_digest(vc.cast("string")).alias("__digest")
     )
     return src.groupBy("key").applyInPandasWithState(
         _update,

@@ -54,8 +54,10 @@ def test_rehash_families_differ():
 
 
 def test_sha256_matrix():
+    from ip_filter_spark.sketches.hashing import DIGEST_W
+
     mat = series_sha256(["hello", "world"])
     import hashlib
 
-    assert bytes(mat[0]) == hashlib.sha256(b"hello").digest()
-    assert mat.shape == (2, 32)
+    assert bytes(mat[0]) == hashlib.sha256(b"hello").digest()[:DIGEST_W]
+    assert mat.shape == (2, DIGEST_W)

@@ -544,13 +544,13 @@ def test_sql_udaf_blobs_interoperate_with_engine(spark, sf_dir):
     HLL registers)."""
     from pyspark.sql import functions as F
 
-    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.engine import SketchSpec, build_and_merge, sha256_digest
     from ip_filter_spark.functions.udaf import sketch_agg
     from ip_filter_spark.sketches import from_bytes
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     key = F.col("user_id").cast("string")
-    dig = F.unhex(F.sha2(key, 256)).alias("digest")
+    dig = sha256_digest(key).alias("digest")
     half_a = ev.where(F.col("event_id") % 2 == 0)
     half_b = ev.where(F.col("event_id") % 2 == 1)
 
