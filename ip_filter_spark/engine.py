@@ -449,6 +449,7 @@ def rollup_keyed_sketches(
         _merge_fn(hierarchy), schema=_schema(hierarchy)
     )
     level.persist().count()
+    persisted = [level]
 
     def _widen(lvl: DataFrame, group_cols: list[str]) -> DataFrame:
         sel = [F.lit(len(group_cols)).alias("level")]
@@ -470,7 +471,15 @@ def rollup_keyed_sketches(
                 )
             )
         level.persist().count()
+        persisted.append(level)
         out = out.unionByName(_widen(level, keep))
+    # materialize the widened pyramid once, then release every cached
+    # level — repeated rollup calls in a long-lived session must not
+    # accumulate executor-memory cache (the persisted levels exist only
+    # to keep the pyramid single-scan while it is being built)
+    out = out.localCheckpoint()
+    for lvl in persisted:
+        lvl.unpersist()
     return out
 
 

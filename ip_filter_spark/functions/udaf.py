@@ -53,13 +53,34 @@ def sketch_agg(sketch: str, **params: Any):
     return agg
 
 
+def sketch_value_agg(sketch: str, **params: Any):
+    """GROUPED_AGG UDAF: double VALUE column → serialized sketch blob —
+    the value-path twin of ``sketch_agg`` for quantile sketches
+    (KLL / t-digest). Nulls are dropped (SQL aggregate semantics)."""
+
+    @pandas_udf("binary")
+    def agg(values: pd.Series) -> bytes:
+        sk = make_sketch(sketch, **params)
+        vals = values.dropna()
+        if len(vals):
+            sk.update_values(vals.to_numpy(dtype="float64"))
+        return sk.to_bytes()
+
+    return agg
+
+
 def sketch_merge_agg():
     """GROUPED_AGG UDAF: blob column → merged blob (associative sketch
     merge). The second level of a two-level SQL aggregation, and the
-    re-aggregation step for stored partials/rollups."""
+    re-aggregation step for stored partials/rollups. Null blobs (outer
+    joins, empty upstream groups) are skipped; an all-null group merges
+    to NULL rather than raising inside the executor."""
 
     @pandas_udf("binary")
-    def merge(blobs: pd.Series) -> bytes:
+    def merge(blobs: pd.Series) -> bytes | None:
+        blobs = blobs.dropna()
+        if not len(blobs):
+            return None
         sk = from_bytes(bytes(blobs.iloc[0]))
         for b in blobs.iloc[1:]:
             sk = sk.merge(from_bytes(bytes(b)))
@@ -79,6 +100,20 @@ def sketch_estimate():
     return estimate
 
 
+def sketch_quantile(q: float):
+    """Scalar vectorized UDF: quantile-sketch blob → value at rank ``q``
+    (KLL / t-digest)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def quantile(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: float(np.asarray(from_bytes(bytes(b)).quantile(q)).item())
+        )
+
+    return quantile
+
+
 def register_sketch_udafs(spark: SparkSession, prefix: str = "hll", sketch: str = "hll", **params: Any):
     """Register ``{prefix}_agg`` / ``{prefix}_merge`` / ``{prefix}_estimate``
     for SQL. Returns the three function objects for DataFrame-API use."""
@@ -87,3 +122,17 @@ def register_sketch_udafs(spark: SparkSession, prefix: str = "hll", sketch: str 
     spark.udf.register(f"{prefix}_merge", merge)
     spark.udf.register(f"{prefix}_estimate", est)
     return agg, merge, est
+
+
+def register_value_sketch_udafs(
+    spark: SparkSession, prefix: str = "td", sketch: str = "tdigest", q: float = 0.5, **params: Any
+):
+    """Register the VALUE-sketch SQL surface: ``{prefix}_agg`` (double →
+    blob), ``{prefix}_merge`` (blob → blob) and ``{prefix}_quantile``
+    (blob → value at rank ``q``) — the quantile algebra for SQL users,
+    merge-compatible with the engine path's blobs."""
+    agg, merge, qf = sketch_value_agg(sketch, **params), sketch_merge_agg(), sketch_quantile(q)
+    spark.udf.register(f"{prefix}_agg", agg)
+    spark.udf.register(f"{prefix}_merge", merge)
+    spark.udf.register(f"{prefix}_quantile", qf)
+    return agg, merge, qf

@@ -1480,7 +1480,13 @@ def tfidf_top_terms(spark, sf_dir):
         "score",
         F.col("term_count") * F.log((1.0 + n_docs) / (1 + F.col("doc_freq"))),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    # ties (and near-ties) break on exact integers BEFORE the term name:
+    # JVM Math.log and DuckDB libm can differ in the last ulp, so two
+    # distinct terms with equal (term_count, doc_freq) — bit-identical
+    # scores per engine — must not fall through to float comparison noise
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.desc("term_count"), F.asc("doc_freq"), F.asc("term")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -1501,7 +1507,9 @@ scored AS (
          c.term_count * ln((1.0 + n.n_docs) / (1 + d.doc_freq)) AS score
   FROM counts c JOIN docfreq d USING (term), n),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rank
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY score DESC, term_count DESC, doc_freq ASC, term ASC) AS rank
   FROM scored)
 SELECT lang, CAST(rank AS INTEGER) AS rank, term, term_count, doc_freq
 FROM ranked WHERE rank <= 3
@@ -1981,6 +1989,58 @@ FROM sorted WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
 """
 
 
+def sql_udaf_price_quantiles(spark, sf_dir):
+    """The quantile algebra as REGISTERED SQL UDAFs (functions/udaf.py
+    register_value_sketch_udafs): per-priority median t-digests computed
+    entirely in SQL text — level 1 aggregates o_totalprice values per
+    (priority, salt) into t-digest blobs (GROUPED_AGG pandas UDF), level
+    2 merges blobs per priority and reads the median, the skew-safe
+    two-level shape as two GROUP BYs. The gate then verifies the SQL
+    median's NORMALIZED RANK within its group distributedly (one
+    broadcast join + one aggregate — no per-group jobs, no driver rows
+    beyond 5 estimates) against the same rank bound and exact-median
+    oracle as the engine-path ``tdigest_by_priority``, so both surfaces
+    are held to the same invariant."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_value_sketch_udafs
+
+    register_value_sketch_udafs(spark, "td", "tdigest", q=0.5, delta=200.0)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("udaf_orders")
+    est = spark.sql("""
+      WITH partials AS (
+        SELECT o_orderpriority AS key, pmod(xxhash64(o_orderkey), 16) AS salt,
+               td_agg(CAST(o_totalprice AS DOUBLE)) AS p
+        FROM udaf_orders GROUP BY key, salt
+      )
+      SELECT key, td_quantile(td_merge(p)) AS est FROM partials GROUP BY key
+    """)
+    ranked = (
+        orders.join(F.broadcast(est), orders.o_orderpriority == est.key)
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((F.col("o_totalprice") <= F.col("est")).cast("long")).alias("r"),
+        )
+        .select("key", (F.abs(F.col("r") / F.col("c") - 0.5) <= 0.01).alias("within_rank_bound"))
+    )
+    w = Window.partitionBy("o_orderpriority")
+    exact = (
+        orders.select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("v"),
+            F.row_number().over(w.orderBy("o_totalprice")).alias("rn"),
+            F.count("*").over(w).alias("c"),
+        )
+        .where(F.col("rn") == (F.floor((F.col("c") - 1) * 0.5) + 1))
+        .select(F.col("o_orderpriority").alias("key"), F.col("v").alias("exact_median"))
+    )
+    return ranked.join(exact, "key").select("key", "exact_median", "within_rank_bound")
+
+
+SQL_UDAF_PRICE_QUANTILES_SQL = TDIGEST_BY_PRIORITY_SQL
+
+
 def bloom_membership(spark, sf_dir):
     """Bloom invariants: zero false negatives (provable by construction),
     empirical FPR on 10k absent keys within 10x the configured fpp
@@ -2046,10 +2106,12 @@ def cbf_deletion_membership(spark, sf_dir):
     from ip_filter_spark.engine import SketchSpec, build_and_merge, probe_counts
 
     ev = _t(spark, sf_dir, "events")
-    # both booleans are one-sided bounds that hold for ANY params (no
-    # false negatives / never undercounts are structural), so size the
-    # filter for the workload instead of maximal: m tracks n linearly,
-    # and per-batch update cost tracks m
+    # both booleans are one-sided bounds that hold for any params SHORT
+    # OF COUNTER SATURATION (no false negatives / never undercounts are
+    # structural; a uint16-clipped cell would break the bound, and
+    # subtract() now raises in that case), so size the filter for the
+    # workload instead of maximal: m tracks n linearly, and per-batch
+    # update cost tracks m
     spec = SketchSpec("cbf", {"fpp": 1e-3, "n": 100_000})
     full = build_and_merge(ev, [spec], key="user_id")[spec.key()]
     dele = build_and_merge(ev.where(F.col("event_type") == "error"), [spec], key="user_id")[
@@ -2196,6 +2258,13 @@ def kmv_user_overlap(spark, sf_dir):
         )[spec.key()]
     a, b = sketches["click"], sketches["purchase"]
     assert a._theta() >= 1.0 and b._theta() >= 1.0, "user domain exceeded KMV capacity; oracle form invalid"
+    # per-sketch theta=1 is not sufficient for the union/difference rows:
+    # union_estimate truncates the COMBINED hash set to k, so the
+    # combined distinct domain must also fit capacity for the exact
+    # oracle form to be valid
+    assert len(np.union1d(a.mins, b.mins)) < a.k, (
+        "combined user domain exceeded KMV capacity; oracle form invalid"
+    )
     row = (
         int(round(a.estimate())),
         int(round(b.estimate())),
@@ -2487,6 +2556,30 @@ FROM events
 """
 
 
+def _stream_scratch(name: str, sf_dir: str) -> str:
+    """Stable per-(query, sf) scratch dir for the streaming gates.
+
+    The returned DataFrame must outlive the query function (the driver
+    collects it later), so the stream's OUTPUT parquet cannot live in a
+    mkdtemp removed in ``finally`` — that shape forced the old gates to
+    ``collect()`` the stream's entire output through the driver, an
+    O(sessions)/O(windows)/O(pairs) driver wall at 100x. Each invocation
+    instead wipes and reuses its own fixed location; the replay source
+    and checkpoint are still deleted eagerly, only ``out`` survives until
+    the next invocation. The gate stays FULL-VALUE with zero driver-side
+    row movement: output is returned as a distributed parquet scan."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "ifs_stream_gates", f"{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 def stream_session_equivalence(spark, sf_dir):
     """Streaming sessionization under the hard gate, FULL-VALUE: the
     availableNow session_window stream (streaming/sessions.py) over a
@@ -2504,7 +2597,6 @@ def stream_session_equivalence(spark, sf_dir):
     is filtered by key."""
     _ensure_shipped(spark)
     import shutil
-    import tempfile
     import time
 
     from ip_filter_spark.streaming import stream_session_stats
@@ -2513,7 +2605,7 @@ def stream_session_equivalence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
     delay_s = int((mx - mn).total_seconds()) + 3601
-    work = tempfile.mkdtemp(prefix="ifs_stream_sess_")
+    work = _stream_scratch("sess", sf_dir)
     try:
         src = f"{work}/src"
         ev.repartition(4).write.parquet(src)
@@ -2535,20 +2627,19 @@ def stream_session_equivalence(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("availableNow session stream did not finish in 300 s")
-        out = (
-            spark.read.parquet(f"{work}/out")
-            .where(F.col("user_id") >= 0)
-            .select(
-                "user_id",
-                F.col("session_window.start").cast("long").alias("start_s"),
-                F.col("session_window.end").cast("long").alias("end_s"),
-                "n_events",
-            )
-        )
-        rows = out.collect()
     finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "user_id bigint, start_s bigint, end_s bigint, n_events bigint")
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("start_s"),
+            F.col("session_window.end").cast("long").alias("end_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
 
 
 def stream_windowed_counts(spark, sf_dir):
@@ -2568,7 +2659,6 @@ def stream_windowed_counts(spark, sf_dir):
     short of it) and is filtered by key regardless."""
     _ensure_shipped(spark)
     import shutil
-    import tempfile
     import time
 
     from ip_filter_spark.streaming import windowed_event_counts
@@ -2579,7 +2669,7 @@ def stream_windowed_counts(spark, sf_dir):
     )
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
     delay_s = int((mx - mn).total_seconds()) + 3601
-    work = tempfile.mkdtemp(prefix="ifs_stream_win_")
+    work = _stream_scratch("win", sf_dir)
     try:
         src = f"{work}/src"
         ev.repartition(4).write.parquet(src)
@@ -2608,12 +2698,13 @@ def stream_windowed_counts(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("availableNow windowed stream did not finish in 300 s")
-        out = spark.read.parquet(f"{work}/out").where(F.col("event_type") != "__sentinel__")
-        rows = out.collect()
     finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "window_start string, event_type string, n bigint, total_value double"
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .where(F.col("event_type") != "__sentinel__")
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "total_value")
     )
 
 
@@ -2643,7 +2734,6 @@ def stream_range_join_equivalence(spark, sf_dir):
     condition and the oracle's integer BETWEEN agree on boundaries."""
     _ensure_shipped(spark)
     import shutil
-    import tempfile
 
     from ip_filter_spark.streaming import stream_interval_join
 
@@ -2660,7 +2750,7 @@ def stream_range_join_equivalence(spark, sf_dir):
     )
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
     delay = f"{int((mx - mn).total_seconds()) + 3601} seconds"
-    work = tempfile.mkdtemp(prefix="ifs_stream_rj_")
+    work = _stream_scratch("rj", sf_dir)
     try:
         clicks.repartition(3).write.parquet(f"{work}/clicks")
         purchases.repartition(3).write.parquet(f"{work}/purchases")
@@ -2682,22 +2772,18 @@ def stream_range_join_equivalence(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("availableNow stream-stream join did not finish in 300 s")
-        out = spark.read.parquet(f"{work}/out").select(
-            "event_id",
-            "user_id",
-            F.col("c_ts").cast("long").alias("ts_s"),
-            "event_type",
-            "purchase_id",
-            F.col("p_ts").cast("long").alias("purchase_s"),
-            (F.col("c_ts").cast("long") - F.col("p_ts").cast("long")).alias("delay_s"),
-        )
-        rows = out.collect()
     finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "event_id bigint, user_id bigint, ts_s bigint, event_type string, "
-        "purchase_id bigint, purchase_s bigint, delay_s bigint",
+        shutil.rmtree(f"{work}/clicks", ignore_errors=True)
+        shutil.rmtree(f"{work}/purchases", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return spark.read.parquet(f"{work}/out").select(
+        "event_id",
+        "user_id",
+        F.col("c_ts").cast("long").alias("ts_s"),
+        "event_type",
+        "purchase_id",
+        F.col("p_ts").cast("long").alias("purchase_s"),
+        (F.col("c_ts").cast("long") - F.col("p_ts").cast("long")).alias("delay_s"),
     )
 
 
@@ -2946,6 +3032,7 @@ QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "hll_users_by_type": hll_users_by_type,
     "sql_udaf_users_by_type": sql_udaf_users_by_type,
+    "sql_udaf_price_quantiles": sql_udaf_price_quantiles,
     "sliding_distinct_users": sliding_distinct_users,
     "hll_rollup_users": hll_rollup_users,
     "cms_event_counts": cms_event_counts,
@@ -3028,6 +3115,7 @@ ORACLES = {
     "hll_distinct_users": HLL_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,
     "sql_udaf_users_by_type": SQL_UDAF_BY_TYPE_SQL,
+    "sql_udaf_price_quantiles": SQL_UDAF_PRICE_QUANTILES_SQL,
     "sliding_distinct_users": SLIDING_DISTINCT_SQL,
     "hll_rollup_users": HLL_ROLLUP_SQL,
     "cms_event_counts": CMS_SQL,

@@ -36,6 +36,10 @@ class CountingBloomFilter(Sketch):
         self.expected_n = int(n)
         self.n_items = 0
         self.counters = _counters if _counters is not None else np.zeros(self.m, dtype=np.uint16)
+        # set once any counter cell has clipped at the uint16 max: from
+        # that point the subtract()/min_count() one-sided guarantees no
+        # longer hold (a saturated cell undercounts after subtraction)
+        self.saturated = False
 
     def _ix(self, h64: np.ndarray) -> np.ndarray:
         return km_indices(h64, np.arange(self.k, dtype=np.uint64), self.m)
@@ -47,6 +51,8 @@ class CountingBloomFilter(Sketch):
         # saturating add: bincount in int64 then clip
         add = np.bincount(ix, minlength=self.m)
         wide = self.counters.astype(np.int64) + add
+        if wide.max(initial=0) > _MAX:
+            self.saturated = True
         np.clip(wide, 0, _MAX, out=wide)
         self.counters = wide.astype(np.uint16)
         self.n_items += len(h64)
@@ -71,9 +77,19 @@ class CountingBloomFilter(Sketch):
         which the caller guarantees; clipped at 0 otherwise). This is
         what makes deletion DISTRIBUTABLE: build the deletion filter
         with the same scan→partials→merge pipeline as the insert filter
-        and subtract two blobs on the driver — no per-key replay."""
+        and subtract two blobs on the driver — no per-key replay.
+
+        Raises if either side ever saturated a counter cell: a clipped
+        cell undercounts after subtraction, so the 'never undercounts'
+        bound would silently break. Size the filter (n / num_counters)
+        so per-cell loads stay far below the uint16 max."""
         if self._params() != other._params():
             raise ValueError("subtract requires identical CBF params")
+        if self.saturated or other.saturated:
+            raise ValueError(
+                "CBF counter saturated (uint16 clip): subtract()'s never-undercounts "
+                "guarantee no longer holds — rebuild with more counters"
+            )
         wide = self.counters.astype(np.int64) - other.counters.astype(np.int64)
         np.clip(wide, 0, _MAX, out=wide)
         self.counters = wide.astype(np.uint16)
@@ -94,6 +110,9 @@ class CountingBloomFilter(Sketch):
     def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
         assert self.m == other.m and self.k == other.k
         wide = self.counters.astype(np.int64) + other.counters.astype(np.int64)
+        if wide.max(initial=0) > _MAX:
+            self.saturated = True
+        self.saturated |= other.saturated
         np.clip(wide, 0, _MAX, out=wide)
         self.counters = wide.astype(np.uint16)
         self.n_items += other.n_items
@@ -106,10 +125,11 @@ class CountingBloomFilter(Sketch):
         # content-adaptive, like BloomFilter/CMS: low-fill partials ship
         # (index, count) pairs instead of the dense counter array
         nz = np.flatnonzero(self.counters)
+        sat = np.array([int(self.saturated)], dtype=np.uint8)
         ix_dt = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
         if len(nz) * (np.dtype(ix_dt).itemsize + self.counters.dtype.itemsize) < self.counters.nbytes:
-            return {"sparse_ix": nz.astype(ix_dt), "sparse_val": self.counters[nz]}
-        return {"counters": self.counters}
+            return {"sparse_ix": nz.astype(ix_dt), "sparse_val": self.counters[nz], "sat": sat}
+        return {"counters": self.counters, "sat": sat}
 
     @classmethod
     def _from_state(cls, params: dict, arrays: dict[str, np.ndarray]) -> "CountingBloomFilter":
@@ -118,7 +138,10 @@ class CountingBloomFilter(Sketch):
             counters[arrays["sparse_ix"].astype(np.int64)] = arrays["sparse_val"]
         else:
             counters = arrays["counters"]
-        return cls(
+        out = cls(
             fpp=params["fpp"], n=params["expected_n"], k=params["k"],
             num_counters=params["m"], _counters=counters,
         )
+        if "sat" in arrays:
+            out.saturated = bool(arrays["sat"][0])
+        return out

@@ -307,3 +307,23 @@ def test_connected_components_shapes(spark):
     assert {got[i] for i in (20, 21, 22, 30)} == {20}
     assert got[40] == got[41] == 40
     assert set(got) == set(range(10)) | {20, 21, 22, 30, 40, 41}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the lineage cut to reliable checkpoint()
+    files (survives executor loss, unlike localCheckpoint blocks) —
+    same components; checkpoint data actually lands in the directory."""
+    import os
+
+    from ip_filter_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(9)]
+    edges = spark.createDataFrame(chain + [(40, 41)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert {got[i] for i in range(10)} == {0}
+    assert got[40] == got[41] == 40
+    assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint files written"

@@ -572,3 +572,56 @@ def test_probe_counts_rejects_uncountable_sketch(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(TypeError, match="count query"):
         probe_counts(df, "user_id", make_sketch("hll", p=12))
+
+
+def test_cbf_saturation_is_tracked_and_blocks_subtract():
+    """A uint16-clipped counter breaks the never-undercounts bound, so
+    saturation must be remembered (across serde and merge) and subtract
+    must refuse rather than silently undercount (ADVICE r3)."""
+    import numpy as np
+    import pytest
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
+
+    h = np.array([12345], dtype=np.uint64)
+    tiny = CountingBloomFilter(fpp=1e-3, n=100)
+    for _ in range(70):
+        tiny.update_hashes(np.repeat(h, 1000))
+    assert tiny.saturated
+    assert from_bytes(tiny.to_bytes()).saturated  # survives serde
+    clean = CountingBloomFilter(fpp=1e-3, n=100).update_hashes(h)
+    assert not clean.saturated
+    merged = CountingBloomFilter(fpp=1e-3, n=100).merge(tiny)
+    assert merged.saturated  # propagates through merge
+    with pytest.raises(ValueError, match="saturated"):
+        tiny.subtract(clean)
+    with pytest.raises(ValueError, match="saturated"):
+        clean.subtract(merged)
+
+
+def test_udaf_merge_skips_null_blobs(spark):
+    """sketch_merge_agg must tolerate NULL blobs (outer joins, empty
+    upstream groups): nulls are skipped, all-null merges to NULL
+    (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.functions.udaf import sketch_agg, sketch_estimate, sketch_merge_agg
+
+    from ip_filter_spark.engine import sha256_digest
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), sha256_digest(F.col("id").cast("string")).alias("d")
+    )
+    blobs = df.groupBy("g").agg(sketch_agg("hll", p=12)(F.col("d")).alias("blob"))
+    with_null = blobs.unionByName(
+        spark.createDataFrame([(0,), (1,)], "g long").select("g", F.lit(None).cast("binary").alias("blob"))
+    )
+    merged = with_null.groupBy("g").agg(sketch_merge_agg()(F.col("blob")).alias("m"))
+    ests = {r.g: r.e for r in merged.select("g", sketch_estimate()(F.col("m")).alias("e")).collect()}
+    assert abs(ests[0] - 50) < 10 and abs(ests[1] - 50) < 10
+    all_null = spark.createDataFrame([(0,), (0,)], "g long").select(
+        "g", F.lit(None).cast("binary").alias("blob")
+    )
+    row = all_null.groupBy("g").agg(sketch_merge_agg()(F.col("blob")).alias("m")).first()
+    assert row.m is None
