@@ -237,6 +237,8 @@ WORKLOADS = {
     "dedup_components_docs": _timed_query("dedup_components_docs"),
     "tfidf_top_terms": _timed_query("tfidf_top_terms"),
     "fd_embedding_gram": _timed_query("fd_embedding_gram"),
+    "ams_f2_events": _timed_query("ams_f2_events"),
+    "shard_pack_docs": _timed_query("shard_pack_docs"),
 }
 
 

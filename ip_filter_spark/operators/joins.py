@@ -58,6 +58,46 @@ def bloom_semi_join(
     return pruned.join(confirm, on=pruned[probe_key] == confirm["__k"], how="left_semi")
 
 
+def bloom_anti_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    fpp: float = 1e-4,
+    expected_n: int | None = None,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Rows of ``probe`` whose ``probe_key`` does NOT appear in
+    ``build``'s ``build_key`` — semantically ``LEFT ANTI JOIN`` /
+    ``NOT EXISTS``, executed as Bloom-prefilter → exact anti-join.
+
+    The asymmetry vs :func:`bloom_semi_join` is which side of the
+    Bloom verdict is FREE: a Bloom *negative* is certain ("definitely
+    not in the build set"), so bloom-negative probe rows are emitted
+    immediately with no join at all. Only the bloom-*positive* rows
+    — |true matches| + fpp·|probe| of them — need the exact anti-join
+    confirm, because a positive may be a false positive. At 100 TB
+    this shrinks the anti-join's shuffled/probed side from the whole
+    probe table to roughly the matching subset, while the output stays
+    EXACTLY the plain anti-join (no false negatives ⇒ nothing exact is
+    lost; the confirm removes every false positive).
+    """
+    build_key = build_key or probe_key
+    keys = build.select(F.col(build_key).alias("__k")).distinct()
+    n = expected_n if expected_n is not None else keys.count()
+    spec = SketchSpec("bloom", {"fpp": fpp, "n": max(int(n), 1)})
+    bf = build_and_merge(keys, [spec], key="__k")[spec.key()]
+
+    flagged = probe_membership(probe, probe_key, bf, out_col="__hit")
+    certain_out = flagged.where(~F.col("__hit")).drop("__hit")
+    candidates = flagged.where(F.col("__hit")).drop("__hit")
+    confirm = keys if not broadcast_build else F.broadcast(keys)
+    confirmed_out = candidates.join(
+        confirm, on=candidates[probe_key] == confirm["__k"], how="left_anti"
+    )
+    return certain_out.unionByName(confirmed_out)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -2969,6 +2969,159 @@ FROM events
 """
 
 
+def ams_f2_events(spark, sf_dir):
+    """Second frequency moment F2 = Σ_user count(user)² of the events
+    stream via the Count-Sketch / AMS tug-of-war estimator — the
+    self-join-size statistic (F2 is exactly |events ⋈ events| on
+    user_id) from one linear sketch instead of a fact-fact shuffle.
+    Gate pins the exact F2 (full-value column, both engines) plus the
+    published guarantee: the median-of-rows estimate lands within the
+    per-row Chebyshev bound sqrt(8/w) relative error. Merge is
+    elementwise sum, so the build is the standard scan-partitioned
+    partials → tree merge — O(P·blob) traffic at any scale."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    spec = SketchSpec("countsketch", {"width": 8192, "depth": 7})
+    ev = _t(spark, sf_dir, "events")
+    cs = build_and_merge(ev, [spec], key=F.col("user_id").cast("string"))[spec.key()]
+    est = cs.f2_estimate()
+    bound = cs.f2_rel_error_bound()
+    exact = (
+        ev.groupBy("user_id")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .first()["f2"]
+    )
+    return spark.createDataFrame(
+        [(int(exact), bool(abs(est - exact) <= bound * exact))],
+        "exact_f2 long, within_rel_bound boolean",
+    )
+
+
+AMS_F2_SQL = """
+SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2, TRUE AS within_rel_bound
+FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+"""
+
+
+def stratified_split_docs(spark, sf_dir):
+    """Deterministic train/valid/test split for a training corpus:
+    assignment is a pure function of the stable document identity
+    (first hex byte of sha256(doc_id): < 'cc' → train ≈ 79.7%,
+    < 'e6' → valid ≈ 10.2%, else test), NOT of row order, partition
+    count, or a seed — so the split is reproducible across reruns,
+    engines, and cluster sizes, and new documents never reshuffle old
+    ones between splits (the property rand()-based splits lack). The
+    gate reports per-(lang, split) doc and token counts, full-value
+    checked against DuckDB computing the same hash rule."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_expr("text")).alias("total_tokens"),
+        )
+    )
+
+
+STRATIFIED_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, split
+"""
+
+_SHARD_BUDGET = 25_000  # tokens per training shard
+
+
+def shard_pack_docs(spark, sf_dir):
+    """Token-budget shard packing — the write-side primitive of a
+    training-data pipeline: documents in stable doc_id order are packed
+    into contiguous shards of ~25k tokens (shard id = floor(global
+    token offset / budget)). The global running token count uses
+    operators.aggregates.distributed_prefix_sum — boundary-literal
+    bucketing + per-bucket windows — NOT a single-partition global
+    window, so packing parallelizes at 100 TB. Oracle is the plain SQL
+    window cumsum; identical because the prefix sum is exact and the
+    order key unique."""
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("long").alias("toks")
+    )
+    c = distributed_prefix_sum(d, "doc_id", "toks", out_col="cum", num_buckets=32)
+    shard = F.floor((F.col("cum") - F.col("toks")) / F.lit(_SHARD_BUDGET))
+    return (
+        c.groupBy(shard.cast("long").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+SHARD_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(FLOOR((cum - toks) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY shard_id
+"""
+
+
+def bloom_anti_join_customers(spark, sf_dir):
+    """Customers with NO high-value order — NOT EXISTS executed as the
+    Bloom anti-join: bloom-NEGATIVE customers are emitted with zero
+    join work (negatives are certain), only the ~|matches| + fpp·|probe|
+    bloom-positives reach the exact anti-join confirm. Output is
+    exactly the plain anti-join (no false negatives; confirm kills
+    false positives), aggregated per market segment with decimal-exact
+    balance sums."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import bloom_anti_join
+
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000).select(
+        "o_custkey"
+    )
+    out = bloom_anti_join(cust, big_orders, probe_key="c_custkey", build_key="o_custkey")
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
+BLOOM_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY c_mktsegment
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3021,6 +3174,10 @@ QUERIES = {
     "ann_rhp_topk": ann_rhp_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "reservoir_sample_events": reservoir_sample_events,
+    "ams_f2_events": ams_f2_events,
+    "stratified_split_docs": stratified_split_docs,
+    "shard_pack_docs": shard_pack_docs,
+    "bloom_anti_join_customers": bloom_anti_join_customers,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "fd_embedding_gram": fd_embedding_gram,
@@ -3105,6 +3262,10 @@ ORACLES = {
     "ann_rhp_topk": ANN_RHP_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "reservoir_sample_events": RESERVOIR_SQL,
+    "ams_f2_events": AMS_F2_SQL,
+    "stratified_split_docs": STRATIFIED_SPLIT_SQL,
+    "shard_pack_docs": SHARD_PACK_SQL,
+    "bloom_anti_join_customers": BLOOM_ANTI_JOIN_SQL,
     "embedding_near_dup_exact": NEAR_DUP_SQL,
     "fd_embedding_gram": FD_GRAM_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,

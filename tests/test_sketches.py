@@ -625,3 +625,65 @@ def test_udaf_merge_skips_null_blobs(spark):
     )
     row = all_null.groupBy("g").agg(sketch_merge_agg()(F.col("blob")).alias("m")).first()
     assert row.m is None
+
+
+# ---------------------------------------------------------- count-sketch
+def test_countsketch_f2_and_point_estimates():
+    from ip_filter_spark.sketches.countsketch import CountSketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish frequencies over 2000 keys
+    keys = hashes_of(2000, seed=3)
+    counts = (1000 / np.arange(1, 2001) ** 0.8).astype(np.int64) + 1
+    cs = CountSketch(width=8192, depth=7)
+    cs.update_hashes(keys, counts=counts)
+
+    exact_f2 = float(np.sum(counts.astype(np.float64) ** 2))
+    est = cs.f2_estimate()
+    assert abs(est - exact_f2) <= cs.f2_rel_error_bound() * exact_f2
+
+    # point estimates unbiased-ish: top keys recovered within the
+    # per-row error sqrt(F2/w)
+    top = keys[:20]
+    ests = cs.query_hashes(top)
+    err = np.sqrt(exact_f2 / cs.w)
+    assert np.all(np.abs(ests - counts[:20]) <= 3 * err)
+    del rng
+
+
+def test_countsketch_merge_equals_bulk_and_roundtrip():
+    from ip_filter_spark.sketches.countsketch import CountSketch
+
+    a_keys, b_keys = hashes_of(5000, seed=1), hashes_of(4000, seed=2)
+    bulk = CountSketch(width=1024, depth=5).update_hashes(np.concatenate([a_keys, b_keys]))
+    a = CountSketch(width=1024, depth=5).update_hashes(a_keys)
+    b = CountSketch(width=1024, depth=5).update_hashes(b_keys)
+    merged = a.merge(b)
+    assert np.array_equal(merged.table, bulk.table)
+    assert merged.n_items == bulk.n_items
+
+    blob = merged.to_bytes()
+    back = from_bytes(blob)
+    assert np.array_equal(back.table, merged.table)
+    assert back.w == 1024 and back.d == 5
+
+    # sparse serialization engages for low-fill tables
+    small = CountSketch(width=4096, depth=7).update_hashes(hashes_of(10, seed=4))
+    assert len(small.to_bytes()) < small.table.nbytes // 4
+    assert np.array_equal(from_bytes(small.to_bytes()).table, small.table)
+
+
+def test_countsketch_inner_product_join_size():
+    from ip_filter_spark.sketches.countsketch import CountSketch
+
+    rng = np.random.default_rng(11)
+    domain = hashes_of(500, seed=9)
+    a_counts = rng.integers(1, 50, size=500).astype(np.int64)
+    b_counts = rng.integers(1, 30, size=500).astype(np.int64)
+    a = CountSketch(width=8192, depth=7).update_hashes(domain, counts=a_counts)
+    b = CountSketch(width=8192, depth=7).update_hashes(domain, counts=b_counts)
+    exact = float(np.sum(a_counts.astype(np.float64) * b_counts))
+    est = a.inner_product(b)
+    # unbiased estimator; std <= sqrt(F2(a) F2(b) / w)
+    std = np.sqrt(np.sum(a_counts**2) * np.sum(b_counts**2) / a.w)
+    assert abs(est - exact) <= 5 * std
