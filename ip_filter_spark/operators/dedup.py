@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ip_filter_spark.functions.text import tokens_expr
 from ip_filter_spark.operators.joins import broadcast_pair_join
@@ -303,6 +304,42 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _union_find(edge_rows) -> list[tuple]:
+    """Driver-side union-find (union by size + path compression) for the
+    small-graph fast path. Returns (node, component) with component =
+    min node id in the component — the same label convention as the
+    distributed propagation, so the two paths are interchangeable."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -310,6 +347,7 @@ def connected_components(
     max_iter: int = 25,
     hops_per_job: int = 2,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Dedup CLUSTERS from near-dup pairs: connected components by
     min-label propagation. Each hop every node takes the minimum label
@@ -337,6 +375,19 @@ def connected_components(
     directory instead, which an hour-long 100-TB CC job needs to survive
     executor loss. Returns (node, component) for every node that appears
     in an edge; component = min node id reachable.
+
+    Size-adaptive dispatch (same policy as the LPM build's local/
+    distributed switch): when the symmetrized edge list has at most
+    ``local_threshold`` rows — known for free from the count that sizes
+    the iteration's parallelism — the edges are collected and solved by
+    driver-side union-find with path compression. Near-dup edge sets
+    are usually orders of magnitude smaller than the corpus (pairs are
+    capped and verified upstream), and at that size O(diameter) Spark
+    jobs are pure scheduler latency: measured 3.5-5 s for a 600-edge
+    graph vs ~0.3 s local, identical labels. The threshold bounds
+    driver traffic to ~MBs (the same order as a broadcast-join build
+    side); anything larger runs the distributed propagation.
+    ``local_threshold=0`` forces the distributed path.
     """
     from pyspark.sql import Observation
 
@@ -357,6 +408,14 @@ def connected_components(
     # (measured 5.8 s -> 1.5 s on a 600-edge graph at 32 partitions vs
     # 1). The count is ~free: sym was just materialized by the cut.
     n_sym = sym.count()
+    if n_sym <= local_threshold:
+        schema = StructType(
+            [
+                StructField("node", edges.schema[src].dataType, False),
+                StructField("component", edges.schema[src].dataType, False),
+            ]
+        )
+        return spark.createDataFrame(_union_find(sym.collect()), schema)
     parts = max(1, min(sym.rdd.getNumPartitions(), n_sym // 500_000 + 1))
     if parts < sym.rdd.getNumPartitions():
         sym = cut_lineage(sym.repartition(parts))

@@ -302,7 +302,7 @@ def test_connected_components_shapes(spark):
     cliq = [(20, 21), (21, 22), (20, 22)]           # component 20..22
     bridge = [(22, 30), (40, 41)]                   # 30 joins 20s; 40-41 separate
     edges = spark.createDataFrame(chain + cliq + bridge, "id_a long, id_b long")
-    got = {r.node: r.component for r in connected_components(edges).collect()}
+    got = {r.node: r.component for r in connected_components(edges, local_threshold=0).collect()}
     assert {got[i] for i in range(10)} == {0}
     assert {got[i] for i in (20, 21, 22, 30)} == {20}
     assert got[40] == got[41] == 40
@@ -322,7 +322,7 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "cc_ckpt")
     got = {
         r.node: r.component
-        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+        for r in connected_components(edges, checkpoint_dir=ckpt, local_threshold=0).collect()
     }
     assert {got[i] for i in range(10)} == {0}
     assert got[40] == got[41] == 40
@@ -388,3 +388,24 @@ def test_distributed_prefix_sum_single_bucket_and_ties_contract(spark):
         (r.k, r.cum) for r in distributed_prefix_sum(df, "k", "v", num_buckets=1).collect()
     )
     assert got == [(1, 10), (2, 30), (3, 60)]
+
+
+def test_connected_components_local_path_matches_distributed(spark):
+    """The size-adaptive driver-side union-find returns the exact same
+    (node, component) labeling as the distributed propagation, on a
+    graph mixing a chain, cliques, a bridge, and isolated pairs."""
+    import random
+
+    from ip_filter_spark.operators.dedup import connected_components
+
+    rnd = random.Random(17)
+    edges_py = [(i, i + 1) for i in range(15)]                 # chain
+    edges_py += [(100 + a, 100 + b) for a in range(8) for b in range(a)]  # clique
+    edges_py += [(15, 100)]                                    # bridge
+    edges_py += [(rnd.randrange(200, 260), rnd.randrange(200, 260)) for _ in range(40)]
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    local = {(r.node, r.component) for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component) for r in connected_components(edges, local_threshold=0).collect()}
+    assert local == dist
+    # labels follow the min-id convention
+    assert min(n for n, _ in local) == 0 and (0, 0) in local
