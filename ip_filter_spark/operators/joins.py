@@ -315,6 +315,82 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def skew_split_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    capacity: int = 64,
+    min_share: float = 0.01,
+    how: str = "inner",
+    hot_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Sketch-GUIDED skew equi-join: a one-pass Misra–Gries summary over
+    the big side's key (O(P · capacity) counter traffic, no groupBy
+    shuffle — ``topk.mg_heavy_hitters``) detects the heavy keys at run
+    time, then the join executes as a UNION of two disjoint plans:
+
+    - HOT rows (key in the detected set, ≤ ``capacity`` literals) join
+      against a BROADCAST of the small side's hot slice — the skewed
+      mass never shuffles at all, and no single reducer ever sees a hot
+      key's pile-up;
+    - the long TAIL takes the ordinary shuffle equi-join, which is
+      balanced precisely because the heavy keys were removed.
+
+    Correctness does not depend on the sketch: the big side is
+    PARTITIONED by hot-set membership, each branch computes the exact
+    join for its rows, and the branches are disjoint — so the union is
+    row-for-row the plain join for ANY hot-key set. MG's estimation
+    error can only affect routing (a near-heavy key taking the shuffle
+    path), never the result; detection uses the upper bound
+    ``est + err >= min_share · n`` so no truly-heavy key is missed (MG
+    guarantees est ≤ true ≤ est + err).
+
+    This is the data-DRIVEN leg of the skew story: ``salted_skew_join``
+    needs the caller to know the skew and replicates the whole small
+    side ``n_salts``×; this operator measures it, broadcasts only the
+    ≤ capacity hot slice, and leaves the tail's shuffle untouched (the
+    differentiated-broadcast pattern; cf. AQE's skew-split, which only
+    rewrites sort-merge joins it can already see). ``how`` supports
+    ``inner`` and ``left`` (big-side-preserving; null keys route to the
+    tail, where standard join semantics apply). Pass ``hot_keys``
+    (stringified values) to skip detection — e.g. reuse of a summary
+    built by an earlier query over the same table.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    small_key = small_key or big_key
+    clash = (set(big.columns) & set(small.columns)) - {small_key}
+    if clash:
+        raise ValueError(
+            f"non-key columns present on both sides would be ambiguous: {sorted(clash)}; "
+            "rename or drop them on one side first"
+        )
+    if hot_keys is None:
+        from ip_filter_spark.operators.topk import mg_heavy_hitters
+
+        sk = mg_heavy_hitters(big.where(F.col(big_key).isNotNull()), big_key, capacity=capacity)
+        hot_keys = [k for k, _est, upper in sk.items() if upper >= min_share * max(sk.n_items, 1)]
+    hot = [str(k) for k in hot_keys]
+    out_cols = [c for c in big.columns] + [c for c in small.columns if c != small_key]
+
+    # string-cast routing: MG summarizes stringified keys, and the SAME
+    # Spark-side cast on both branches makes the partition exact for any
+    # key type; null keys (cast -> null -> coalesce false) go to the tail
+    is_hot = F.coalesce(F.col(big_key).cast("string").isin(hot) if hot else F.lit(False), F.lit(False))
+    small_hot = small.where(F.col(small_key).cast("string").isin(hot) if hot else F.lit(False))
+    renamed = small.withColumnRenamed(small_key, "__sk")
+    hot_join = big.where(is_hot).join(
+        F.broadcast(small_hot.withColumnRenamed(small_key, "__sk")),
+        on=F.col(big_key) == F.col("__sk"),
+        how=how,
+    )
+    tail_join = big.where(~is_hot).join(
+        renamed, on=F.col(big_key) == F.col("__sk"), how=how
+    )
+    return hot_join.select(*out_cols).unionByName(tail_join.select(*out_cols))
+
+
 def salted_skew_join(
     big: DataFrame,
     small: DataFrame,

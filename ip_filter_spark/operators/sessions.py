@@ -69,3 +69,52 @@ def session_stats(
         F.max(epoch_col).alias("end_s"),
         (F.max(epoch_col) - F.min(epoch_col)).alias("duration_s"),
     )
+
+
+def funnel_milestones(
+    df: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel milestones: for each key, the timestamp of the
+    FIRST occurrence of step i that is STRICTLY after the key's step
+    i-1 milestone (step 0 is the key's first step-0 event). Keys that
+    never complete step i carry null from column ``t{i}`` on — the
+    standard conversion-funnel semantics (view -> click -> purchase),
+    here as a deterministic exact operator rather than a BI-tool
+    approximation. Returns one row per distinct key:
+    (key, t0, t1, ..., t{len(steps)-1}).
+
+    Shape: step i is filter -> join on key -> min aggregate. Every join
+    and aggregate is keyed by ``key``, so after the first Exchange the
+    hash partitioning is reusable across all steps (Catalyst's
+    EnsureRequirements sees matching distributions); per-step
+    intermediate size is <= one row per key that reached the previous
+    step — monotonically shrinking. The sequential dependency between
+    steps is inherent to the semantics (step i's threshold IS step
+    i-1's answer); the alternative single-window form would need a
+    per-key ordered scan carrying funnel state, which is the same work
+    with worse skew behavior.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = df.select(F.col(key).alias("__u")).distinct()
+    prev = None
+    for i, step in enumerate(steps):
+        ev_s = df.where(F.col(type_col) == step).select(
+            F.col(key).alias("__u"), F.col(ts).alias("__t")
+        )
+        if prev is None:
+            m = ev_s.groupBy("__u").agg(F.min("__t").alias(f"t{i}"))
+        else:
+            m = (
+                ev_s.join(out.select("__u", prev).where(F.col(prev).isNotNull()), "__u")
+                .where(F.col("__t") > F.col(prev))
+                .groupBy("__u")
+                .agg(F.min("__t").alias(f"t{i}"))
+            )
+        out = out.join(m, "__u", "left")
+        prev = f"t{i}"
+    return out.withColumnRenamed("__u", key)

@@ -3122,6 +3122,254 @@ GROUP BY c_mktsegment
 """
 
 
+def skew_split_join_events(spark, sf_dir):
+    """Sketch-GUIDED skew join under the gate: ``joins.skew_split_join``
+    detects heavy user_ids with a one-pass Misra–Gries summary
+    (O(P · capacity) traffic, no groupBy shuffle), routes hot rows
+    through a broadcast join of the dim's hot slice (the skewed mass
+    never shuffles) and the tail through the ordinary shuffle join. The
+    split is a partition of the fact table, so the union is row-for-row
+    the plain join for ANY detected set — MG error can affect routing
+    only — which is why the oracle is ordinary SQL. The inline plan
+    assert pins both legs: a BroadcastHashJoin (hot) AND a non-broadcast
+    join (tail) in one plan. min_share=0.001 so the hot set is non-empty
+    at every sf; capacity=64 bounds the broadcast at 64 dim rows."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import skew_split_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("user_id").alias("uk")).agg(
+        F.count("*").alias("user_events"),
+        F.min("value").alias("user_min"),
+    )
+    j = skew_split_join(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        dim,
+        big_key="user_id",
+        small_key="uk",
+        capacity=64,
+        min_share=0.001,
+    )
+    plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    if "BroadcastHashJoin" not in plan:
+        raise AssertionError(f"hot leg must broadcast the dim's hot slice:\n{plan}")
+    if plan.count("Join") < 2:
+        raise AssertionError(f"expected two join legs (hot + tail):\n{plan}")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_events").alias("sum_user_events"),
+        _dec_sum(F.col("value") - F.col("user_min"), "sum_over_min"),
+    )
+
+
+SKEW_SPLIT_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id AS uk, COUNT(*) AS user_events, MIN(value) AS user_min
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events,
+       CAST(SUM(CAST(e.value - d.user_min AS DECIMAL(18,4))) AS DOUBLE) AS sum_over_min
+FROM events e JOIN dim d ON e.user_id = d.uk
+GROUP BY e.event_type
+"""
+
+
+def zorder_layout_events(spark, sf_dir):
+    """Z-order (Morton) layout roundtrip under the gate: events written
+    once clustered on the bit-interleaved (user_id, value) quantile
+    buckets (``layout.zorder_write`` — one range exchange, JVM-only
+    expressions), then a 2-D box filter + aggregate over the REWRITTEN
+    files must equal the same SQL over the original table — layout
+    changes where rows live, never what they are. The box bounds are
+    INTEGER floor-division fractions on the long column (a double bound
+    would cast the column and disable the pushdown the layout exists
+    for) and a power-of-two fraction (0.25 — exact in binary) of the
+    exact min/max on the double column, so Spark and DuckDB compute
+    bit-identical bounds.
+    The pruning property itself (row-group skipping on BOTH columns) is
+    pinned by scan-metric asserts in tests/test_plans.py — a layout
+    gate's value-hash can't see where bytes landed."""
+    _ensure_shipped(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.operators.layout import zorder_write
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    d = os.path.join(
+        tempfile.gettempdir(), "ifs_layout_gates", f"z_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    zorder_write(ev, ["user_id", "value"], f"{d}/events_z", n_files=16)
+    back = spark.read.parquet(f"{d}/events_z")
+
+    umin, umax, vmin, vmax = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    # INTEGER bounds on the long column (a double literal would cast the
+    # column and disable parquet pushdown — the pruning the layout is
+    # for); floor division replicated exactly by // in the oracle
+    ulo = umin + (umax - umin) // 4
+    uhi = umin + (3 * (umax - umin)) // 4
+    vhi = vmin + 0.25 * (vmax - vmin)
+    box = (
+        (F.col("user_id") >= ulo) & (F.col("user_id") <= uhi) & (F.col("value") <= vhi)
+    )
+    return back.where(box).groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+ZORDER_LAYOUT_SQL = """
+WITH b AS (
+  SELECT MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 4 AS ulo,
+         MIN(user_id) + (3 * (MAX(user_id) - MIN(user_id))) // 4 AS uhi,
+         MIN(value) + 0.25 * (MAX(value) - MIN(value)) AS vhi
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows, MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events, b
+WHERE user_id >= b.ulo AND user_id <= b.uhi AND value <= b.vhi
+GROUP BY event_type
+"""
+
+
+def sql_udaf_shipping_quantiles(spark, sf_dir):
+    """The KLL quantile algebra as REGISTERED SQL UDAFs — the KLL twin
+    of ``sql_udaf_price_quantiles`` (t-digest), completing the SQL
+    surface for both quantile kernels: per-returnflag medians of
+    l_extendedprice computed entirely in SQL text as the skew-safe
+    two-level aggregate (values → per-(key, salt) KLL blobs → per-key
+    blob merge → quantile read). Verified distributedly against the
+    same normalized-rank bound (2.3/k with k=200; measured 0.0046 at
+    sf0.1 — 0.02 is generous for the 16-way merged form) and the exact
+    per-group median, one broadcast join + one aggregate."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_value_sketch_udafs
+
+    register_value_sketch_udafs(spark, "kllq", "kll", q=0.5, k=200)
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("udaf_lineitem")
+    est = spark.sql("""
+      WITH partials AS (
+        SELECT l_returnflag AS key, pmod(xxhash64(l_orderkey), 16) AS salt,
+               kllq_agg(CAST(l_extendedprice AS DOUBLE)) AS p
+        FROM udaf_lineitem GROUP BY key, salt
+      )
+      SELECT key, kllq_quantile(kllq_merge(p)) AS est FROM partials GROUP BY key
+    """)
+    ranked = (
+        li.join(F.broadcast(est), li.l_returnflag == est.key)
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((F.col("l_extendedprice") <= F.col("est")).cast("long")).alias("r"),
+        )
+        .select("key", (F.abs(F.col("r") / F.col("c") - 0.5) <= 0.02).alias("within_rank_bound"))
+    )
+    w = Window.partitionBy("l_returnflag")
+    exact = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            F.row_number().over(w.orderBy("l_extendedprice")).alias("rn"),
+            F.count("*").over(w).alias("c"),
+        )
+        .where(F.col("rn") == (F.floor((F.col("c") - 1) * 0.5) + 1))
+        .select(F.col("l_returnflag").alias("key"), F.col("v").alias("exact_median"))
+    )
+    return ranked.join(exact, "key").select("key", "exact_median", "within_rank_bound")
+
+
+SQL_UDAF_SHIPPING_QUANTILES_SQL = """
+WITH sorted AS (
+  SELECT l_returnflag AS key, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS c
+  FROM lineitem)
+SELECT key, v AS exact_median, TRUE AS within_rank_bound
+FROM sorted WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
+def funnel_conversion_events(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase) as an exact
+    operator: per user, the first view, the first click strictly after
+    that view, and the first purchase strictly after that click —
+    FULL-VALUE per-user milestone timestamps vs a recursive-CTE-free SQL
+    replica (each step is a join + min against the previous milestone,
+    the same plan family both engines). Users that stall mid-funnel
+    carry nulls from that step on."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.sessions import funnel_milestones
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return funnel_milestones(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH a AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t0 GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.t1 GROUP BY e.user_id)
+SELECT u.user_id, a.t0, b.t1, c.t2
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN a ON u.user_id = a.user_id
+LEFT JOIN b ON u.user_id = b.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+"""
+
+
+def weighted_median_price(spark, sf_dir):
+    """EXACT weighted median (l_extendedprice weighted by l_quantity)
+    with no single-partition window: pre-aggregate weight per distinct
+    price (unique order keys — the prefix-sum contract), run the
+    boundary-literal ``distributed_prefix_sum`` over the price order,
+    and pick the first price whose inclusive cumulative weight crosses
+    half the total. Everything is parallel in buckets; the only global
+    ordering artifact is the O(buckets)-row offset table. Weights are
+    integer-valued doubles, so every sum is exact in IEEE double in any
+    summation order — both engines produce the identical crossing
+    point (the determinism rule the repo's float-avoidance convention
+    is about). The same machinery that packs training shards by token
+    budget answers weighted-quantile analytics."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(F.sum("l_quantity").alias("w"))
+    ps = distributed_prefix_sum(g, "v", "w", out_col="cw", num_buckets=16)
+    tw = float(g.agg(F.sum("w")).first()[0])
+    return ps.where(F.col("cw") >= tw / 2).agg(
+        F.lit(tw).alias("total_weight"),
+        F.min("v").alias("weighted_median"),
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH g AS (
+  SELECT l_extendedprice AS v, SUM(l_quantity) AS w FROM lineitem GROUP BY v),
+o AS (
+  SELECT v, SUM(w) OVER (ORDER BY v) AS cw, SUM(w) OVER () AS tw FROM g)
+SELECT CAST(MAX(tw) AS DOUBLE) AS total_weight,
+       MIN(CASE WHEN cw >= tw / 2 THEN v END) AS weighted_median
+FROM o
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3216,6 +3464,11 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_range_join_equivalence": stream_range_join_equivalence,
     "stream_dedup_docs": stream_dedup_docs,
+    "skew_split_join_events": skew_split_join_events,
+    "zorder_layout_events": zorder_layout_events,
+    "sql_udaf_shipping_quantiles": sql_udaf_shipping_quantiles,
+    "funnel_conversion_events": funnel_conversion_events,
+    "weighted_median_price": weighted_median_price,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3304,6 +3557,11 @@ ORACLES = {
     "stream_range_join_equivalence": RANGE_JOIN_SQL,
     "stream_dedup_docs": STREAM_DEDUP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
+    "skew_split_join_events": SKEW_SPLIT_JOIN_SQL,
+    "zorder_layout_events": ZORDER_LAYOUT_SQL,
+    "sql_udaf_shipping_quantiles": SQL_UDAF_SHIPPING_QUANTILES_SQL,
+    "funnel_conversion_events": FUNNEL_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

@@ -409,3 +409,95 @@ def test_connected_components_local_path_matches_distributed(spark):
     assert local == dist
     # labels follow the min-id convention
     assert min(n for n, _ in local) == 0 and (0, 0) in local
+
+
+# ---------------------------------------------------------------- skew_split_join
+def test_skew_split_join_exact(spark):
+    """Sketch-guided split == plain inner join exactly: the hot/tail split
+    partitions the big side, each leg computes its rows' exact join, and
+    the union recombines them — for ANY detected hot set."""
+    from ip_filter_spark.operators.joins import skew_split_join
+
+    rows = [("hot", i) for i in range(500)] + [(f"k{j}", i) for j in range(50) for i in range(2)]
+    big = spark.createDataFrame(rows, "k string, v int")
+    dim = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{j}", float(j)) for j in range(0, 50, 2)], "dk string, w double"
+    )
+    got = skew_split_join(big, dim, "k", "dk", capacity=4, min_share=0.05)
+    want = big.join(dim, big["k"] == dim["dk"]).select("k", "v", "w")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # an adversarially WRONG hot set (missing the true heavy key, plus a
+    # key that matches nothing) must still give the exact join — routing
+    # only, never results
+    wrong = skew_split_join(big, dim, "k", "dk", hot_keys=["k1", "absent"])
+    assert sorted(map(tuple, wrong.collect())) == sorted(map(tuple, want.collect()))
+    empty = skew_split_join(big, dim, "k", "dk", hot_keys=[])
+    assert sorted(map(tuple, empty.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_skew_split_join_left_preserves_big_side(spark):
+    """how='left': unmatched and NULL-key big rows survive with null dim
+    columns (nulls route to the tail leg, standard join semantics)."""
+    from ip_filter_spark.operators.joins import skew_split_join
+
+    rows = [("hot", i) for i in range(100)] + [("miss", 1), (None, 2)]
+    big = spark.createDataFrame(rows, "k string, v int")
+    dim = spark.createDataFrame([("hot", 1.0)], "dk string, w double")
+    got = skew_split_join(big, dim, "k", "dk", capacity=2, min_share=0.1, how="left")
+    want = big.join(dim, big["k"] == dim["dk"], "left").select("k", "v", "w")
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(map(tuple, want.collect()), key=str)
+    assert got.count() == big.count()
+
+
+def test_skew_split_join_hot_leg_broadcasts(spark):
+    """The hot leg is a broadcast join (the skewed mass never shuffles);
+    the plan carries two join legs."""
+    from ip_filter_spark.operators.joins import skew_split_join
+
+    big = spark.createDataFrame([("hot", i) for i in range(50)] + [("a", 1), ("b", 2)], "k string, v int")
+    dim = spark.createDataFrame([("hot", 1.0), ("a", 2.0)], "dk string, w double")
+    j = skew_split_join(big, dim, "k", "dk", hot_keys=["hot"])
+    plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Join") >= 2, plan
+
+
+# ---------------------------------------------------------------- z-order layout
+def test_zorder_key_interleave_exact(spark):
+    """With identity bucket boundaries the z-key is exactly the Morton
+    interleave: bit j of column c at lane j*ncols + (ncols-1-c)."""
+    from ip_filter_spark.operators.layout import zorder_key
+
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    bnds = {"x": [1, 2, 3, 4, 5, 6, 7], "y": [1, 2, 3, 4, 5, 6, 7]}
+
+    def morton(a, b):
+        out = 0
+        for j in range(3):
+            out |= ((a >> j) & 1) << (2 * j + 1)
+            out |= ((b >> j) & 1) << (2 * j)
+        return out
+
+    z = df.withColumn("z", zorder_key(df, ["x", "y"], bits=3, boundaries=bnds))
+    got = {(r.x, r.y): r.z for r in z.collect()}
+    assert got == {(a, b): morton(a, b) for a, b in rows}
+
+
+def test_zorder_write_roundtrip(spark, sf_dir, tmp_path):
+    """Layout changes where rows live, never what they are: the z-ordered
+    rewrite is the same multiset of rows."""
+    from ip_filter_spark.operators.layout import zorder_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "value")
+    zdir = str(tmp_path / "z")
+    zorder_write(ev, ["user_id", "value"], zdir, n_files=8)
+    back = spark.read.parquet(zdir)
+    assert back.count() == ev.count()
+
+    def h(d):
+        return d.select(
+            F.sum(F.xxhash64("event_id", "user_id", "value").cast("decimal(38,0)")).alias("s")
+        ).first().s
+
+    assert h(back) == h(ev)

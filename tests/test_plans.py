@@ -389,3 +389,65 @@ def test_prefix_sum_data_path_is_partitioned(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     # the big side joins the broadcast offsets — no sort-merge join
     assert "SortMergeJoin" not in plan, plan
+
+
+def _scan_rows(df) -> int:
+    """numOutputRows summed over SCAN nodes only (run an action first) —
+    what survived parquet row-group skipping, before any Filter node.
+    The generic _scan_metric can't be used for this name: every operator
+    reports numOutputRows, so the walk must stop at scans."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if "scan" in node.nodeName().lower():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def test_zorder_layout_prunes_row_groups_on_both_columns(spark, sf_dir, tmp_path):
+    """The point of Z-order: after clustering on the interleaved
+    (user_id, value) key, stock parquet min/max stats prune row groups
+    for a 2-D box predicate — the scan emits a fraction of the table.
+    A layout clustered on an UNRELATED column (event_id) has full-range
+    stats in every file, so the same predicate reads everything. Both
+    reads are stock parquet scans — pruning is footer stats, nothing
+    reader-side."""
+    from ip_filter_spark.operators.layout import zorder_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "value")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(ev, ["user_id", "value"], zdir, n_files=16)
+    ev.repartitionByRange(16, F.col("event_id")).sortWithinPartitions("event_id").write.parquet(ldir)
+
+    umin, umax = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    # INTEGER bounds on the long column: a double literal would wrap the
+    # column in a cast and disable parquet pushdown entirely. The value
+    # bound is the 25th PERCENTILE (rank space) — the raw value range is
+    # skewed, so a range fraction would match most of the table and
+    # leave nothing to prune.
+    vhi = ev.stat.approxQuantile("value", [0.25], 0.001)[0]
+    box = (
+        (F.col("user_id") >= umin + (umax - umin) // 4)
+        & (F.col("user_id") <= umin + (3 * (umax - umin)) // 4)
+        & (F.col("value") <= vhi)
+    )
+    total = ev.count()
+    zq = spark.read.parquet(zdir).where(box)
+    lq = spark.read.parquet(ldir).where(box)
+    z_res = {tuple(r) for r in zq.collect()}
+    l_res = {tuple(r) for r in lq.collect()}
+    assert z_res == l_res  # same rows regardless of layout
+    z_scanned, l_scanned = _scan_rows(zq), _scan_rows(lq)
+    assert l_scanned == total, (l_scanned, total)  # unrelated layout: no pruning
+    assert z_scanned < total * 0.7, (z_scanned, total)
+    assert z_scanned < l_scanned

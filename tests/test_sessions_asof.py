@@ -263,3 +263,31 @@ def test_new_queries_partitioning_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_funnel_milestones_semantics(spark):
+    """Strictly-after ordering, mid-funnel stalls, and out-of-order
+    events — against hand-computed milestones."""
+    from datetime import datetime
+
+    from ip_filter_spark.operators.sessions import funnel_milestones
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes: view@1, click@3 (click@0 is BEFORE the view — ignored), purchase@5
+        (1, T(0), "click"), (1, T(1), "view"), (1, T(3), "click"), (1, T(5), "purchase"),
+        # u2 stalls after view: purchase@2 precedes any click
+        (2, T(1), "view"), (2, T(2), "purchase"),
+        # u3 never views (click+purchase only)
+        (3, T(1), "click"), (3, T(2), "purchase"),
+        # u4: click at the SAME ts as view must not count (strictly after)
+        (4, T(1), "view"), (4, T(1), "click"), (4, T(2), "click"), (4, T(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {r.user_id: (r.t0, r.t1, r.t2) for r in funnel_milestones(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {
+        1: (T(1), T(3), T(5)),
+        2: (T(1), None, None),
+        3: (None, None, None),
+        4: (T(1), T(2), T(4)),
+    }
