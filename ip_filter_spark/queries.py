@@ -3370,6 +3370,35 @@ FROM o
 """
 
 
+def per_group_sample_docs(spark, sf_dir):
+    """Deterministic per-group sampling: the 5 documents per lang with
+    the smallest sha256(doc_id) — identity-hash order, so the sample is
+    engine/rerun/cluster-size reproducible (the eval-set constructor;
+    same identity-hash family as the stratified split). FULL-VALUE rows
+    (lang, rk, doc_id, n_chars) vs DuckDB computing the identical rank.
+    Spark plans the rank filter as WindowGroupLimit: per-partition
+    top-k BEFORE the exchange — shuffle is O(groups · k · partitions),
+    not O(corpus) (pinned in tests/test_plans.py)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.sources.sampling import deterministic_group_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_group_sample(d, "lang", "doc_id", 5).select(
+        "lang", "rk", "doc_id", "n_chars"
+    )
+
+
+PER_GROUP_SAMPLE_SQL = """
+SELECT lang, rk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR))
+         ) AS INT) AS rk
+  FROM documents)
+WHERE rk <= 5
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3469,6 +3498,7 @@ QUERIES = {
     "sql_udaf_shipping_quantiles": sql_udaf_shipping_quantiles,
     "funnel_conversion_events": funnel_conversion_events,
     "weighted_median_price": weighted_median_price,
+    "per_group_sample_docs": per_group_sample_docs,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3562,6 +3592,7 @@ ORACLES = {
     "sql_udaf_shipping_quantiles": SQL_UDAF_SHIPPING_QUANTILES_SQL,
     "funnel_conversion_events": FUNNEL_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
+    "per_group_sample_docs": PER_GROUP_SAMPLE_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

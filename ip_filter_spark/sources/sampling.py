@@ -72,3 +72,31 @@ def weighted_key_fractions(df: DataFrame, key_col: str, target_rows: int) -> dic
     k = len(counts) or 1
     per_key = target_rows / k
     return {key: min(1.0, per_key / n) for key, n in counts.items()}
+
+
+def deterministic_group_sample(
+    df: DataFrame, group_cols, id_col: str, k: int, rank_col: str = "rk"
+) -> DataFrame:
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    chosen as the k smallest sha256(id) — a pure function of stable row
+    identity, so the sample is reproducible across engines, reruns,
+    partitionings and cluster sizes, and adding new rows can only evict
+    boundary rows, never reshuffle the choice wholesale (rand()-based
+    sampling has neither property). The standard eval-set /
+    human-review-batch constructor for a training corpus.
+
+    Plan shape: one window over (group, hash order). Spark >= 3.5 plans
+    ``row_number() <= k`` as WindowGroupLimit — each input partition
+    keeps only its local top-k per group BEFORE the exchange, so shuffle
+    volume is O(groups · k · partitions-touched), not O(rows); the
+    test pins that node. Output carries ``rank_col`` (1..k by hash
+    order) so downstream sees a stable ordering."""
+    from pyspark.sql import Window
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    w = Window.partitionBy(*gcols).orderBy(h)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

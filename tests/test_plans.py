@@ -451,3 +451,15 @@ def test_zorder_layout_prunes_row_groups_on_both_columns(spark, sf_dir, tmp_path
     assert l_scanned == total, (l_scanned, total)  # unrelated layout: no pruning
     assert z_scanned < total * 0.7, (z_scanned, total)
     assert z_scanned < l_scanned
+
+
+def test_group_sample_uses_window_group_limit(spark, sf_dir):
+    """deterministic_group_sample's rank filter must plan as
+    WindowGroupLimit (per-partition top-k BEFORE the exchange) — the
+    property that keeps the shuffle O(groups · k), not O(corpus)."""
+    from ip_filter_spark.sources.sampling import deterministic_group_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_group_sample(d, "lang", "doc_id", 5)
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan, plan
