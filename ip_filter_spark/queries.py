@@ -3399,6 +3399,92 @@ WHERE rk <= 5
 """
 
 
+def sliding_quantiles_events(spark, sf_dir):
+    """Rolling 7-day median of events.value — the quantile twin of
+    ``sliding_distinct_users``, in pure SQL: ONE daily t-digest blob per
+    day (one scan), then ``tds_merge OVER (ORDER BY day RANGE 6
+    PRECEDING)`` slides the MERGE over the daily blobs and reads the
+    median. Exact rolling quantiles are non-decomposable (each window
+    must re-sort its rows); the sketch version touches each row once and
+    each window merges ≤7 KB-sized blobs. The exact side (7× window
+    replication + per-window order statistic) is ORACLE-TIER
+    verification; the deployable operator is the daily-blob scan +
+    windowed merge. Verified per window against the exact median and a
+    0.01 + 1.5/c normalized-rank bound (sketch error + rank granularity
+    — ramp-up windows are small), both computed distributedly."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_value_sketch_udafs
+
+    register_value_sketch_udafs(spark, "tds", "tdigest", q=0.5, delta=200.0)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    )
+    ev.createOrReplaceTempView("udaf_ev_slq")
+    est = spark.sql("""
+      WITH daily AS (
+        SELECT day, tds_agg(CAST(value AS DOUBLE)) AS blob
+        FROM udaf_ev_slq GROUP BY day
+      )
+      SELECT day, tds_quantile(tds_merge(blob) OVER
+               (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS est
+      FROM daily
+    """)
+    # window membership: each row belongs to windows day..day+6 that EXIST
+    days = ev.select("day").distinct()
+    exploded = ev.select("day", "value").withColumn(
+        "wday", F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
+    ).join(days.withColumnRenamed("day", "wday"), "wday", "left_semi")
+    joined = exploded.select("wday", "value").join(
+        F.broadcast(est.withColumnRenamed("day", "eday")), F.col("wday") == F.col("eday")
+    )
+    ranked = joined.groupBy("wday").agg(
+        F.count("*").alias("c"),
+        F.sum((F.col("value") <= F.col("est")).cast("long")).alias("r"),
+    )
+    w = Window.partitionBy("wday")
+    exact = (
+        exploded.select(
+            "wday",
+            F.col("value").alias("v"),
+            F.row_number().over(w.orderBy("value")).alias("rn"),
+            F.count("*").over(w).alias("c"),
+        )
+        .where(F.col("rn") == (F.floor((F.col("c") - 1) * 0.5) + 1))
+        .select(F.col("wday").alias("day"), F.col("v").alias("exact_median"))
+    )
+    # 0.01 sketch bound + 1.5/c rank granularity: a PERFECT median sits
+    # at |r/c - 0.5| = 1/(2c), which alone exceeds 0.01 for the small
+    # ramp-up windows (day 0 holds one day's rows)
+    bound = F.lit(0.01) + F.lit(1.5) / F.col("c")
+    return (
+        ranked.select(
+            F.col("wday").alias("day"),
+            (F.abs(F.col("r") / F.col("c") - 0.5) <= bound).alias("within_rank_bound"),
+        )
+        .join(exact, "day")
+        .select("day", "exact_median", "within_rank_bound")
+    )
+
+
+SLIDING_QUANTILES_SQL = """
+WITH evd AS (
+  SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, value
+  FROM events
+),
+w AS (
+  SELECT a.day AS day, b.value AS v
+  FROM (SELECT DISTINCT day FROM evd) a
+  JOIN evd b ON b.day BETWEEN a.day - 6 AND a.day
+),
+s AS (
+  SELECT day, v, ROW_NUMBER() OVER (PARTITION BY day ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY day) AS c
+  FROM w)
+SELECT day, v AS exact_median, TRUE AS within_rank_bound
+FROM s WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3499,6 +3585,7 @@ QUERIES = {
     "funnel_conversion_events": funnel_conversion_events,
     "weighted_median_price": weighted_median_price,
     "per_group_sample_docs": per_group_sample_docs,
+    "sliding_quantiles_events": sliding_quantiles_events,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3593,6 +3680,7 @@ ORACLES = {
     "funnel_conversion_events": FUNNEL_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "per_group_sample_docs": PER_GROUP_SAMPLE_SQL,
+    "sliding_quantiles_events": SLIDING_QUANTILES_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)
