@@ -304,6 +304,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin family,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08) — same semantics as
+    ``ngram_jaccard_pairs`` but the self-join touches only each set's
+    PREFIX under a global rarest-first shingle order, not every shingle.
+
+    Losslessness: J(a,b) >= t implies |A∩B| >= t(|A|+|B|)/(1+t); with the
+    length filter t·max(|A|,|B|) <= min(|A|,|B|) this gives
+    |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|). A set whose overlap with a
+    partner is >= alpha must share one of its first |S| - alpha + 1
+    elements under ANY fixed total order (pigeonhole), so joining on the
+    per-set prefix of length |S| - ceil(t·|S|) + 1 generates every
+    qualifying pair. Candidates are then verified exactly.
+
+    Scale shape vs the oracle-tier ``ngram_jaccard_pairs`` (which
+    self-joins ALL shingles and melts on frequent ones): the global
+    order is RAREST-FIRST (document frequency asc), so prefixes hold the
+    most selective shingles — frequent boilerplate shingles land in
+    suffixes and never join. Stages: one groupBy for document frequency,
+    one shuffle to rank each set, a prefix-only self-join (the quadratic
+    stage, now bounded by rare-shingle postings), and a candidate-bounded
+    verification join. Everything is JVM expressions — no Python UDF.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("sh_df"))
+    # rank each set's shingles rarest-first; ties broken by shingle text
+    # so the global order is total (required by the prefix principle)
+    pos = F.row_number().over(Window.partitionBy("id").orderBy("sh_df", "sh"))
+    ranked = sh.join(dfreq, "sh").select("id", "sh", pos.alias("pos"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sh", "sz")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="sh")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t forces t*max <= min
+            & (F.greatest("a.sz", "b.sz") * threshold <= F.least("a.sz", "b.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), on="id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _union_find(edge_rows) -> list[tuple]:
     """Driver-side union-find (union by size + path compression) for the
     small-graph fast path. Returns (node, component) with component =

@@ -103,3 +103,82 @@ def sketch_quantiles(
     sk = build_and_merge(df, [spec], value=value_col)[spec.key()]
     vals = sk.quantile(qs)
     return [(float(q), float(v)) for q, v in zip(qs, vals)]
+
+
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, buckets: int, tie_col: str | None = None
+) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram: ``buckets`` contiguous
+    value ranges each holding n/buckets (±1) rows — the histogram type
+    ANSI engines keep in their optimizer statistics, because uniform
+    bucket COUNTS preserve selectivity resolution in dense regions where
+    equi-WIDTH buckets collapse.
+
+    Returns (bucket, cnt, lo, hi) with bucket in 1..buckets. ``tie_col``
+    makes the sort order total when value has duplicates, so the bucket
+    assignment (and thus cnt/lo/hi) is deterministic and engine-portable
+    — NTILE over a non-total order is implementation-defined.
+
+    Scale shape: NTILE needs global rank. Spark plans window functions
+    over an un-partitioned ORDER BY as ONE sort partition — correct, but
+    a single-task wall at 100 TB. This formulation range-partitions by
+    the sort key first (fully parallel sort), then computes each row's
+    global rank as partition-local row_number + a broadcast per-partition
+    offset (P integers from one count pass), then bucket =
+    floor(rank * buckets / n) — NTILE's exact fencepost arithmetic
+    (first n % buckets buckets get the extra row) without a global-sort
+    window. The final groupBy(bucket) is the only other shuffle.
+    """
+    from pyspark.sql import Window
+
+    order_cols = [value_col] + ([tie_col] if tie_col else [])
+    spark = df.sparkSession
+    # pid is materialized as a COLUMN before any window shuffle (it is
+    # non-deterministic, which also pins it against optimizer movement),
+    # and the range layout is persisted so the offset pass and the bucket
+    # pass see the same (sampled) range boundaries.
+    ranged = (
+        df.select(*order_cols)
+        .repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        part_counts = ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+        counts = {int(r.pid): int(r.c) for r in part_counts}
+        n = sum(counts.values())
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("pid")]
+        w = Window.partitionBy("pid").orderBy(*order_cols)
+        # NTILE fencepost: base = n // buckets, extra = n % buckets; the
+        # first `extra` buckets hold base+1 rows — invert via floor.
+        base, extra = divmod(n, buckets)
+        rank = F.row_number().over(w) + off_expr - 1  # 0-based global rank
+        cut = extra * (base + 1)
+        bucket = (
+            F.when(rank < cut, F.floor(rank / (base + 1))).otherwise(
+                extra + F.floor((rank - cut) / F.greatest(F.lit(base), F.lit(1)))
+            )
+            + 1
+        )
+        rows = (
+            ranged.withColumn("bucket", bucket.cast("int"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min(value_col).alias("lo"),
+                F.max(value_col).alias("hi"),
+            )
+            .collect()
+        )
+    finally:
+        ranged.unpersist()
+    return spark.createDataFrame(
+        sorted((int(r.bucket), int(r.cnt), r.lo, r.hi) for r in rows),
+        f"bucket int, cnt bigint, lo {df.schema[value_col].dataType.simpleString()}, "
+        f"hi {df.schema[value_col].dataType.simpleString()}",
+    )

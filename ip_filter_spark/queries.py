@@ -3485,6 +3485,135 @@ FROM s WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
 """
 
 
+def prefix_jaccard_docs(spark, sf_dir):
+    """Exact Jaccard >= 0.5 pairs via PREFIX FILTERING (AllPairs/PPJoin)
+    — the deployable exact-similarity join. Same oracle SQL as the
+    all-shingles self-join, because prefix filtering is provably
+    lossless (see operators/dedup.py::prefix_filter_jaccard_pairs);
+    what changes is the plan: the quadratic self-join stage touches only
+    each set's rarest `|S| - ceil(t|S|) + 1` shingles, so frequent
+    boilerplate shingles (the hot keys that melt the naive join at
+    100 TB) never enter it. Losslessness is additionally pinned by
+    pytest equality against ngram_jaccard_pairs at the same threshold."""
+    from ip_filter_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+# threshold-parameterized twin of NGRAM_JACCARD_SQL (0.05 appears only
+# as the threshold, in the two WHERE positions)
+PREFIX_JACCARD_SQL = NGRAM_JACCARD_SQL.replace("0.05", "0.5")
+
+
+def bloom_pruned_scan_events(spark, sf_dir):
+    """File-level Bloom index under the gate: events written range-
+    clustered by user_id into 16 files, a per-file Bloom sidecar built
+    over sha256(user_id) (one grouped-by-`_metadata.file_path` scan),
+    then a 5-key batch lookup reads ONLY the files whose Bloom may
+    contain a key — the reference's guided-probe idea (the sketch says
+    where NOT to look, prototype/ipfilter.py:131-158) applied to scan
+    pruning. The exact IN predicate is re-applied on read, so Bloom
+    false positives cost a file scan, never a wrong row; the result must
+    therefore equal the plain full-scan filter (the oracle). `pruned`
+    certifies files_scanned < files_total THROUGH the hashed output;
+    the stronger bound (scanned <= keys + fp) is pinned in pytest."""
+    _ensure_shipped(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.bloom_index import bloom_pruned_read, write_bloom_index
+
+    keys = [3, 47, 91, 120, 150]
+    ev = _t(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "ifs_layout_gates",
+        f"bfix_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    data = f"{d}/events_by_user"
+    ev.repartitionByRange(16, "user_id").write.parquet(data)
+    write_bloom_index(spark, data, "user_id", fpp=1e-4, expected_keys_per_file=200_000)
+    hits, stats = bloom_pruned_read(spark, data, "user_id", keys)
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .withColumn("pruned", F.lit(stats.pruned))
+    )
+
+
+BLOOM_PRUNED_SCAN_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_event,
+       MAX(event_id) AS max_event, TRUE AS pruned
+FROM events WHERE user_id IN (3, 47, 91, 120, 150)
+GROUP BY user_id
+"""
+
+
+def topk_per_group_events(spark, sf_dir):
+    """Top-3 users per event_type by event count (ties by user_id) —
+    the grouped top-k every analytics user writes weekly. The
+    row_number()<=k form plans as WindowGroupLimit in Spark 4: each map
+    task keeps only k rows per group BEFORE the exchange (a partial
+    top-k, the same map-side-combine shape as Misra–Gries partials), so
+    the shuffle carries O(groups x k) rows, not O(groups x users) —
+    pinned in tests/test_plans.py."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n", "rk")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n,
+       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+FROM c QUALIFY rk <= 3
+"""
+
+
+def histogram_equi_depth_events(spark, sf_dir):
+    """Exact 8-bucket equi-depth histogram of events.value — the
+    optimizer-statistics histogram (uniform bucket COUNTS keep
+    selectivity resolution where equi-width collapses). Formulated
+    without a global-sort window: range-partition on (value, event_id)
+    — a total order, so bucket assignment is engine-portable — then
+    global rank = partition-local row_number + broadcast cumulative
+    offsets, then NTILE's fencepost arithmetic inverted by floor; no
+    single-task stage anywhere (operators/quantiles.py::
+    equi_depth_histogram). Oracle: DuckDB NTILE over the same total
+    order."""
+    from ip_filter_spark.operators.quantiles import equi_depth_histogram
+
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    return equi_depth_histogram(ev, "value", 8, tie_col="event_id")
+
+
+HISTOGRAM_EQUI_DEPTH_SQL = """
+SELECT bucket, COUNT(*) AS cnt, MIN(value) AS lo, MAX(value) AS hi
+FROM (SELECT CAST(NTILE(8) OVER (ORDER BY value, event_id) AS INT) AS bucket, value
+      FROM events)
+GROUP BY bucket
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3586,6 +3715,10 @@ QUERIES = {
     "weighted_median_price": weighted_median_price,
     "per_group_sample_docs": per_group_sample_docs,
     "sliding_quantiles_events": sliding_quantiles_events,
+    "prefix_jaccard_docs": prefix_jaccard_docs,
+    "bloom_pruned_scan_events": bloom_pruned_scan_events,
+    "topk_per_group_events": topk_per_group_events,
+    "histogram_equi_depth_events": histogram_equi_depth_events,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3681,6 +3814,10 @@ ORACLES = {
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "per_group_sample_docs": PER_GROUP_SAMPLE_SQL,
     "sliding_quantiles_events": SLIDING_QUANTILES_SQL,
+    "prefix_jaccard_docs": PREFIX_JACCARD_SQL,
+    "bloom_pruned_scan_events": BLOOM_PRUNED_SCAN_SQL,
+    "topk_per_group_events": TOPK_PER_GROUP_SQL,
+    "histogram_equi_depth_events": HISTOGRAM_EQUI_DEPTH_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

@@ -501,3 +501,75 @@ def test_zorder_write_roundtrip(spark, sf_dir, tmp_path):
         ).first().s
 
     assert h(back) == h(ev)
+
+
+def test_prefix_filter_jaccard_equals_all_shingles_join(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: identical output to the naive
+    all-shingles self-join at the same threshold, and the quadratic
+    stage's input (the prefixes) is a strict subset of the shingles."""
+    from ip_filter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        shingles_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        got = sorted(map(tuple, prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()))
+        want = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()))
+        assert got == want, f"threshold {t}: {len(got)} vs {len(want)} pairs"
+    assert len(want) > 0  # t=0.8 still has planted near-dup pairs
+
+    # pruning sanity: at t=0.5 each set's prefix is ~half its shingles
+    sh = docs.select(F.col("doc_id"), F.explode(shingles_expr(F.col("text"), 3)).alias("sh")).distinct()
+    n_shingles = sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    n_prefix = int(
+        sizes.select(F.sum(F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1)).first()[0]
+    )
+    assert n_prefix < 0.65 * n_shingles
+
+
+def test_bloom_index_prunes_and_is_exact(spark, sf_dir, tmp_path):
+    from ip_filter_spark.sources.bloom_index import bloom_pruned_read, write_bloom_index
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data = str(tmp_path / "events_by_user")
+    ev.repartitionByRange(8, "user_id").write.parquet(data)
+    write_bloom_index(spark, data, "user_id", fpp=1e-4, expected_keys_per_file=10_000)
+
+    keys = [int(r.user_id) for r in ev.select("user_id").distinct().orderBy("user_id").limit(2).collect()]
+    hits, stats = bloom_pruned_read(spark, data, "user_id", keys)
+    want = sorted(map(tuple, ev.where(F.col("user_id").isin(keys)).collect()))
+    got = sorted(map(tuple, hits.collect()))
+    assert got == want
+    # range-clustered layout: 2 adjacent keys live in <= 2 files; allow
+    # fp slack but require REAL pruning
+    assert stats.files_total >= 4
+    assert stats.files_scanned <= 3, (stats.files_scanned, stats.files_total)
+
+    # absent keys -> the index proves every file clean -> empty, zero files
+    miss, mstats = bloom_pruned_read(spark, data, "user_id", [10**12, 10**12 + 1])
+    assert miss.count() == 0
+    assert mstats.files_scanned == 0
+
+
+def test_equi_depth_histogram_matches_ntile(spark, sf_dir):
+    import duckdb
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value", "event_id")
+    for b in (4, 7):
+        got = [
+            (r.bucket, r.cnt, r.lo, r.hi)
+            for r in __import__("ip_filter_spark.operators.quantiles", fromlist=["x"])
+            .equi_depth_histogram(ev, "value", b, tie_col="event_id")
+            .collect()
+        ]
+        want = duckdb.sql(
+            f"""SELECT bucket, COUNT(*), MIN(value), MAX(value) FROM (
+                 SELECT CAST(NTILE({b}) OVER (ORDER BY value, event_id) AS INT) AS bucket, value
+                 FROM '{sf_dir}/events.parquet') GROUP BY bucket ORDER BY bucket"""
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+        counts = [c for _, c, _, _ in got]
+        assert max(counts) - min(counts) <= 1  # equi-depth invariant

