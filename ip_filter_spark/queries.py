@@ -3614,6 +3614,87 @@ GROUP BY bucket
 """
 
 
+def retention_cohorts_events(spark, sf_dir):
+    """Weekly cohort retention matrix — (cohort_week, week_offset,
+    n_users) where cohort = the week of a user's FIRST event and a user
+    counts toward offset k if active in cohort_week + k. The canonical
+    product-analytics rollup. Scale shape: the first-event aggregate,
+    the distinct-activity projection, and their join all key on user_id,
+    so Catalyst reuses ONE hash partitioning across the three (no extra
+    exchange for the join); rows after the join are already distinct per
+    (user, week), so the final matrix is a plain count, not a
+    count-distinct. Everything integer → hash-stable across engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.floor(F.min("day") / 7).alias("cohort_week"))
+    active = ev.select("user_id", F.floor(F.col("day") / 7).alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id, DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+first AS (SELECT user_id, MIN(day) // 7 AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day // 7 AS week FROM ev)
+SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+def data_quality_orders(spark, sf_dir):
+    """One-pass data-quality audit of the orders table — the constraint
+    suite every ingest pipeline runs before promoting a batch: row
+    count, null keys, duplicate primary keys, referential orphans
+    (custkey not in customer), domain violations (non-positive price),
+    date range. Scale shape: the scalar checks are ONE conditional
+    aggregation over one scan; duplicate PKs are a groupBy on the key;
+    the referential check is `joins.bloom_anti_join` — bloom-negative
+    rows (the overwhelming majority under low orphan rates) are counted
+    joinlessly and only bloom-positives reach the exact anti-join
+    confirm, so the fact table never shuffles for the FK check."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import bloom_anti_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    scalars = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_lo"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_hi"),
+    )
+    dups = orders.groupBy("o_orderkey").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    n_dup = dups.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup_orderkey"))
+    orphans = bloom_anti_join(
+        orders.where(F.col("o_custkey").isNotNull()), cust, "o_custkey", "c_custkey"
+    )
+    n_orphan = orphans.agg(F.count("*").alias("n_orphan_cust"))
+    return scalars.crossJoin(n_dup).crossJoin(n_orphan)
+
+
+DATA_QUALITY_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS n_null_cust,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0) AS n_bad_price,
+  (SELECT STRFTIME(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders) AS date_lo,
+  (SELECT STRFTIME(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders) AS date_hi,
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+     (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_dup_orderkey,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphan_cust
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3719,6 +3800,8 @@ QUERIES = {
     "bloom_pruned_scan_events": bloom_pruned_scan_events,
     "topk_per_group_events": topk_per_group_events,
     "histogram_equi_depth_events": histogram_equi_depth_events,
+    "retention_cohorts_events": retention_cohorts_events,
+    "data_quality_orders": data_quality_orders,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3818,6 +3901,8 @@ ORACLES = {
     "bloom_pruned_scan_events": BLOOM_PRUNED_SCAN_SQL,
     "topk_per_group_events": TOPK_PER_GROUP_SQL,
     "histogram_equi_depth_events": HISTOGRAM_EQUI_DEPTH_SQL,
+    "retention_cohorts_events": RETENTION_COHORTS_SQL,
+    "data_quality_orders": DATA_QUALITY_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)
