@@ -138,4 +138,23 @@ def bloom_pruned_read(
     return out.where(F.col(key_col).isin(list(keys))), stats
 
 
-__all__ = ["write_bloom_index", "bloom_pruned_read", "PruneStats", "BloomFilter"]
+__all__ = [
+    "write_bloom_index",
+    "bloom_pruned_read",
+    "merge_index_blobs",
+    "PruneStats",
+    "BloomFilter",
+]
+
+
+def merge_index_blobs(blobs: list[bytes]) -> bytes:
+    """OR together same-geometry file blobs — the compaction path: when
+    small files are coalesced, the new file's index entry is the OR of
+    its inputs' blobs (Bloom union is exact for membership), no data
+    rescan. All blobs written by one ``write_bloom_index`` share (m, k),
+    which is what makes this legal; geometry mismatch raises."""
+    assert blobs, "nothing to merge"
+    out = from_bytes(bytes(blobs[0]))
+    for b in blobs[1:]:
+        out.merge(from_bytes(bytes(b)))
+    return out.to_bytes()

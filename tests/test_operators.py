@@ -573,3 +573,38 @@ def test_equi_depth_histogram_matches_ntile(spark, sf_dir):
         assert got == [tuple(w) for w in want]
         counts = [c for _, c, _, _ in got]
         assert max(counts) - min(counts) <= 1  # equi-depth invariant
+
+
+def test_bloom_index_scan_reads_only_candidate_files(spark, sf_dir, tmp_path):
+    """The pruned read's PLAN must list only candidate files — pinned via
+    inputFiles(), not just the stats object."""
+    from ip_filter_spark.sources.bloom_index import bloom_pruned_read, write_bloom_index
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data = str(tmp_path / "ev")
+    ev.repartitionByRange(8, "user_id").write.parquet(data)
+    write_bloom_index(spark, data, "user_id", fpp=1e-4, expected_keys_per_file=10_000)
+    key = int(ev.agg(F.min("user_id")).first()[0])
+    hits, stats = bloom_pruned_read(spark, data, "user_id", [key])
+    files = hits.inputFiles()
+    assert 0 < len(files) == stats.files_scanned < stats.files_total
+    # every scanned file is a DIRECT child of the data dir (not the
+    # _bloom_index sidecar, not the original source parquet)
+    suffixes = [f.split("/ev/", 1)[1] for f in files]
+    assert all("/" not in s and s.endswith(".parquet") for s in suffixes)
+
+
+def test_bloom_index_compaction_merge(spark, sf_dir, tmp_path):
+    """OR-merging file blobs (compaction path) preserves membership: the
+    merged blob contains every key either input contained."""
+    from ip_filter_spark.sources.bloom_index import _key_hashes, merge_index_blobs, write_bloom_index
+    from ip_filter_spark.sketches import from_bytes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    data = str(tmp_path / "ev")
+    ev.repartitionByRange(4, "user_id").write.parquet(data)
+    idx_path = write_bloom_index(spark, data, "user_id", fpp=1e-4, expected_keys_per_file=10_000)
+    blobs = [bytes(r.blob) for r in spark.read.parquet(idx_path).collect()]
+    merged = from_bytes(merge_index_blobs(blobs))
+    all_keys = [int(r.user_id) for r in ev.select("user_id").distinct().collect()]
+    assert bool(merged.contains_hashes(_key_hashes(all_keys)).all())
