@@ -3695,6 +3695,41 @@ SELECT
 """
 
 
+_SEARCH_TERMS = ("spark", "merge", "window")
+
+
+def keyword_search_docs(spark, sf_dir):
+    """Conjunctive (AND) keyword search over an inverted posting table —
+    docs containing ALL of three query terms, with their summed term
+    frequency. The posting build is one explode scan + one (term, doc)
+    aggregation; the search filters postings to the 3-term query
+    vocabulary (pushed into the scan) and resolves the AND with a single
+    doc-keyed aggregation — shuffle is O(selected postings), independent
+    of corpus size. The persisted form (``write_term_index`` /
+    ``search_term_index``) adds term-hash-bucket partition pruning so a
+    k-term query LISTS at most k of B directories; that layout contract
+    is pinned in tests/test_operators.py. Oracle replicates tokenize →
+    tf → HAVING matched-all-terms in SQL."""
+    from ip_filter_spark.sources.inverted_index import build_postings, conjunctive_search
+
+    d = _t(spark, sf_dir, "documents")
+    return conjunctive_search(build_postings(d), list(_SEARCH_TERMS))
+
+
+KEYWORD_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, term)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf
+GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = 3
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -3802,6 +3837,7 @@ QUERIES = {
     "histogram_equi_depth_events": histogram_equi_depth_events,
     "retention_cohorts_events": retention_cohorts_events,
     "data_quality_orders": data_quality_orders,
+    "keyword_search_docs": keyword_search_docs,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3903,6 +3939,7 @@ ORACLES = {
     "histogram_equi_depth_events": HISTOGRAM_EQUI_DEPTH_SQL,
     "retention_cohorts_events": RETENTION_COHORTS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
+    "keyword_search_docs": KEYWORD_SEARCH_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

@@ -608,3 +608,67 @@ def test_bloom_index_compaction_merge(spark, sf_dir, tmp_path):
     merged = from_bytes(merge_index_blobs(blobs))
     all_keys = [int(r.user_id) for r in ev.select("user_id").distinct().collect()]
     assert bool(merged.contains_hashes(_key_hashes(all_keys)).all())
+
+
+def test_term_index_search_matches_postings_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted term index returns exactly the in-memory conjunctive
+    answer, and the query's scan READS only the query terms' bucket
+    partitions: xxhash64(literal term) constant-folds at plan time into a
+    PartitionFilter, and the executed scan's filesSize metric shows a
+    fraction of the index was opened (inputFiles() lists the whole
+    relation, so the executed metric is the ground truth)."""
+    from tests.test_plans import _plan, _scan_metric
+
+    from ip_filter_spark.sources.inverted_index import (
+        build_postings,
+        conjunctive_search,
+        pruned_postings,
+        search_term_index,
+        write_term_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+    write_term_index(spark.read.parquet(data), data, num_buckets=32)
+
+    terms = ["spark", "merge", "window"]
+    got = search_term_index(spark, data, terms, num_buckets=32)
+    want = conjunctive_search(build_postings(docs), terms)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert want.count() > 0  # non-vacuous at every SF
+
+    # plan + executed metric on the scan-only slice (AQE hides metrics
+    # on aggregate plans from the walker)
+    scan = pruned_postings(spark, data, terms, num_buckets=32)
+    plan = _plan(scan)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf and "xxhash64" not in pf, pf
+
+    scan.collect()
+    full = spark.read.parquet(f"{data}/_term_index")
+    full.collect()
+    pruned_files = _scan_metric(scan, "numFiles")
+    full_files = _scan_metric(full, "numFiles")
+    assert 0 < pruned_files <= len(terms) < full_files, (pruned_files, full_files)
+
+
+def test_term_index_df_cap_drops_stopwords(spark, sf_dir, tmp_path):
+    """df_cap removes terms present in more than the given fraction of
+    docs — the longest posting lists — while keeping rare terms."""
+    from ip_filter_spark.sources.inverted_index import build_postings, write_term_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+    path = write_term_index(docs, data, num_buckets=8, df_cap=0.5)
+    kept = spark.read.parquet(path)
+    df_by_term = dict(
+        build_postings(docs).groupBy("term").count().collect()
+    )
+    kept_terms = {r.term for r in kept.select("term").distinct().collect()}
+    assert kept_terms  # something survives
+    assert all(df_by_term[t] <= 0.5 * n_docs for t in kept_terms)
+    dropped = set(df_by_term) - kept_terms
+    assert all(df_by_term[t] > 0.5 * n_docs for t in dropped)
