@@ -381,3 +381,67 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------- int8
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector absmax int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` ∈ [-127, 127], stored as
+    ``array<tinyint>`` — 4× smaller than float32 (the difference between
+    shipping 100 TB and 25 TB of vectors through every shuffle and
+    broadcast). All arithmetic is JVM expressions in double, so the
+    quantized table is bit-reproducible across engines; a zero vector
+    gets scale 1.0 (all-zero codes) instead of a divide-by-zero."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def int_dot(a, b):
+    """Exact integer dot product of two quantized vectors (tinyint codes
+    widened to long before multiply — no overflow below ~5.7e14 dims)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_dot_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors of ``query_id`` by EXACT INTEGER dot product of
+    the int8 codes — the scale-free code similarity (absmax coding maps
+    each vector onto the [-127,127] grid along its own scale, so ``qdot``
+    is a direction-dominated score ≈ cosine × 127² — the cheap
+    first-pass ranker; re-rank survivors with float cosine where exact
+    magnitudes matter, as the IVF/RHP paths do). Because every compared
+    value is an integer, the ranking has no cross-engine float hazard.
+    One scan + broadcast of the query row; the rank filter plans as
+    WindowGroupLimit (map-side partial top-k); tie-break on id."""
+    q = quantize_int8(emb, vec_col=vec_col)
+    qrow = q.where(F.col(id_col) == query_id).select(F.col("qvec").alias("_q_qvec"))
+    scored = (
+        q.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(F.col(id_col), int_dot(F.col("qvec"), F.col("_q_qvec")).alias("qdot"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("qdot"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", id_col, "qdot")
+    )

@@ -3695,6 +3695,46 @@ SELECT
 """
 
 
+def quantized_dot_topk_emb(spark, sf_dir):
+    """Int8 embedding quantization + integer-exact top-k: per-vector
+    absmax scaling codes every embedding onto the [-127,127] grid
+    (array<tinyint> — 4× smaller than float32, which is the difference
+    between shipping 100 TB and 25 TB of vectors through every shuffle),
+    then ranks neighbors of vec 0 by the EXACT integer dot product of
+    the codes. Every compared value is an integer (the only floats — the
+    scales — are deterministic double expressions on both engines), so
+    the FULL ranking is hash-gated, not bound columns like the ANN
+    gates. One scan + broadcast query row; the rank filter plans as
+    WindowGroupLimit (map-side partial top-k)."""
+    from ip_filter_spark.operators.similarity import quantized_dot_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_dot_topk(emb, query_id=0, k=10)
+
+
+QUANTIZED_DOT_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+  FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v)),
+q AS (
+  SELECT vec_id, list_transform(e, x -> CAST(round(x / sc) AS BIGINT)) AS qv FROM s),
+ex AS (
+  SELECT vec_id, UNNEST(qv) AS x, UNNEST(range(1, len(qv)+1)) AS i FROM q),
+qx AS (SELECT i, x AS qxv FROM ex WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id, CAST(SUM(e.x * qx.qxv) AS BIGINT) AS qdot
+  FROM ex e JOIN qx USING (i)
+  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT * FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY qdot DESC, vec_id) AS INT) AS rank, vec_id, qdot
+  FROM dots)
+WHERE rank <= 10
+"""
+
+
 _SEARCH_TERMS = ("spark", "merge", "window")
 
 
@@ -3838,6 +3878,7 @@ QUERIES = {
     "retention_cohorts_events": retention_cohorts_events,
     "data_quality_orders": data_quality_orders,
     "keyword_search_docs": keyword_search_docs,
+    "quantized_dot_topk_emb": quantized_dot_topk_emb,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3940,6 +3981,7 @@ ORACLES = {
     "retention_cohorts_events": RETENTION_COHORTS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
     "keyword_search_docs": KEYWORD_SEARCH_SQL,
+    "quantized_dot_topk_emb": QUANTIZED_DOT_TOPK_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

@@ -672,3 +672,57 @@ def test_term_index_df_cap_drops_stopwords(spark, sf_dir, tmp_path):
     assert all(df_by_term[t] <= 0.5 * n_docs for t in kept_terms)
     dropped = set(df_by_term) - kept_terms
     assert all(df_by_term[t] > 0.5 * n_docs for t in dropped)
+
+
+def test_quantize_int8_reconstruction_bound(spark, emb):
+    """Absmax int8: |x - q*scale| <= scale/2 per element, codes in
+    [-127, 127], stored as tinyint."""
+    from ip_filter_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    rows = q.select("embedding", "qscale", "qvec").limit(50).collect()
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        qq = np.asarray(r.qvec, dtype=np.int64)
+        assert qq.min() >= -127 and qq.max() <= 127
+        assert np.all(np.abs(x - qq * r.qscale) <= r.qscale / 2 + 1e-12)
+
+
+def test_quantized_topk_tracks_float_cosine(spark):
+    """On clustered data (the real embedding regime) the int8 code
+    ranking recovers the float-cosine top-k: plant 10 near neighbors of
+    a query among 200 distractors; recall must be 1.0 and the planted
+    self-match must rank first."""
+    from ip_filter_spark.operators.similarity import cosine_topk, quantized_dot_topk
+
+    rng = np.random.default_rng(11)
+    qv = rng.standard_normal(64)
+    qv /= np.linalg.norm(qv)
+    rows = [(0, qv.tolist())]
+    for i in range(1, 11):
+        v = qv + rng.standard_normal(64) * 0.05
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(11, 211):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [r.vec_id for r in cosine_topk(
+        df.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        qv.tolist(), k=11).collect()]
+    got = [r.vec_id for r in quantized_dot_topk(df, query_id=0, k=10).orderBy("rank").collect()]
+    assert set(got) == set(exact) - {0}, (got, exact)
+
+
+def test_quantized_topk_plans_as_window_group_limit(spark, emb):
+    """The rank<=k filter must plan as a partial top-k before any
+    exchange — WindowGroupLimit for grouped ranks, or (this global-rank
+    case) TakeOrderedAndProject feeding the Window — never a full sort
+    of the scored corpus."""
+    from tests.test_plans import _plan
+
+    from ip_filter_spark.operators.similarity import quantized_dot_topk
+
+    plan = _plan(quantized_dot_topk(emb, query_id=0, k=10))
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
