@@ -3735,6 +3735,42 @@ WHERE rank <= 10
 """
 
 
+def cdc_upsert_events(spark, sf_dir):
+    """CDC upsert-merge equivalence, end-to-end: compact the first half
+    of the events log to a snapshot (latest row per user), then advance
+    it with the second half via ``upsert_snapshot`` — and gate that the
+    result EQUALS the latest-state of the full history (the oracle
+    computes that directly with one SQL window). This is the nightly
+    snapshot+delta merge pattern: cost O(delta + snapshot), never a
+    rescan of history. Both compactions plan the rank filter as
+    WindowGroupLimit — map-side partial top-1 per key before the
+    exchange, so shuffle is O(keys), not O(log)."""
+    from ip_filter_spark.operators.cdc import latest_state, upsert_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    base = latest_state(ev.where(F.col("ts") < split), ["user_id"], ["ts", "event_id"])
+    delta = ev.where(F.col("ts") >= split)
+    merged = upsert_snapshot(base, delta, ["user_id"], ["ts", "event_id"])
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+CDC_UPSERT_SQL = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_type, value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 _SEARCH_TERMS = ("spark", "merge", "window")
 
 
@@ -3879,6 +3915,7 @@ QUERIES = {
     "data_quality_orders": data_quality_orders,
     "keyword_search_docs": keyword_search_docs,
     "quantized_dot_topk_emb": quantized_dot_topk_emb,
+    "cdc_upsert_events": cdc_upsert_events,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -3982,6 +4019,7 @@ ORACLES = {
     "data_quality_orders": DATA_QUALITY_SQL,
     "keyword_search_docs": KEYWORD_SEARCH_SQL,
     "quantized_dot_topk_emb": QUANTIZED_DOT_TOPK_SQL,
+    "cdc_upsert_events": CDC_UPSERT_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

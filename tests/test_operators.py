@@ -726,3 +726,40 @@ def test_quantized_topk_plans_as_window_group_limit(spark, emb):
     plan = _plan(quantized_dot_topk(emb, query_id=0, k=10))
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_cdc_latest_state_and_upsert(spark):
+    """Latest-state compaction + upsert precedence: later order keys
+    win; at an exact order-key tie the CHANGE beats the base (idempotent
+    replay); keys without changes keep their base row."""
+    from ip_filter_spark.operators.cdc import latest_state, upsert_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, ver long, v string"
+    )
+    snap = latest_state(log, ["k"], ["ver"])
+    assert {(r.k, r.ver, r.v) for r in snap.collect()} == {(1, 20, "b"), (2, 5, "c")}
+
+    delta = spark.createDataFrame(
+        [(1, 20, "b2"), (3, 1, "new")], "k long, ver long, v string"
+    )
+    merged = upsert_snapshot(snap, delta, ["k"], ["ver"])
+    got = {(r.k, r.ver, r.v) for r in merged.collect()}
+    # k=1: delta row wins the ver tie (change precedence); k=2 untouched
+    assert got == {(1, 20, "b2"), (2, 5, "c"), (3, 1, "new")}
+
+    # replaying the same delta is a no-op
+    again = upsert_snapshot(merged, delta, ["k"], ["ver"])
+    assert {(r.k, r.ver, r.v) for r in again.collect()} == got
+
+
+def test_cdc_latest_state_plans_map_side_topk(spark, sf_dir):
+    """The rn=1 filter must plan as WindowGroupLimit: per-task partial
+    winner per key before the exchange — shuffle O(keys), not O(log)."""
+    from tests.test_plans import _plan
+
+    from ip_filter_spark.operators.cdc import latest_state
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(latest_state(ev, ["user_id"], ["ts", "event_id"]))
+    assert "WindowGroupLimit" in plan, plan
