@@ -3771,6 +3771,69 @@ WHERE rn = 1
 """
 
 
+def referential_integrity_audit(spark, sf_dir):
+    """Cross-table foreign-key audit — the multi-edge complement of the
+    single-table ``data_quality_orders`` gate: for each FK edge
+    (lineitem→orders, orders→customer, lineitem→part) one row of
+    (child_rows, orphan_rows, clean). Each edge is a left join against
+    the DISTINCT parent keys with a null-indicator sum — one pass over
+    each child table, no row ever reaches the driver. Join shapes stay
+    declarative: at scale the dim-sized parents (customer, part)
+    broadcast under AQE while orders↔lineitem shuffles on the key —
+    exactly the per-edge choice a planner should make, not the query."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+
+    def edge(name, child, ck, parent, pk):
+        par = parent.select(F.col(pk).alias("_pk")).distinct()
+        joined = child.select(F.col(ck).alias("_ck")).join(
+            par, F.col("_ck") == F.col("_pk"), "left"
+        )
+        return (
+            joined.agg(
+                F.count("*").alias("child_rows"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_rows"),
+            )
+            .withColumn("edge", F.lit(name))
+            .withColumn("clean", F.col("orphan_rows") == 0)
+            .select("edge", "child_rows", "orphan_rows", "clean")
+        )
+
+    return (
+        edge("lineitem_orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("orders_customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(edge("lineitem_part", li, "l_partkey", part, "p_partkey"))
+    )
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT 'lineitem_orders' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) = 0 AS clean
+FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
+  ON c.l_orderkey = p._pk
+UNION ALL
+SELECT 'orders_customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+  ON c.o_custkey = p._pk
+UNION ALL
+SELECT 'lineitem_part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS _pk FROM part) p
+  ON c.l_partkey = p._pk
+"""
+
+
 _SEARCH_TERMS = ("spark", "merge", "window")
 
 
@@ -3916,6 +3979,7 @@ QUERIES = {
     "keyword_search_docs": keyword_search_docs,
     "quantized_dot_topk_emb": quantized_dot_topk_emb,
     "cdc_upsert_events": cdc_upsert_events,
+    "referential_integrity_audit": referential_integrity_audit,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -4020,6 +4084,7 @@ ORACLES = {
     "keyword_search_docs": KEYWORD_SEARCH_SQL,
     "quantized_dot_topk_emb": QUANTIZED_DOT_TOPK_SQL,
     "cdc_upsert_events": CDC_UPSERT_SQL,
+    "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)
