@@ -3835,6 +3835,111 @@ FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS _pk FROM part) p
 
 
 _SEARCH_TERMS = ("spark", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_top_docs(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson–Spärck Jones, the standard
+    probabilistic ranker) for the 3-term query over the posting table:
+    score(d) = Σ_t ln(1+(N-df+0.5)/(df+0.5)) · tf/(tf + k1·(1-b+b·dl/avgdl)).
+
+    Cross-engine float discipline: every input is an exact integer (tf,
+    df, N, dl, Σdl), each per-term contribution is isolated into its own
+    conditional-sum column (one non-zero addend per group, so group
+    aggregation order can't perturb it), and the final score folds those
+    columns in FIXED alphabetical term order — both engines therefore
+    evaluate the identical double expression tree; ties beyond the float
+    break on exact integers (total_tf, dl, doc_id). Output carries rank
+    + the integer evidence, not the float. One posting scan (query terms
+    pushed down), df/stats broadcast, global top-k plans as
+    TakeOrderedAndProject."""
+    from ip_filter_spark.functions.text import token_count_expr
+    from ip_filter_spark.sources.inverted_index import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    terms = sorted(_SEARCH_TERMS)
+    dl = d.select("doc_id", token_count_expr("text").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_len"),
+    )
+    sel = build_postings(d).where(F.col("term").isin(terms))
+    dfq = sel.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        sel.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+            )
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (
+                    (1.0 - _BM25_B)
+                    + _BM25_B * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))).alias(
+            f"_c{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    per_doc = scored.groupBy("doc_id", "dl").agg(*per_term, F.sum("tf").alias("total_tf"))
+    score = F.col("_c0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"_c{i}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("score"), F.desc("total_tf"), F.asc("dl"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 15)
+        .select("rank", "doc_id", F.col("dl").cast("long").alias("dl"), "total_tf")
+    )
+
+
+BM25_TOP_DOCS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_SQL_TOKENS}) AS dl FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len({_SQL_TOKENS})) AS DOUBLE) AS total_len
+  FROM documents),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf)
+         / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B})
+              + {_BM25_B} * dl.dl / (s.total_len / s.n_docs))) AS c
+  FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+per_doc AS (
+  SELECT doc_id, dl,
+         SUM(CASE WHEN term = 'merge' THEN c ELSE 0.0 END) AS _c0,
+         SUM(CASE WHEN term = 'spark' THEN c ELSE 0.0 END) AS _c1,
+         SUM(CASE WHEN term = 'window' THEN c ELSE 0.0 END) AS _c2,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM contrib GROUP BY doc_id, dl)
+SELECT rank, doc_id, dl, total_tf FROM (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY ((_c0 + _c1) + _c2) DESC, total_tf DESC, dl ASC, doc_id ASC
+         ) AS INT) AS rank, doc_id, dl, total_tf
+  FROM per_doc)
+WHERE rank <= 15
+"""
 
 
 def keyword_search_docs(spark, sf_dir):
@@ -3980,6 +4085,7 @@ QUERIES = {
     "quantized_dot_topk_emb": quantized_dot_topk_emb,
     "cdc_upsert_events": cdc_upsert_events,
     "referential_integrity_audit": referential_integrity_audit,
+    "bm25_top_docs": bm25_top_docs,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -4085,6 +4191,7 @@ ORACLES = {
     "quantized_dot_topk_emb": QUANTIZED_DOT_TOPK_SQL,
     "cdc_upsert_events": CDC_UPSERT_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
+    "bm25_top_docs": BM25_TOP_DOCS_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

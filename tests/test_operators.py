@@ -763,3 +763,27 @@ def test_cdc_latest_state_plans_map_side_topk(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     plan = _plan(latest_state(ev, ["user_id"], ["ts", "event_id"]))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bm25_semantics_rare_term_wins(spark, tmp_path, monkeypatch):
+    """BM25 behavior pin (the tri-scale oracle pins parity; this pins
+    MEANING): with one query, a doc matching the RARE query term
+    outranks a doc matching only the common one, and more occurrences
+    at equal length rank higher."""
+    from ip_filter_spark.queries import bm25_top_docs
+
+    rows = [
+        (0, "rare alpha beta gamma delta"),          # rare term once
+        (1, "common alpha beta gamma delta"),        # common term once
+        (2, "rare rare alpha beta gamma"),           # rare term twice
+    ] + [(10 + i, f"common filler{i} x y z") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.write.parquet(path)
+
+    import ip_filter_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_SEARCH_TERMS", ("rare", "common", "zzznothing"))
+    ranked = [r.doc_id for r in bm25_top_docs(spark, str(tmp_path)).orderBy("rank").collect()]
+    # doc 2 (rare x2) > doc 0 (rare x1) > doc 1 (common, same dl as 0)
+    assert ranked.index(2) < ranked.index(0) < ranked.index(1)
