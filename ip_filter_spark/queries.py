@@ -3834,6 +3834,53 @@ FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS _pk FROM part) p
 """
 
 
+def stream_cdc_equivalence(spark, sf_dir):
+    """Streaming CDC under the hard gate, FULL-VALUE: an availableNow
+    stream over a multi-file replay of events folds every micro-batch
+    into a persisted snapshot (streaming/cdc_stream.py — batch-id-keyed
+    dirs, O(delta + snapshot) per batch, history never rescanned), and
+    the FINAL snapshot must equal the latest-state of the full history —
+    the SAME one-window DuckDB oracle that gates the batch operator
+    (cdc_upsert_events). maxFilesPerTrigger=1 forces ≥4 real incremental
+    merges, so the gate exercises the snapshot-advance path, not a
+    single-batch degenerate. No watermark is involved: foreachBatch sees
+    whole batches and the upsert is order-insensitive across batches for
+    a latest-wins merge (later order keys win wherever they arrive)."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from ip_filter_spark.streaming.cdc_stream import latest_snapshot, stream_upsert_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    work = _stream_scratch("cdc", sf_dir)
+    try:
+        src = f"{work}/src"
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_upsert_snapshot(
+            stream,
+            ["user_id"],
+            ["ts", "event_id"],
+            snapshot_root=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow CDC stream did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return latest_snapshot(spark, f"{work}/out").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 _SEARCH_TERMS = ("spark", "merge", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -4086,6 +4133,7 @@ QUERIES = {
     "cdc_upsert_events": cdc_upsert_events,
     "referential_integrity_audit": referential_integrity_audit,
     "bm25_top_docs": bm25_top_docs,
+    "stream_cdc_equivalence": stream_cdc_equivalence,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -4192,6 +4240,7 @@ ORACLES = {
     "cdc_upsert_events": CDC_UPSERT_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
     "bm25_top_docs": BM25_TOP_DOCS_SQL,
+    "stream_cdc_equivalence": CDC_UPSERT_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

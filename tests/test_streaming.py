@@ -310,3 +310,43 @@ def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {(22, 10), (21, 11)}, got
+
+
+def test_stream_cdc_snapshot_idempotent_and_pruned(spark, tmp_path):
+    """The CDC snapshot store: (a) final snapshot == batch latest-state
+    of everything streamed; (b) a FULL REPLAY (fresh checkpoint, same
+    source, same store) converges to the identical state — batch-id-keyed
+    snapshot dirs make re-execution a rewrite, not a double-apply;
+    (c) keep_last prunes superseded snapshots."""
+    from ip_filter_spark.operators.cdc import latest_state
+    from ip_filter_spark.streaming.cdc_stream import (
+        _complete_ids,
+        latest_snapshot,
+        stream_upsert_snapshot,
+    )
+
+    rows = [(k, v, f"s{k}-{v}") for k in range(20) for v in range(5)]
+    df = spark.createDataFrame(rows, "k long, ver long, payload string")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    snaps = str(tmp_path / "snaps")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_upsert_snapshot(
+            stream, ["k"], ["ver"], snapshot_root=snaps,
+            checkpoint_dir=str(tmp_path / ckpt), keep_last=2,
+        )
+        assert q.awaitTermination(120)
+
+    run("ckpt1")
+    want = sorted(map(tuple, latest_state(df, ["k"], ["ver"]).collect()))
+    got1 = sorted(map(tuple, latest_snapshot(spark, snaps).collect()))
+    assert got1 == want
+    assert len(_complete_ids(snaps)) <= 3  # keep_last=2 (+ the newest)
+
+    run("ckpt2")  # full replay into the same store
+    got2 = sorted(map(tuple, latest_snapshot(spark, snaps).collect()))
+    assert got2 == want
