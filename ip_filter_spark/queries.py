@@ -3881,6 +3881,41 @@ def stream_cdc_equivalence(spark, sf_dir):
     )
 
 
+def json_props_stats_events(spark, sf_dir):
+    """Semi-structured column handling: parse the events.props JSON with
+    ``from_json`` under an EXPLICIT schema — one vectorized JVM parse,
+    no inference pre-scan (which would double-read 100 TB), no Python
+    UDF — then aggregate the extracted field per event_type. The JSON
+    stays an opaque string column until the moment of extraction, so
+    scans/pushdown on other columns are unaffected; malformed documents
+    become NULLs (counted by n_events, excluded from the field stats)
+    rather than job failures. Oracle extracts the same field with
+    DuckDB's json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k INT").getField("k").cast("long")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 _SEARCH_TERMS = ("spark", "merge", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -4134,6 +4169,7 @@ QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
     "bm25_top_docs": bm25_top_docs,
     "stream_cdc_equivalence": stream_cdc_equivalence,
+    "json_props_stats_events": json_props_stats_events,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -4241,6 +4277,7 @@ ORACLES = {
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
     "bm25_top_docs": BM25_TOP_DOCS_SQL,
     "stream_cdc_equivalence": CDC_UPSERT_SQL,
+    "json_props_stats_events": JSON_PROPS_STATS_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)
