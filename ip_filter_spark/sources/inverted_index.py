@@ -79,13 +79,17 @@ def write_term_index(
     postings = build_postings(docs, text_col=text_col, id_col=id_col)
     if df_cap is not None:
         n_docs = docs.count()
-        keep = (
+        # anti-join against the DROPPED terms: stopwords above the cap
+        # are a handful of terms, the kept vocabulary is the whole
+        # dictionary — broadcasting the small side is the shape that
+        # survives a 100 TB corpus
+        drop = (
             postings.groupBy("term")
             .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= int(df_cap * n_docs))
+            .where(F.col("df") > int(df_cap * n_docs))
             .select("term")
         )
-        postings = postings.join(F.broadcast(keep), "term")
+        postings = postings.join(F.broadcast(drop), "term", "left_anti")
     path = f"{data_path.rstrip('/')}/{_INDEX_SUBDIR}"
     (
         postings.withColumn("bucket", term_bucket("term", num_buckets))
