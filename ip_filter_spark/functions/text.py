@@ -74,6 +74,22 @@ def lang_id_expr(col):
     return F.when(best_score > 0, best).otherwise(F.lit("unk"))
 
 
+def ngrams_expr(col, n: int):
+    """Token n-grams as space-joined strings; fewer than ``n`` tokens →
+    empty array. Pure expression (sequence + slice inside transform, all
+    whole-stage-codegen'd). DuckDB twin used by the oracles:
+    ``array_to_string(arr[i:i+n-1], ' ')`` over ``range(1, len-n+2)``
+    (DuckDB list slices are 1-based and end-inclusive)."""
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint_expr(col):
     """Order-sensitive rolling document fingerprint.
 

@@ -518,3 +518,58 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} hops")
     return labels.select("node", F.col("label").alias("component"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple[str, ...] = (),
+    band_chars: int = 32,
+    max_dist: int = 20,
+    max_block: int = 64,
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs — the character-level
+    dedup tier (MinHash/SimHash are token/bit-level).
+
+    Blocking: docs join only within the same (block_cols, length-band)
+    block, band = length // band_chars. Like LSH banding this is
+    recall-bounded by construction (a qualifying pair straddling a band
+    boundary is not generated); precision is exact — every emitted pair
+    really has edit distance <= max_dist. Within a block an
+    |length-diff| <= max_dist prefilter applies the Levenshtein lower
+    bound before the O(max_dist * len) banded distance computation
+    (Spark's threshold-variant ``levenshtein`` early-exits above the
+    bound; the DuckDB oracle computes the full distance and filters —
+    identical results for every kept pair).
+
+    Scale shape at 100 TB: blocks are capped at ``max_block`` docs by a
+    DETERMINISTIC rule (row_number over sha256(text), id — replicable in
+    ANSI SQL), so the quadratic stage is bounded at max_block²/2 per
+    block no matter how skewed the length distribution; one Exchange on
+    the block key, map-side pair generation, no driver involvement.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        *block_cols,
+    ).withColumn("_band", F.floor(F.length("txt") / band_chars))
+    w = Window.partitionBy(*block_cols, "_band").orderBy(F.sha2(F.col("txt"), 256), "id")
+    capped = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_block)
+    on = [*block_cols, "_band"]
+    a = capped.alias("a")
+    b = capped.alias("b")
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_dist)
+    return (
+        a.join(b, on=on)
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.length("a.txt") - F.length("b.txt")) <= max_dist)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

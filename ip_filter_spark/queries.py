@@ -4056,6 +4056,296 @@ HAVING COUNT(DISTINCT term) = 3
 """
 
 
+# =====================================================================
+# Round 4 batch 2: repetition / decontamination / sequences / relational
+# =====================================================================
+def repetition_stats_docs(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. '21 §A1.1
+    shape): per doc, the top-bigram fraction and the distinct-token
+    ratio; flagged when top_bigram/n_bigrams > 1/5 OR
+    distinct/total < 1/2 — both tested as INTEGER cross-products, so the
+    flag is exact across engines. Scale shape: the bigram mode needs a
+    per-(doc,gram) count — one shuffle keyed on (doc_id, gram), high
+    cardinality, balanced; the second groupBy reuses the doc_id
+    partitioning; the final per-lang rollup is 5 groups,
+    map-side-combined to nothing."""
+    from ip_filter_spark.functions.text import ngrams_expr
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(ngrams_expr("text", 2)).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
+    )
+    toks = tokens_expr("text")
+    stats = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+    )
+    joined = stats.join(per_doc, "doc_id", "left").na.fill(
+        {"top_bigram": 0, "n_bigrams": 0}
+    )
+    flagged = (F.col("top_bigram") * 5 > F.col("n_bigrams")) | (
+        F.col("n_distinct") * 2 < F.col("n_tokens")
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum("top_bigram").alias("total_top_bigram"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.sum("n_distinct").alias("total_distinct_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2),
+per_gram AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, MAX(c) AS top_bigram,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM per_gram GROUP BY 1),
+stats AS (
+  SELECT ts.lang,
+         COALESCE(pd.top_bigram, 0) AS top_bigram,
+         COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+         len(list_distinct(ts.t)) AS n_distinct, len(ts.t) AS n_tokens
+  FROM toks ts LEFT JOIN per_doc pd USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_bigram * 5 > n_bigrams
+                       OR n_distinct * 2 < n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(top_bigram) AS BIGINT) AS total_top_bigram,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM stats GROUP BY lang
+"""
+
+
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: every 17th doc plays the eval set; a
+    training doc is contaminated when >= 1/4 of its distinct 3-grams
+    appear anywhere in the eval set (integer cross-product test). The
+    benchmark gram set is BROADCAST (eval suites are fixed-size at any
+    corpus scale), so the only Exchange is the per-doc groupBy."""
+    from ip_filter_spark.operators.decontaminate import ngram_overlap_report
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_overlap_report(
+        d.where(F.col("doc_id") % 17 != 0), d.where(F.col("doc_id") % 17 == 0)
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 3),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) t
+  LEFT JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id)
+SELECT doc_id, n_grams, n_hit, n_hit * 4 >= n_grams AS contaminated
+FROM per_doc WHERE n_hit > 0
+"""
+
+
+def streaks_user_events(spark, sf_dir):
+    """Gaps-and-islands: per-user longest consecutive-day activity
+    streak, streak count, active-day count — all exact integers via the
+    day - row_number() island id. One Exchange on user_id; every later
+    stage reuses it."""
+    from ip_filter_spark.operators.sequences import activity_islands
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    )
+    return activity_islands(ev, key="user_id", day_col="day")
+
+
+STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days),
+per_isl AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM per_isl GROUP BY user_id
+"""
+
+
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (lag window, deterministic event_id tie-break): transition
+    counts + distinct users per transition. |types|² output — the final
+    aggregate collapses map-side."""
+    from ip_filter_spark.operators.sequences import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events)
+SELECT prev_state, event_type AS next_state, COUNT(*) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE prev_state IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def cube_order_stats(spark, sf_dir):
+    """Full CUBE over (status, priority) with grouping_id to
+    disambiguate subtotal NULLs — the grouping-sets companion to
+    rollup_event_counts. Spark expands the cube BEFORE the shuffle
+    (partial agg stays map-side, one partial row per grouping set per
+    group); both engines emit the same GROUPING bitmask (first column =
+    MSB, verified)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+CUBE_ORDER_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_daily_type_counts(spark, sf_dir):
+    """Long-to-wide pivot: per-day event counts, one column per event
+    type. The value list is EXPLICIT (the one-pass two-job pivot
+    inference is the classic scale trap — with the list given, Spark
+    plans a single conditional aggregation, identical to the SQL twin's
+    FILTER clauses)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"), "event_type"
+    )
+    wide = ev.groupBy("day").pivot("event_type", types).count().na.fill(0)
+    return wide.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+PIVOT_DAILY_SQL = """
+SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY day
+"""
+
+
+def edit_distance_pairs_docs(spark, sf_dir):
+    """Character-level near-dup tier: Levenshtein <= 20 pairs under
+    (lang, length-band) blocking with a deterministic 64-doc block cap —
+    see operators.dedup.edit_distance_pairs for the recall/precision
+    contract. The oracle replicates blocking + cap exactly (full
+    distance, then filter; Spark's threshold variant early-exits but
+    agrees on every kept pair)."""
+    from ip_filter_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", block_cols=("lang",)
+    )
+
+
+EDIT_DISTANCE_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, text AS txt, lang, length(text) // 32 AS band
+  FROM documents),
+capped AS (
+  SELECT * FROM (
+    SELECT id, txt, lang, band,
+           ROW_NUMBER() OVER (PARTITION BY lang, band ORDER BY sha256(txt), id) AS rn
+    FROM base) WHERE rn <= 64)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.txt, b.txt) AS edit_dist
+FROM capped a JOIN capped b ON a.lang = b.lang AND a.band = b.band AND a.id < b.id
+WHERE abs(length(a.txt) - length(b.txt)) <= 20
+  AND levenshtein(a.txt, b.txt) <= 20
+"""
+
+
+def outliers_orders(spark, sf_dir):
+    """Integer-exact z-score outlier counts per order priority — no
+    float ever enters the comparison: with cents c (exact from the
+    2-decimal source), n, S=Σc, Q=Σc², the test |c-μ| > kσ is the
+    integer cross-product (n·c - S)² > k²·(n·Q - S²), at k = 1 and
+    k = 3/2 (4·dev² > 9·var_n2 — the source distribution is
+    near-uniform, whose max deviation is √3·σ ≈ 1.73σ, so 2σ+ cuts are
+    vacuously zero). Decimal(38,0) arithmetic on the Spark side, HUGEINT
+    in DuckDB — both exact at any SF that fits 38 digits (Q ~ 5.6e31 at
+    sf100). The 5-row stats side is broadcast; one scan + one tiny
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    cents = o.select(F.col("o_orderpriority").alias("priority"), c.alias("c"))
+    stats = cents.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    j = cents.join(F.broadcast(stats), "priority")
+    nn = F.col("n").cast("decimal(38,0)")
+    dev = nn * F.col("c") - F.col("s")
+    dev2 = dev * dev
+    var_n2 = nn * F.col("q") - F.col("s") * F.col("s")
+    return (
+        j.groupBy("priority", "n")
+        .agg(
+            F.sum((dev2 * 4 > var_n2 * 9).cast("long")).alias("n_outliers_k15"),
+            F.sum((dev2 > var_n2).cast("long")).alias("n_outliers_k1"),
+        )
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            "n_outliers_k15",
+            "n_outliers_k1",
+        )
+    )
+
+
+OUTLIERS_SQL = """
+WITH cents AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+  FROM orders),
+stats AS (
+  SELECT priority, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS q
+  FROM cents GROUP BY priority)
+SELECT priority, n AS n_orders,
+       CAST(SUM(CASE WHEN 4 * (n*c - s)*(n*c - s) > 9 * (n*q - s*s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_k15,
+       CAST(SUM(CASE WHEN (n*c - s)*(n*c - s) > n*q - s*s THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_k1
+FROM cents JOIN stats USING (priority)
+GROUP BY priority, n
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4069,6 +4359,14 @@ def _ensure_shipped(spark: SparkSession) -> None:
 # Registry
 # =====================================================================
 QUERIES = {
+    "repetition_stats_docs": repetition_stats_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "streaks_user_events": streaks_user_events,
+    "event_transitions": event_transitions,
+    "cube_order_stats": cube_order_stats,
+    "pivot_daily_type_counts": pivot_daily_type_counts,
+    "edit_distance_pairs_docs": edit_distance_pairs_docs,
+    "outliers_orders": outliers_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -4177,6 +4475,14 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "repetition_stats_docs": REPETITION_STATS_SQL,
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "streaks_user_events": STREAKS_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
+    "cube_order_stats": CUBE_ORDER_SQL,
+    "pivot_daily_type_counts": PIVOT_DAILY_SQL,
+    "edit_distance_pairs_docs": EDIT_DISTANCE_SQL,
+    "outliers_orders": OUTLIERS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

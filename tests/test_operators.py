@@ -787,3 +787,112 @@ def test_bm25_semantics_rare_term_wins(spark, tmp_path, monkeypatch):
     ranked = [r.doc_id for r in bm25_top_docs(spark, str(tmp_path)).orderBy("rank").collect()]
     # doc 2 (rare x2) > doc 0 (rare x1) > doc 1 (common, same dl as 0)
     assert ranked.index(2) < ranked.index(0) < ranked.index(1)
+
+
+def test_ngrams_expr_edges(spark):
+    from ip_filter_spark.functions.text import ngrams_expr
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a  b",), ("solo",), ("",), ("x y",)], ["text"]
+    ).select(ngrams_expr("text", 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # 2 tokens < n; double space collapses
+    assert rows[2] == [] and rows[3] == []
+    assert rows[4] == []
+    bi = spark.createDataFrame([("a  b c",)], ["text"]).select(
+        ngrams_expr("text", 2).alias("g")
+    )
+    assert bi.collect()[0].g == ["a b", "b c"]
+
+
+def test_activity_islands_streaks(spark):
+    from ip_filter_spark.operators.sequences import activity_islands
+
+    # user 1: days 1,2,3,7,8 -> streaks [3,2]; user 2: day 5 (dup'd) -> [1]
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 7), (1, 8), (2, 5), (2, 5)],
+        ["user_id", "day"],
+    )
+    out = {r.user_id: r for r in activity_islands(df).collect()}
+    assert (out[1].longest_streak, out[1].n_streaks, out[1].n_active_days) == (3, 2, 5)
+    assert (out[2].longest_streak, out[2].n_streaks, out[2].n_active_days) == (1, 1, 1)
+
+
+def test_transition_counts_lag_semantics(spark):
+    from ip_filter_spark.operators.sequences import transition_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 1),
+            (1, "b", 20, 2),
+            (1, "b", 20, 3),  # tie on ts -> event_id breaks it
+            (2, "b", 5, 4),
+            (2, "a", 6, 5),
+        ],
+        ["user_id", "event_type", "ts", "event_id"],
+    )
+    out = {
+        (r.prev_state, r.next_state): (r.n_transitions, r.n_users)
+        for r in transition_counts(df).collect()
+    }
+    assert out[("a", "b")] == (1, 1)
+    assert out[("b", "b")] == (1, 1)
+    assert out[("b", "a")] == (1, 1)
+    assert len(out) == 3  # first event per user emits nothing
+
+
+def test_edit_distance_pairs_blocked_exact(spark):
+    from ip_filter_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "x"),  # dist 1, same band
+            (3, "z" * 600),  # far band, never joined
+            (4, base[:-30]),  # same-ish length but dist > 20? -> len diff 31 cuts it
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_pairs(df, "doc_id", "text").collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+
+def test_edit_distance_block_cap_is_deterministic(spark):
+    from ip_filter_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"same length text number {i:04d}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = edit_distance_pairs(df, "doc_id", "text", max_block=8).collect()
+    b = edit_distance_pairs(df, "doc_id", "text", max_block=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # cap bounds the quadratic stage: at most C(8,2) pairs per block
+    assert len(a) <= 28
+
+
+def test_ngram_overlap_report_broadcast_and_exact(spark):
+    from ip_filter_spark.operators.decontaminate import ngram_overlap_report
+
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma zeta"),  # grams: 2 total, 1 hit -> contaminated
+            (2, "one two three four"),  # no hits -> absent from output
+            (3, "x alpha beta gamma delta y epsilon eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ngram_overlap_report(train, bench).collect()}
+    assert set(out) == {1, 3}
+    assert (out[1].n_grams, out[1].n_hit, out[1].contaminated) == (2, 1, True)
+    assert out[3].n_hit == 2 and out[3].n_grams == 8
+    assert bool(out[3].contaminated) == (out[3].n_hit * 4 >= out[3].n_grams)
+    # the gram join must be broadcast (benchmark side is fixed-size)
+    plan = ngram_overlap_report(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
