@@ -4346,6 +4346,221 @@ GROUP BY priority, n
 """
 
 
+def _epoch_us(col_name: str):
+    """Exact epoch-microseconds from a TIMESTAMP_NTZ column, independent
+    of the session time zone (pure wall-clock arithmetic — unlike
+    to_timestamp_ltz/unix_micros, which shift by the driver's zone).
+    DuckDB twin: ``epoch_us(ts)``, which treats naive timestamps the
+    same way."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
+    )
+
+
+def scd2_user_state_events(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 history build from a change log:
+    collapse each user's consecutive identical event_type states, emit
+    one row per state RUN with [valid_from, valid_to) micros and an
+    is_current flag — the dimension-table twin of the CDC snapshot
+    operators (operators/cdc.py). Two windows over ONE (user_id) sort
+    order (lag to detect changes, lead for the closing edge), so
+    Catalyst plans a single Exchange + sort. Timestamps surface as
+    epoch MICROS (exact integers in both engines; second-truncation
+    differs, micros never do)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", _epoch_us("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("event_type").over(w)).where(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("t_us").alias("valid_from_us"),
+        F.lead("t_us").over(w2).alias("valid_to_us"),
+        F.lead("t_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us FROM events),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, event_id, t_us,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_state
+    FROM ev)
+  WHERE prev_state IS NULL OR prev_state <> event_type)
+SELECT user_id, event_type AS state, t_us AS valid_from_us,
+       LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to_us,
+       LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+
+def user_set_algebra_events(spark, sf_dir):
+    """Exact set algebra over behavioral cohorts — the exact companion
+    to kmv_user_overlap: |click|, |purchase|, intersection, differences,
+    union, all from ONE per-user flag aggregate (no self-join, no
+    distinct-of-distinct): groupBy(user) computes two 0/1 flags, the
+    single-row rollup sums their products. Two Exchanges total, the
+    second over 150-odd rows per partition of partials."""
+    ev = _t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    return flags.agg(
+        F.sum("c").alias("n_click"),
+        F.sum("p").alias("n_purchase"),
+        F.sum(F.col("c") * F.col("p")).alias("n_both"),
+        F.sum(F.col("c") * (1 - F.col("p"))).alias("n_click_only"),
+        F.sum(F.col("p") * (1 - F.col("c"))).alias("n_purchase_only"),
+        F.sum(F.greatest("c", "p")).alias("n_either"),
+    )
+
+
+USER_SET_ALGEBRA_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id)
+SELECT CAST(SUM(c) AS BIGINT) AS n_click,
+       CAST(SUM(p) AS BIGINT) AS n_purchase,
+       CAST(SUM(c * p) AS BIGINT) AS n_both,
+       CAST(SUM(c * (1 - p)) AS BIGINT) AS n_click_only,
+       CAST(SUM(p * (1 - c)) AS BIGINT) AS n_purchase_only,
+       CAST(SUM(GREATEST(c, p)) AS BIGINT) AS n_either
+FROM flags
+"""
+
+
+def covariance_exact_lineitem(spark, sf_dir):
+    """Exact second-moment cross-statistics: per return flag, the
+    covariance NUMERATOR n·Σxy − Σx·Σy for (quantity, price-cents) and
+    (quantity, discount-percent) — pure integer arithmetic (quantity is
+    integer-valued, money/rates are 2-decimal), so the result is exact
+    at any SF. The numerator outgrows BIGINT around sf0.1, so it is
+    emitted as a STRING of the exact integer (decimal(38,0) in Spark,
+    HUGEINT in DuckDB — both print canonically). One scan, one 3-group
+    aggregate; the cross-products fold map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(20,0)")
+    p = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    d = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+    )
+    nn = F.col("n_items").cast("decimal(38,0)")
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        (nn * F.col("sqp") - F.col("sq") * F.col("sp")).cast("string").alias("cov_qty_price_num"),
+        (nn * F.col("sqd") - F.col("sq") * F.col("sd")).cast("string").alias("cov_qty_disc_num"),
+    )
+
+
+COVARIANCE_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS HUGEINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS p,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) AS d
+  FROM lineitem),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n_items,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q*p) AS sqp, SUM(q*d) AS sqd
+  FROM c GROUP BY l_returnflag)
+SELECT l_returnflag, n_items,
+       CAST(n_items * sqp - sq * sp AS VARCHAR) AS cov_qty_price_num,
+       CAST(n_items * sqd - sq * sd AS VARCHAR) AS cov_qty_disc_num
+FROM agg
+"""
+
+
+def twap_value_by_type(spark, sf_dir):
+    """Time-weighted value aggregation (the TWAP/observability shape):
+    each event's value is weighted by the MICROSECONDS until the same
+    user's next event (the interval the reading was 'current'; last
+    reading weighs zero), then rolled up per event type. The weight
+    comes from one lead window over the (user_id) sort. Precision
+    discipline: value fits decimal(10,4) and a per-user gap fits
+    decimal(14,0) (~116 days in micros), so the product is decimal(25,4)
+    — EXACT; declaring the defaults (18,4)x(20,0) would push the product
+    past precision 38 and Spark would silently round the SCALE
+    (allowPrecisionLoss). The weighted sum carries ~20 significant
+    digits — past double's 17 — so it surfaces as the exact decimal's
+    STRING (both engines print plain fixed-scale decimals canonically);
+    a double cast would differ in the last ulp between engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", _epoch_us("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    dt = (F.coalesce(F.lead("t_us").over(w), F.col("t_us")) - F.col("t_us")).alias("dt_us")
+    weighted = ev.select("event_type", "value", dt)
+    return weighted.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("dt_us").alias("total_dt_us"),
+        F.sum(F.col("value").cast("decimal(10,4)") * F.col("dt_us").cast("decimal(14,0)"))
+        .cast("string")
+        .alias("value_time_product"),
+    )
+
+
+TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t_us FROM events),
+dt AS (
+  SELECT event_type, value,
+         COALESCE(LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id), t_us) - t_us AS dt_us
+  FROM ev)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(dt_us) AS BIGINT) AS total_dt_us,
+       CAST(SUM(CAST(value AS DECIMAL(10,4)) * CAST(dt_us AS DECIMAL(14,0))) AS VARCHAR) AS value_time_product
+FROM dt GROUP BY event_type
+"""
+
+
+def mode_event_type_per_user(spark, sf_dir):
+    """Exact per-group mode with a deterministic tie-break: each user's
+    most frequent event type (count desc, then type asc), plus its count
+    and the user's type diversity. The rank-1 filter plans as
+    WindowGroupLimit — Spark pushes the k=1 limit into the sort, so no
+    group ever materializes fully sorted output."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    n_types = counts.groupBy("user_id").agg(F.count("*").alias("n_types"))
+    return (
+        ranked.where(F.col("rn") == 1)
+        .join(n_types, "user_id")
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("top_count"), "n_types")
+    )
+
+
+MODE_PER_USER_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+  FROM counts),
+nt AS (SELECT user_id, COUNT(*) AS n_types FROM counts GROUP BY user_id)
+SELECT r.user_id, r.event_type AS top_type, r.c AS top_count, nt.n_types
+FROM ranked r JOIN nt USING (user_id) WHERE r.rn = 1
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4367,6 +4582,11 @@ QUERIES = {
     "pivot_daily_type_counts": pivot_daily_type_counts,
     "edit_distance_pairs_docs": edit_distance_pairs_docs,
     "outliers_orders": outliers_orders,
+    "scd2_user_state_events": scd2_user_state_events,
+    "user_set_algebra_events": user_set_algebra_events,
+    "covariance_exact_lineitem": covariance_exact_lineitem,
+    "twap_value_by_type": twap_value_by_type,
+    "mode_event_type_per_user": mode_event_type_per_user,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -4483,6 +4703,11 @@ ORACLES = {
     "pivot_daily_type_counts": PIVOT_DAILY_SQL,
     "edit_distance_pairs_docs": EDIT_DISTANCE_SQL,
     "outliers_orders": OUTLIERS_SQL,
+    "scd2_user_state_events": SCD2_SQL,
+    "user_set_algebra_events": USER_SET_ALGEBRA_SQL,
+    "covariance_exact_lineitem": COVARIANCE_SQL,
+    "twap_value_by_type": TWAP_SQL,
+    "mode_event_type_per_user": MODE_PER_USER_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
