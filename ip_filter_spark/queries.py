@@ -4561,6 +4561,124 @@ FROM ranked r JOIN nt USING (user_id) WHERE r.rn = 1
 """
 
 
+def attribution_last_touch_events(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent NON-purchase event within a 7-day lookback
+    ('none' otherwise), rolled up per channel with exact counts and a
+    decimal-exact value sum. The credit comes from ONE pass — a
+    last(..., ignorenulls=True) over the unbounded-preceding frame of
+    the (user_id) sort (both engines implement IGNORE NULLS windows
+    identically; verified) — no self-join, no as-of shuffle: the same
+    user_id Exchange serves the window and nothing else moves."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", _epoch_us("ts").alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("t_us"))
+    attributed = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "t_us",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("prev_type"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("prev_t_us"),
+    ).where(F.col("event_type") == "purchase")
+    lookback_us = 7 * 24 * 3600 * 1_000_000
+    channel = F.when(
+        F.col("prev_t_us").isNotNull()
+        & (F.col("t_us") - F.col("prev_t_us") <= lookback_us),
+        F.col("prev_type"),
+    ).otherwise(F.lit("none"))
+    return attributed.groupBy(channel.alias("channel")).agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t_us FROM events),
+att AS (
+  SELECT user_id, event_type, value, t_us,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN t_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t_us
+  FROM ev)
+SELECT CASE WHEN prev_t_us IS NOT NULL AND t_us - prev_t_us <= CAST(604800000000 AS BIGINT)
+            THEN prev_type ELSE 'none' END AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM att WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def daily_anomalies_events(spark, sf_dir):
+    """Integer-exact sliding anomaly detection on the per-(type, day)
+    count series: a day is anomalous when its count deviates from the
+    TRAILING 7-day window by more than 2 trailing sigmas — tested as the
+    integer cross-product (n·x − S)² > 4·(n·Q − S²) in decimal/HUGEINT,
+    so no float enters the verdict (the sliding twin of
+    outliers_orders). Scale shape: the window partitions by event_type
+    over the DAY series — time-dimension cardinality (thousands of rows
+    per type regardless of data volume), so the per-type sort is trivial
+    by construction; the heavy lifting is the one groupBy producing the
+    daily counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    xd = F.col("x").cast("decimal(20,0)")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("x").over(w).alias("n7"),
+        F.sum(xd).over(w).alias("s7"),
+        F.sum(xd * xd).over(w).alias("q7"),
+    )
+    n7d = F.col("n7").cast("decimal(38,0)")
+    dev = n7d * xd - F.col("s7")
+    var_n2 = n7d * F.col("q7") - F.col("s7") * F.col("s7")
+    return stats.select(
+        "event_type",
+        "day",
+        "x",
+        "n7",
+        F.col("s7").cast("long").alias("sum7"),
+        ((F.col("n7") == 7) & (dev * dev > var_n2 * 4)).alias("is_anomaly"),
+    )
+
+
+DAILY_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT event_type, DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, day, x,
+         COUNT(x) OVER w AS n7,
+         SUM(CAST(x AS HUGEINT)) OVER w AS s7,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS q7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, x, n7, CAST(s7 AS BIGINT) AS sum7,
+       n7 = 7 AND (n7*x - s7)*(n7*x - s7) > 4 * (n7*q7 - s7*s7) AS is_anomaly
+FROM stats
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4587,6 +4705,8 @@ QUERIES = {
     "covariance_exact_lineitem": covariance_exact_lineitem,
     "twap_value_by_type": twap_value_by_type,
     "mode_event_type_per_user": mode_event_type_per_user,
+    "attribution_last_touch_events": attribution_last_touch_events,
+    "daily_anomalies_events": daily_anomalies_events,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -4708,6 +4828,8 @@ ORACLES = {
     "covariance_exact_lineitem": COVARIANCE_SQL,
     "twap_value_by_type": TWAP_SQL,
     "mode_event_type_per_user": MODE_PER_USER_SQL,
+    "attribution_last_touch_events": ATTRIBUTION_SQL,
+    "daily_anomalies_events": DAILY_ANOMALIES_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
