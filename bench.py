@@ -1035,15 +1035,22 @@ adaptation cannot add — and the probe has zero cross-executor traffic
 and no merge step, so its deployment-shape scaling is bounded only by
 the per-machine substrate, like any embarrassingly parallel scan.
 
-Across this round's three full-harness probe runs the efficiency
-landed at 0.53–0.65 (Form A) and 0.54–0.72 (Form B) — the probe ratio
-moves with host steal far more than the build's (its reps are seconds,
-not tens of seconds), so read it as "~0.5–0.7 on one box, bounded by
-the shared memory substrate", not as a point estimate. Engineering
-response shipped this round: the probe kernel runs in 8k-row sub-chunks
-inside each Arrow batch so its temporaries stay cache-resident
-(`operators/lpm.py::_KERNEL_CHUNK`) — the 32-core headline probe rate
-rose to 1.30M rows/s (4.0× round 2).
+Across the full-harness probe runs to date the efficiency landed at
+0.42–0.65 (Form A) and 0.54–0.72 (Form B) — the probe ratio moves with
+host steal far more than the build's (its reps are seconds, not tens
+of seconds; a mid-rep steal window lands in one number), so read it as
+"~0.5–0.7 on one box, bounded by the shared memory substrate", not as
+a point estimate. Engineering responses shipped round 3–4: 8k-row
+kernel sub-chunking (`operators/lpm.py::_KERNEL_CHUNK`, cache-resident
+temporaries — the 32-core headline probe rate rose to 1.30M rows/s,
+4.0× round 2) and 16-byte probe digest truncation (halved Arrow
+bytes/row) — the quiet-window Form B ratio rose 0.537 → 0.686 → 0.705
+across those runs, the direction the substrate controls predicted for
+a bandwidth-bound kernel. Form A's best run is 0.570 with a TIGHT
+1-executor spread (695k–702k rows/s) against a wide 4-executor spread
+— the four concurrent JVMs themselves create the bandwidth contention
+the controls measure, which is exactly the per-machine resource a real
+4-machine cluster would quadruple.
 """
     _replace_md_section("BENCH/BASELINE.md", "LPM probe scaling (companion evidence)", section)
     print(json.dumps({"probe_scaling_efficiency_multi_exec": round(eff_multi, 3),
