@@ -500,3 +500,58 @@ def test_equi_depth_histogram_has_no_global_sort_window(spark, sf_dir):
     # and the operator's result is correct end-to-end (checked in
     # test_operators.py::test_equi_depth_histogram_matches_ntile)
     assert equi_depth_histogram(ev, "value", 4, tie_col="event_id").count() == 4
+
+
+def test_mode_per_user_uses_window_group_limit(spark):
+    """mode_event_type_per_user's rank-1 filter must plan as
+    WindowGroupLimit — the per-group top-1 is taken map-side before the
+    window exchange, so the shuffle carries O(groups * partitions) rows,
+    not every (user, type) count."""
+    from ip_filter_spark.queries import mode_event_type_per_user
+
+    plan = _plan(mode_event_type_per_user(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def _executed_plan(df) -> str:
+    """Physical plan tree (each node printed ONCE — unlike formatted
+    explain, whose node-table + details section lists every node twice
+    and double-counts substring tallies)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attribution_has_one_data_exchange_and_no_join(spark):
+    """attribution_last_touch_events credits purchases via IGNORE NULLS
+    window functions over ONE user_id sort — the plan must contain no
+    join node at all, and only the window exchange plus the final
+    5-row-aggregate exchange (no as-of/self-join explosion)."""
+    from ip_filter_spark.queries import attribution_last_touch_events
+
+    plan = _executed_plan(attribution_last_touch_events(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_scd2_single_sort_order(spark):
+    """scd2_user_state_events uses two windows over the SAME
+    (user_id | t_us, event_id) ordering — Catalyst must plan ONE
+    exchange, never re-sort or re-shuffle between the lag change-detect
+    and the lead closing edge."""
+    from ip_filter_spark.queries import scd2_user_state_events
+
+    plan = _executed_plan(scd2_user_state_events(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pivot_explicit_values_single_aggregate(spark):
+    """pivot_daily_type_counts passes the value list explicitly, so the
+    plan is the standard two-phase aggregation over ONE scan — no
+    second job for value inference and no Expand node (grouping-sets
+    expansion)."""
+    from ip_filter_spark.queries import pivot_daily_type_counts
+
+    plan = _executed_plan(pivot_daily_type_counts(spark, "/root/testdata/sf0.001"))
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Scan parquet") == 1, plan
