@@ -4535,16 +4535,26 @@ def mode_event_type_per_user(spark, sf_dir):
     most frequent event type (count desc, then type asc), plus its count
     and the user's type diversity. The rank-1 filter plans as
     WindowGroupLimit — Spark pushes the k=1 limit into the sort, so no
-    group ever materializes fully sorted output."""
+    group ever materializes fully sorted output. The diversity count
+    rides the SAME window partitioning (unbounded count over user_id),
+    so the whole query is the counts groupBy + one window Exchange —
+    no join."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    n_types = counts.groupBy("user_id").agg(F.count("*").alias("n_types"))
-    return (
-        ranked.where(F.col("rn") == 1)
-        .join(n_types, "user_id")
-        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("top_count"), "n_types")
+    wu = Window.partitionBy("user_id")
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wu).alias("n_types"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("top_type"),
+        F.col("c").alias("top_count"),
+        "n_types",
     )
 
 

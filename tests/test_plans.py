@@ -502,15 +502,19 @@ def test_equi_depth_histogram_has_no_global_sort_window(spark, sf_dir):
     assert equi_depth_histogram(ev, "value", 4, tie_col="event_id").count() == 4
 
 
-def test_mode_per_user_uses_window_group_limit(spark):
-    """mode_event_type_per_user's rank-1 filter must plan as
-    WindowGroupLimit — the per-group top-1 is taken map-side before the
-    window exchange, so the shuffle carries O(groups * partitions) rows,
-    not every (user, type) count."""
+def test_mode_per_user_single_pass_no_join(spark):
+    """mode_event_type_per_user computes the rank AND the diversity
+    count over one (user_id) window partitioning of the already
+    collapsed (user, type) counts — the plan must have no join and only
+    the counts-groupBy + window exchanges. (WindowGroupLimit is
+    deliberately absent: the unbounded n_types count must see every row,
+    so the k=1 pushdown would be semantically invalid here; the window
+    input is <= |types| rows per user, so there is nothing to save.)"""
     from ip_filter_spark.queries import mode_event_type_per_user
 
-    plan = _plan(mode_event_type_per_user(spark, "/root/testdata/sf0.001"))
-    assert "WindowGroupLimit" in plan, plan
+    plan = _executed_plan(mode_event_type_per_user(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
 
 
 def _executed_plan(df) -> str:
