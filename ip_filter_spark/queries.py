@@ -4689,6 +4689,80 @@ FROM stats
 """
 
 
+def chunk_docs_for_rag(spark, sf_dir):
+    """RAG-style document chunking: split each doc into overlapping
+    64-token windows (stride 48, so 16 tokens of overlap) — the
+    retrieval-corpus preparation step every RAG pipeline runs. Pure
+    whole-stage-codegen expressions end to end: chunk starts via
+    sequence(1, n, 48), the window via slice, posexplode for the chunk
+    index; each chunk surfaces as its sha256 (exact, compact) plus its
+    token count. Zero shuffles — the plan is scan → project → generate;
+    at 100 TB chunking is embarrassingly parallel and the ~1.3×
+    row-amplification happens after column pruning."""
+    W, S = 64, 48
+    toks = tokens_expr("text")
+    n = F.size(toks)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(S))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, W)))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk_text")
+    )
+    return d.select(
+        "doc_id",
+        "chunk_ix",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha256"),
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_chunk_tokens"),
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+chunks AS (
+  -- two parallel UNNESTs in one SELECT zip positionally in DuckDB
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1, 48),
+                s -> array_to_string(t[s:s+63], ' '))) AS chunk_text,
+         unnest(range(0, len(range(1, len(t) + 1, 48)))) AS chunk_ix
+  FROM toks WHERE len(t) >= 1)
+SELECT doc_id, CAST(chunk_ix AS INT) AS chunk_ix,
+       sha256(chunk_text) AS chunk_sha256,
+       len(string_split(chunk_text, ' ')) AS n_chunk_tokens
+FROM chunks
+"""
+
+
+def bpe_token_stats_docs(spark, sf_dir):
+    """Sub-word ('BPE-ish') token statistics: alpha runs, digit runs,
+    and single punctuation marks as separate tokens — the
+    regexp_extract_all pattern uses only ASCII classes, where the Java
+    (Spark) and RE2 (DuckDB) engines agree symbol for symbol. Per
+    language: docs, whitespace tokens, sub-word tokens (always >=
+    whitespace count — pinned by the oracle's integer comparison
+    column). One scan, one 5-group aggregate."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+    d = _t(spark, sf_dir, "documents")
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    ws = token_count_expr("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("total_ws_tokens"),
+        F.sum(sub).alias("total_subword_tokens"),
+        F.sum((sub >= ws).cast("long")).alias("n_docs_subword_ge_ws"),
+    )
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))) AS BIGINT) AS total_subword_tokens,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+                       >= len({_SQL_TOKENS}) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_subword_ge_ws
+FROM documents GROUP BY lang
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4717,6 +4791,8 @@ QUERIES = {
     "mode_event_type_per_user": mode_event_type_per_user,
     "attribution_last_touch_events": attribution_last_touch_events,
     "daily_anomalies_events": daily_anomalies_events,
+    "chunk_docs_for_rag": chunk_docs_for_rag,
+    "bpe_token_stats_docs": bpe_token_stats_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -4840,6 +4916,8 @@ ORACLES = {
     "mode_event_type_per_user": MODE_PER_USER_SQL,
     "attribution_last_touch_events": ATTRIBUTION_SQL,
     "daily_anomalies_events": DAILY_ANOMALIES_SQL,
+    "chunk_docs_for_rag": CHUNK_DOCS_SQL,
+    "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
