@@ -4763,6 +4763,89 @@ FROM documents GROUP BY lang
 """
 
 
+def full_outer_user_reconcile(spark, sf_dir):
+    """FULL OUTER reconciliation — the one join type no other gate
+    exercises: per-user click stats vs purchase stats, keeping users who
+    only ever did one of the two (NULL-filled side), with presence flags
+    and zero-coalesced counts. Both inputs aggregate on user_id first,
+    so the outer join joins two already-partitioned inputs on their own
+    keys — Catalyst reuses one hash partitioning, no extra Exchange."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), _dec_sum(F.col("value"), "purchase_value"))
+    )
+    j = clicks.join(purchases, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.col("n_clicks").isNotNull().alias("has_clicks"),
+        F.col("n_purchases").isNotNull().alias("has_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+p AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       n_clicks IS NOT NULL AS has_clicks,
+       n_purchases IS NOT NULL AS has_purchases,
+       COALESCE(purchase_value, 0.0) AS purchase_value
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+def histogram_equi_width_events(spark, sf_dir):
+    """Equi-WIDTH histogram (the fixed-bucket complement of the
+    equi-depth gate): literal integer bounds from the known value
+    domain, bucket = floor((v - lo) / w) clamped to [0, b-1] — a pure
+    map-side expression + one tiny groupBy; the bucket arithmetic runs
+    on CENTS (exact integers), so bucket assignment is bit-identical
+    across engines with no float boundary ambiguity."""
+    b, lo_c, hi_c = 20, 0, 100_000  # cents domain [0, 1000.00)
+    width = (hi_c - lo_c) // b
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bucket = F.least(
+        F.floor(F.greatest(cents - lo_c, F.lit(0)) / width), F.lit(b - 1)
+    ).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"), cents.alias("c"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+
+
+HISTOGRAM_EQUI_WIDTH_SQL = """
+WITH cents AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+b AS (
+  SELECT c, LEAST(GREATEST(c - 0, 0) // 5000, 19) AS bucket FROM cents)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+       MIN(c) AS min_cents, MAX(c) AS max_cents
+FROM b GROUP BY bucket
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4793,6 +4876,8 @@ QUERIES = {
     "daily_anomalies_events": daily_anomalies_events,
     "chunk_docs_for_rag": chunk_docs_for_rag,
     "bpe_token_stats_docs": bpe_token_stats_docs,
+    "full_outer_user_reconcile": full_outer_user_reconcile,
+    "histogram_equi_width_events": histogram_equi_width_events,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -4918,6 +5003,8 @@ ORACLES = {
     "daily_anomalies_events": DAILY_ANOMALIES_SQL,
     "chunk_docs_for_rag": CHUNK_DOCS_SQL,
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
+    "full_outer_user_reconcile": FULL_OUTER_SQL,
+    "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
