@@ -4846,6 +4846,67 @@ FROM b GROUP BY bucket
 """
 
 
+def grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS — the third grouping-set form beside the
+    rollup and cube gates, with a set list neither of those can express:
+    ((status, priority), (priority), ()) — detail, priority subtotals,
+    grand total, but NO per-status level. Same one-Expand-before-the-
+    shuffle plan; grouping_id disambiguates subtotal NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id() AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def price_range_window_orders(spark, sf_dir):
+    """RANGE-frame window on a VALUE ordering (every other window gate
+    frames on rows or on time): for each order, how many same-priority
+    orders fall within ±$100 of its price — the literal RANGE BETWEEN
+    10000 PRECEDING AND 10000 FOLLOWING over exact cents. Price ties get
+    identical frames by definition of RANGE (peer rows), which is why
+    the frame must be value-based, not ROWS. One Exchange on priority;
+    the in-partition frame scan is the two-pointer sweep both engines
+    implement."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("priority").orderBy("cents").rangeBetween(-10_000, 10_000)
+    return o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    ).withColumn("n_within_100", F.count("*").over(w))
+
+
+PRICE_RANGE_WINDOW_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, priority, cents,
+       COUNT(*) OVER (PARTITION BY priority ORDER BY cents
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_within_100
+FROM c
+"""
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from ip_filter_spark.config import _ship_package
 
@@ -4878,6 +4939,8 @@ QUERIES = {
     "bpe_token_stats_docs": bpe_token_stats_docs,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
+    "grouping_sets_order_stats": grouping_sets_order_stats,
+    "price_range_window_orders": price_range_window_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -5005,6 +5068,8 @@ ORACLES = {
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
+    "grouping_sets_order_stats": GROUPING_SETS_SQL,
+    "price_range_window_orders": PRICE_RANGE_WINDOW_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
