@@ -896,3 +896,54 @@ def test_ngram_overlap_report_broadcast_and_exact(spark):
     # the gram join must be broadcast (benchmark side is fixed-size)
     plan = ngram_overlap_report(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_boundaries(spark):
+    """Chunk starts are 1, 49, 97, ...: a 64-token doc yields chunks of
+    64 and 16 (start 49 overlaps the tail), a 48-token doc exactly one
+    chunk, a 49-token doc two (the second a single token)."""
+    from ip_filter_spark.queries import chunk_docs_for_rag
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(64))),
+            (2, " ".join(f"w{i}" for i in range(48))),
+            (3, " ".join(f"w{i}" for i in range(49))),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("_chunk_docs")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r.doc_id, r.chunk_ix): r.n_chunk_tokens
+            for r in chunk_docs_for_rag(spark, d).collect()
+        }
+    assert out[(1, 0)] == 64 and out[(1, 1)] == 16
+    assert out[(2, 0)] == 48 and (2, 1) not in out
+    assert out[(3, 0)] == 49 and out[(3, 1)] == 1
+
+
+def test_repetition_flags_short_and_repetitive_docs(spark):
+    """Docs with < 2 tokens have zero bigrams (never bigram-flagged);
+    a doc that is one word repeated trips BOTH the top-bigram and the
+    distinct-ratio rule; normal text trips neither."""
+    from ip_filter_spark.queries import repetition_stats_docs
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solo", "xx", "s", 4),
+            (2, "spam " * 50, "xx", "s", 250),
+            (3, "the quick brown fox jumps over a lazy dog", "xx", "s", 43),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        row = repetition_stats_docs(spark, d).collect()[0]
+    assert row.n_docs == 3
+    assert row.n_flagged == 1  # only the spam doc
+    assert row.total_bigrams == 49 + 8  # 50-token spam + 9-token normal
