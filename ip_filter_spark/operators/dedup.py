@@ -573,3 +573,50 @@ def edit_distance_pairs(
         )
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the ExactSubstr method of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed for Spark: instead of a suffix array (a global
+    sorted structure that doesn't shard well), every document emits its
+    ``window_tokens``-token rolling windows; a window whose exact text
+    occurs more than once in the corpus is a duplicated span. This finds
+    precisely the same repeated substrings of length >= window_tokens
+    that the suffix-array scan reports (any longer shared substring
+    contains a shared window), at the cost of emitting ~n_tokens windows
+    per document.
+
+    Plan shape: explode(ngrams) is the one row-multiplying stage; spans
+    group by sha256(window) with map-side partial aggregation, so the
+    shuffle carries one (32-byte key, count) pair per DISTINCT span per
+    partition, not per occurrence. The top-k duplicated spans come out
+    via TakeOrderedAndProject (never a global sort), totally ordered by
+    (occurrences desc, docs desc, sha asc) so results are deterministic
+    and engine-portable.
+
+    Returns (span_sha, n_occurrences, n_docs) for the ``top_k`` most
+    repeated spans.
+    """
+    from ip_filter_spark.functions.text import ngrams_expr
+
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngrams_expr(text_col, window_tokens)).alias("span"),
+    ).select("id", F.sha2(F.col("span"), 256).alias("span_sha"))
+    return (
+        spans.groupBy("span_sha")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("span_sha"))
+        .limit(top_k)
+    )

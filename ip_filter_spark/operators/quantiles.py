@@ -98,8 +98,9 @@ def sketch_quantiles(
     df: DataFrame, value_col: str, qs: list[float], kind: str = "kll", **params
 ) -> list[tuple[float, float]]:
     """Quantiles from a distributed KLL or t-digest build (one pass)."""
-    assert kind in ("kll", "tdigest")
-    spec = SketchSpec(kind, params or ({"k": 200} if kind == "kll" else {"delta": 200.0}), on="value")
+    assert kind in ("kll", "tdigest", "ddsketch")
+    defaults = {"kll": {"k": 200}, "tdigest": {"delta": 200.0}, "ddsketch": {"alpha": 0.01}}
+    spec = SketchSpec(kind, params or defaults[kind], on="value")
     sk = build_and_merge(df, [spec], value=value_col)[spec.key()]
     vals = sk.quantile(qs)
     return [(float(q), float(v)) for q, v in zip(qs, vals)]

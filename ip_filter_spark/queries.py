@@ -4916,10 +4916,117 @@ def _ensure_shipped(spark: SparkSession) -> None:
         pass  # already added or running where cwd import suffices
 
 
+def dup_ngram_spans_docs(spark, sf_dir):
+    """Exact-substring duplicate spans (ExactSubstr of Lee et al. 2021,
+    suffix-array-free — see operators/dedup.duplicate_span_stats): the
+    top 20 most-repeated 4-token windows across the corpus, totally
+    ordered by (occurrences desc, docs desc, sha asc). The oracle
+    replays the identical window algebra in SQL."""
+    from ip_filter_spark.operators.dedup import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "text", "doc_id", window_tokens=4, top_k=20)
+
+
+DUP_NGRAM_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+spans AS (
+  SELECT doc_id,
+         sha256(unnest(list_transform(range(1, len(t) - 2),
+                s -> array_to_string(t[s:s+3], ' ')))) AS span_sha
+  FROM toks WHERE len(t) >= 4)
+SELECT span_sha, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM spans GROUP BY span_sha HAVING COUNT(*) > 1
+ORDER BY n_occurrences DESC, n_docs DESC, span_sha ASC LIMIT 20
+"""
+
+
+def ddsketch_order_quantiles(spark, sf_dir):
+    """DDSketch (Masson et al., VLDB 2019) VALUE-relative quantile gate
+    over orders.o_totalprice: the sketch's deterministic guarantee is
+    |est - exact_q| <= alpha * exact_q (alpha = 0.01) at every rank —
+    unlike KLL/t-digest's RANK-error regime, so this completes the
+    quantile family. Build is the engine's per-partition partial +
+    exact-count merge (a linear sketch — byte-identical to single-pass);
+    the gate emits the exact quantile (SQL twin, same floor((n-1)q)+1
+    fencepost) and the relative-bound boolean, with a 5% float-rounding
+    margin on the mathematically tight (gamma-1)/(gamma+1) = alpha
+    bound."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.quantiles import exact_quantiles, sketch_quantiles
+
+    ALPHA = 0.01
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "v", F.col("o_totalprice").cast("double")
+    )
+    est = dict(sketch_quantiles(orders, "v", QS, kind="ddsketch", alpha=ALPHA))
+    exact = exact_quantiles(orders, "v", QS)
+    est_col = F.lit(None).cast("double")
+    for q, v in est.items():
+        est_col = F.when(F.col("q") == float(q), F.lit(float(v))).otherwise(est_col)
+    return exact.select(
+        F.col("q"),
+        F.col("value").alias("exact_value"),
+        (F.abs(est_col - F.col("value")) <= F.lit(ALPHA * 1.05) * F.abs(F.col("value"))).alias(
+            "within_rel_bound"
+        ),
+    ).orderBy("q")
+
+
+DDSKETCH_ORDER_SQL = f"""
+WITH sorted AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn
+  FROM orders),
+n AS (SELECT COUNT(*) AS c FROM orders),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QS)})
+SELECT CAST(q AS DOUBLE) AS q, value AS exact_value, TRUE AS within_rel_bound
+FROM qs, n JOIN sorted ON sorted.rn = CAST(FLOOR((n.c - 1) * qs.q) AS BIGINT) + 1
+ORDER BY q
+"""
+
+
+def balanced_sample_docs(spark, sf_dir):
+    """Training-mix balancing: cap every source at EXACTLY 10 documents,
+    selected by deterministic content-hash order (sources/sampling.
+    balanced_sample — the two-phase bucket-histogram form that avoids
+    the one-task-per-group window wall at 100 TB). The selected set is
+    provably identical to the naive ``row_number per source`` form the
+    SQL oracle runs, because the hash key is unique per row. Output:
+    per-source kept-set aggregates."""
+    from ip_filter_spark.sources.sampling import balanced_sample
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.sha2(F.concat_ws(":", F.col("text"), F.col("doc_id")), 256)
+    kept = balanced_sample(d, "source", key, n_per_group=10)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+BALANCED_SAMPLE_SQL = """
+WITH k AS (
+  SELECT source, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY sha256(concat(text, ':', CAST(doc_id AS VARCHAR)))) AS rn
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM k WHERE rn <= 10 GROUP BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "dup_ngram_spans_docs": dup_ngram_spans_docs,
+    "ddsketch_order_quantiles": ddsketch_order_quantiles,
+    "balanced_sample_docs": balanced_sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "decontaminate_docs": decontaminate_docs,
     "streaks_user_events": streaks_user_events,
@@ -5049,6 +5156,9 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "dup_ngram_spans_docs": DUP_NGRAM_SPANS_SQL,
+    "ddsketch_order_quantiles": DDSKETCH_ORDER_SQL,
+    "balanced_sample_docs": BALANCED_SAMPLE_SQL,
     "repetition_stats_docs": REPETITION_STATS_SQL,
     "decontaminate_docs": DECONTAMINATE_SQL,
     "streaks_user_events": STREAKS_SQL,

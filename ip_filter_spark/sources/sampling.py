@@ -100,3 +100,80 @@ def deterministic_group_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    key_expr,
+    n_per_group: int | None = None,
+    probe_chars: int = 3,
+) -> DataFrame:
+    """Exact per-group downsampling to a FIXED count — the training-mix
+    balancing step (cap every source/language at the minority group's
+    size, or at an explicit ``n_per_group``): keep, per group, the
+    ``n_per_group`` rows with the smallest ``key_expr`` (a deterministic
+    content hash → a reproducible pseudo-random subset, same idea as
+    ``hash_sample_docs`` but with an EXACT count, not a binomial one).
+
+    Scale shape: the naive form is ``row_number() OVER (PARTITION BY
+    group ORDER BY key) <= n`` — with few giant groups that is one task
+    per group, a single-task wall at 100 TB. This implementation uses a
+    two-phase bucket histogram instead (the equi-depth-histogram trick
+    applied per group):
+
+    1. one aggregation over (group, first ``probe_chars`` hex chars of
+       the key) — at most |groups| * 16^probe_chars tiny rows to the
+       driver;
+    2. per group the driver finds the CUT bucket where the cumulative
+       count crosses ``n_per_group``: earlier buckets are kept verbatim
+       (a broadcast-hash semi-join, no shuffle of the corpus), and only
+       the cut bucket itself — ~1/4096th of the group — goes through the
+       per-group window for its residual smallest rows.
+
+    The result is EXACTLY the same set the naive window selects
+    (lexicographic hash order is total when ``key_expr`` is unique), so
+    a plain-SQL oracle can verify it with the naive form.
+    """
+    spark = df.sparkSession
+    if n_per_group is None:
+        n_per_group = (
+            df.groupBy(group_col).count().agg(F.min("count").alias("m")).first()["m"]
+        )
+    keyed = df.withColumn("__bkey", key_expr).withColumn(
+        "__bucket", F.substring("__bkey", 1, probe_chars)
+    )
+    hist = (
+        keyed.groupBy(group_col, "__bucket").count().collect()
+    )  # bounded: |groups| x 16^probe_chars
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append((r["__bucket"], r["count"]))
+    keep_whole, cut = [], []  # (group, bucket) kept verbatim; (group, bucket, residual)
+    for g, buckets in per_group.items():
+        cum = 0
+        for b, c in sorted(buckets):
+            if cum + c <= n_per_group:
+                keep_whole.append((g, b))
+                cum += c
+            else:
+                if n_per_group - cum > 0:
+                    cut.append((g, b, n_per_group - cum))
+                break
+    from pyspark.sql import Window
+
+    whole_df = spark.createDataFrame(
+        keep_whole or [(None, None)], f"{group_col} string, __bucket string"
+    )
+    kept = keyed.join(F.broadcast(whole_df), [group_col, "__bucket"], "leftsemi")
+    if cut:
+        cut_df = spark.createDataFrame(cut, f"{group_col} string, __bucket string, __residual long")
+        w = Window.partitionBy(group_col, "__bucket").orderBy("__bkey")
+        residual = (
+            keyed.join(F.broadcast(cut_df), [group_col, "__bucket"], "inner")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.col("__residual"))
+            .drop("__rn", "__residual")
+        )
+        kept = kept.unionByName(residual)
+    return kept.drop("__bkey", "__bucket")

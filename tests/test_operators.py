@@ -947,3 +947,52 @@ def test_repetition_flags_short_and_repetitive_docs(spark):
     assert row.n_docs == 3
     assert row.n_flagged == 1  # only the spam doc
     assert row.total_bigrams == 49 + 8  # 50-token spam + 9-token normal
+
+
+def test_duplicate_span_stats_exact_substr(spark):
+    """Two docs sharing a 4-token span + one within-doc repeat: the
+    shared span counts (2 occ, 2 docs), the self-repeat (2 occ, 1 doc),
+    unique windows are absent."""
+    from ip_filter_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),
+            (2, "q r a b c d t u"),
+            (3, "m n o p m n o p"),  # within-doc repeated span "m n o p"
+        ],
+        ["doc_id", "text"],
+    )
+    rows = duplicate_span_stats(docs, "text", "doc_id", window_tokens=4, top_k=10).collect()
+    by_counts = {(r.n_occurrences, r.n_docs) for r in rows}
+    assert (2, 2) in by_counts  # "a b c d" across docs 1 and 2
+    assert (2, 1) in by_counts  # "m n o p" twice inside doc 3
+    assert all(r.n_occurrences > 1 for r in rows)
+
+
+def test_balanced_sample_matches_naive_window(spark):
+    """The two-phase bucket-histogram selection equals the naive
+    row_number-per-group form exactly, including when the cut bucket is
+    mid-group (probe_chars=1 forces multi-row buckets)."""
+    from pyspark.sql import Window
+
+    from ip_filter_spark.sources.sampling import balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"text {i}") for i in range(90)],
+        ["id", "grp", "text"],
+    )
+    key = F.sha2(F.concat_ws(":", "text", "id"), 256)
+    got = {
+        r.id
+        for r in balanced_sample(df, "grp", key, n_per_group=7, probe_chars=1).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("__k")
+    want = {
+        r.id
+        for r in df.withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 7)
+        .collect()
+    }
+    assert got == want and len(got) == 21

@@ -687,3 +687,41 @@ def test_countsketch_inner_product_join_size():
     # unbiased estimator; std <= sqrt(F2(a) F2(b) / w)
     std = np.sqrt(np.sum(a_counts**2) * np.sum(b_counts**2) / a.w)
     assert abs(est - exact) <= 5 * std
+
+
+def test_ddsketch_relative_bound_merge_roundtrip():
+    import numpy as np
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(8, 1.5, 40000), -rng.lognormal(2, 1.0, 4000), np.zeros(50)]
+    )
+    sk = DDSketch(alpha=0.01).update_values(vals)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sk.quantile(qs)
+    srt = np.sort(vals)
+    n = len(vals)
+    for q, e in zip(qs, est):
+        exact = srt[int(np.floor((n - 1) * q))]
+        assert abs(e - exact) <= 0.0101 * abs(exact) + 1e-12
+    # linear sketch: split build == bulk build, byte-for-byte counts
+    a = DDSketch(alpha=0.01).update_values(vals[:15000])
+    b = DDSketch(alpha=0.01).update_values(vals[15000:])
+    merged = a.merge(b)
+    assert merged.pos == sk.pos and merged.neg == sk.neg and merged.zero == sk.zero
+    rt = from_bytes(sk.to_bytes())
+    assert np.allclose(rt.quantile(qs), est)
+    assert rt.n_items == sk.n_items and not rt.collapsed
+
+
+def test_ddsketch_collapse_sets_flag_and_bounds_memory():
+    import numpy as np
+    from ip_filter_spark.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(4)
+    sk = DDSketch(alpha=0.05, max_bins=8).update_values(rng.lognormal(0, 3, 5000))
+    assert sk.collapsed and len(sk.pos) <= 8
+    # high quantiles survive collapse (lowest buckets merged upward)
+    vals = np.sort(rng.lognormal(0, 3, 5000))
