@@ -5020,11 +5020,129 @@ FROM k WHERE rn <= 10 GROUP BY source
 """
 
 
+def sql_udaf_order_value_medians(spark, sf_dir):
+    """DDSketch exposed through the SQL UDAF surface (the VALUE-relative
+    member of the quantile algebra, completing the per-sketch SQL parity
+    kll/t-digest already have): per-priority medians computed entirely
+    in SQL text via the skew-safe two-level shape — dd_agg per
+    (priority, salt), dd_merge + dd_quantile per priority. The gate
+    holds the SQL-path estimate to DDSketch's own deterministic
+    guarantee, |est - exact_median| <= 1.05 * alpha * exact_median, with
+    the exact median from the same window fencepost as the oracle."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.functions.udaf import register_value_sketch_udafs
+
+    ALPHA = 0.01
+    register_value_sketch_udafs(spark, "dd", "ddsketch", q=0.5, alpha=ALPHA)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("udaf_dd_orders")
+    est = spark.sql("""
+      WITH partials AS (
+        SELECT o_orderpriority AS key, pmod(xxhash64(o_orderkey), 16) AS salt,
+               dd_agg(CAST(o_totalprice AS DOUBLE)) AS p
+        FROM udaf_dd_orders GROUP BY key, salt
+      )
+      SELECT key, dd_quantile(dd_merge(p)) AS est FROM partials GROUP BY key
+    """)
+    w = Window.partitionBy("o_orderpriority")
+    exact = (
+        orders.select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.row_number().over(w.orderBy(F.col("o_totalprice").cast("double"))).alias("rn"),
+            F.count("*").over(w).alias("c"),
+        )
+        .where(F.col("rn") == (F.floor((F.col("c") - 1) * 0.5) + 1))
+        .select(F.col("o_orderpriority").alias("key"), F.col("v").alias("exact_median"))
+    )
+    return (
+        exact.join(F.broadcast(est), "key")
+        .select(
+            "key",
+            "exact_median",
+            (F.abs(F.col("est") - F.col("exact_median"))
+             <= F.lit(ALPHA * 1.05) * F.col("exact_median")).alias("within_rel_bound"),
+        )
+    )
+
+
+SQL_UDAF_ORDER_VALUE_SQL = """
+WITH sorted AS (
+  SELECT o_orderpriority AS key, CAST(o_totalprice AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS c
+  FROM orders)
+SELECT key, v AS exact_median, TRUE AS within_rel_bound
+FROM sorted WHERE rn = CAST(FLOOR((c - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
+def native_approx_distinct_events(spark, sf_dir):
+    """Spark's BUILT-IN HLL++ (approx_count_distinct, rsd=0.05) held to
+    the same bound-gate discipline as the repo's own HLL: per event_type
+    the exact distinct-user count (oracle twin) plus a boolean that the
+    native estimate is relatively within 3x rsd. Deterministic — HLL++
+    has no seed; same input → same estimate on every run/engine
+    version. Documents that the engine composes with Catalyst-native
+    sketches, not only its own kernels."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.05) - F.countDistinct("user_id"))
+            <= 0.15 * F.countDistinct("user_id")
+        ).alias("within_bound"),
+    )
+
+
+NATIVE_APPROX_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def native_approx_quantiles_events(spark, sf_dir):
+    """Spark's built-in percentile_approx (Greenwald–Khanna variant,
+    accuracy=10000 → rank error <= 1e-4) bound-gated: the estimates'
+    NORMALIZED RANKS among events.value must sit within 0.005 of each
+    target q (50x the published bound — generous but far below any
+    plausible regression). One scan for the estimates, one for the rank
+    check."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    est_row = ev.agg(
+        F.percentile_approx("value", QS, 10000).alias("est"), F.count("*").alias("n")
+    ).first()
+    ests, n = est_row["est"], est_row["n"]
+    rank_aggs = [
+        F.sum((F.col("value") <= float(v)).cast("long")).alias(f"r{i}")
+        for i, v in enumerate(ests)
+    ]
+    ranks = ev.agg(*rank_aggs).first()
+    rows = [
+        (float(q), int(n), bool(abs(ranks[f"r{i}"] / n - q) <= 0.005))
+        for i, q in enumerate(QS)
+    ]
+    return spark.createDataFrame(rows, "q double, n bigint, within_rank_bound boolean")
+
+
+NATIVE_APPROX_QUANTILES_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS c FROM events WHERE value IS NOT NULL),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QS)})
+SELECT CAST(q AS DOUBLE) AS q, CAST(n.c AS BIGINT) AS n, TRUE AS within_rank_bound
+FROM qs, n ORDER BY q
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
     "dup_ngram_spans_docs": dup_ngram_spans_docs,
+    "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
+    "native_approx_distinct_events": native_approx_distinct_events,
+    "native_approx_quantiles_events": native_approx_quantiles_events,
     "ddsketch_order_quantiles": ddsketch_order_quantiles,
     "balanced_sample_docs": balanced_sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
@@ -5157,6 +5275,9 @@ QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
     "dup_ngram_spans_docs": DUP_NGRAM_SPANS_SQL,
+    "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
+    "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
+    "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
     "ddsketch_order_quantiles": DDSKETCH_ORDER_SQL,
     "balanced_sample_docs": BALANCED_SAMPLE_SQL,
     "repetition_stats_docs": REPETITION_STATS_SQL,
