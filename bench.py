@@ -965,8 +965,27 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
     rps = {c: statistics.median(r["rows_per_sec"] for r in samples[c]) for c in levels}
     mrps = {n: statistics.median(r["rows_per_sec"] for r in multi[n]) for n in (1, 4)}
     eff_multi = mrps[4] / (4 * mrps[1])
+    # paired per-invocation ratios: each rep's 4-exec rate against ITS OWN
+    # 1-exec rate — a steal window hits one pair, not the whole median
+    pair_ratios = [
+        round(multi[4][i]["rows_per_sec"] / (4 * multi[1][i]["rows_per_sec"]), 4)
+        for i in range(len(multi[4]))
+    ]
+    eff_paired = statistics.median(pair_ratios)
     lo, hi = levels[0], levels[-1]
     eff = rps[hi] / ((hi // lo) * rps[lo])
+    # append to the run history (the distribution is the honest headline
+    # on a steal-prone VM; single runs over/under-shoot by 1.5-3x)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "scaling_runs.jsonl"), "a") as fh:
+        fh.write(json.dumps({
+            "ts": int(time.time()), "kind": "probe",
+            "eff_multi_median": round(eff_multi, 4),
+            "eff_multi_paired": round(eff_paired, 4),
+            "pair_ratios": pair_ratios,
+            "multi_rps": {str(n): [round(r["rows_per_sec"]) for r in multi[n]] for n in (1, 4)},
+            "single_jvm_rps": {str(c): [round(r["rows_per_sec"]) for r in samples[c]] for c in levels},
+        }) + "\n")
     rows_md = "\n".join(
         f"| probe | local[{c}] | {min(samples[c], key=lambda r: r['sec'])['sec']:.2f} "
         f"| {rps[c]:,.0f} | {min(r['rows_per_sec'] for r in samples[c]):,.0f}–"
@@ -1000,7 +1019,10 @@ file shard with the same engine blob:
 |---|---|---|---|
 {multi_rows}
 
-**Probe scaling efficiency 1 -> 4 executors: {eff_multi:.3f}.**
+**Probe scaling efficiency 1 -> 4 executors: {eff_multi:.3f}**
+(per-invocation paired ratios {pair_ratios}, paired median
+{eff_paired:.3f}; full history in BENCH/scaling_runs.jsonl `kind:
+"probe"` rows).
 
 Form B — one JVM, local[{lo}] vs local[{hi}] (diagnostic; a real cluster
 never runs one 16-thread executor JVM in place of 4 machines):
@@ -1036,11 +1058,17 @@ and no merge step, so its deployment-shape scaling is bounded only by
 the per-machine substrate, like any embarrassingly parallel scan.
 
 Across the full-harness probe runs to date the efficiency landed at
-0.42–0.65 (Form A) and 0.54–0.72 (Form B) — the probe ratio moves with
+0.33–0.65 (Form A) and 0.54–0.72 (Form B) — the probe ratio moves with
 host steal far more than the build's (its reps are seconds, not tens
-of seconds; a mid-rep steal window lands in one number), so read it as
-"~0.5–0.7 on one box, bounded by the shared memory substrate", not as
-a point estimate. Engineering responses shipped round 3–4: 8k-row
+of seconds; a mid-rep steal window lands in one number; the two
+round-4 contended runs even show the 1-executor BASELINE swinging
+597k–869k rows/s rep to rep), so read it as "~0.5–0.7 on one box in
+windows where the baseline itself is stable, bounded by the shared
+memory substrate", not as a point estimate. Every run's per-invocation
+rates and paired ratios are in BENCH/scaling_runs.jsonl (`kind:
+"probe"` rows). Form B (one JVM, no multi-JVM window exposure) is the
+steal-robust diagnostic: 0.64–0.71 across every round-4 run including
+the contended ones. Engineering responses shipped round 3–4: 8k-row
 kernel sub-chunking (`operators/lpm.py::_KERNEL_CHUNK`, cache-resident
 temporaries — the 32-core headline probe rate rose to 1.30M rows/s,
 4.0× round 2) and 16-byte probe digest truncation (halved Arrow
@@ -1054,6 +1082,8 @@ the controls measure, which is exactly the per-machine resource a real
 """
     _replace_md_section("BENCH/BASELINE.md", "LPM probe scaling (companion evidence)", section)
     print(json.dumps({"probe_scaling_efficiency_multi_exec": round(eff_multi, 3),
+                      "probe_scaling_paired": round(eff_paired, 3),
+                      "pair_ratios": pair_ratios,
                       "probe_scaling_efficiency_single_jvm": round(eff, 3),
                       "levels": {str(c): round(rps[c]) for c in levels},
                       "multi_exec": {str(n): round(mrps[n]) for n in (1, 4)}}))

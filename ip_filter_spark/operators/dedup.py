@@ -620,3 +620,110 @@ def duplicate_span_stats(
         .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("span_sha"))
         .limit(top_k)
     )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "sha",
+    seed: int = 11,
+) -> None:
+    """Persist a MinHash-LSH index for INCREMENTAL near-dup lookup:
+    ``{path}/postings`` — (key, id, n_in_bucket) partitioned by band —
+    and ``{path}/signatures`` — (id, sig). ``n_in_bucket`` (a window
+    count materialized at build time) lets the query side drop hot
+    boilerplate buckets with a predicate AT THE SCAN, no bucket-count
+    job over the corpus at query time.
+
+    This is the daily-ingest shape at 100 TB: the corpus is indexed
+    ONCE; each new batch dedups against it without rescanning or
+    reshuffling corpus text (see ``query_lsh_index``). Index size is
+    O(corpus × bands) fixed-width rows — no text, no shingles."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_fn, seed)
+    band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
+    banded = sig.select("id", "sig", F.posexplode(band_keys).alias("band", "key"))
+    w = Window.partitionBy("band", "key")
+    banded.withColumn("n_in_bucket", F.count("*").over(w)).select(
+        "band", "key", "id", "n_in_bucket"
+    ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/postings")
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    hash_fn: str = "sha",
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs (new_id, old_id, est_jaccard) between a NEW batch
+    and a persisted ``build_lsh_index`` corpus — the incremental twin of
+    ``minhash_lsh_pairs``. The corpus never shuffles:
+
+    - the new batch's band rows BROADCAST against the postings scan
+      (batch × bands rows — ingest batches are small relative to the
+      corpus by definition), with capped buckets excluded by the
+      ``n_in_bucket <= max_bucket`` predicate pushed into the parquet
+      read;
+    - candidate old ids (bounded by candidates, not corpus) broadcast
+      back to semi-join the signatures read;
+    - agreement verification joins the NEW side's signatures (broadcast)
+      to that pruned old-signature scan.
+
+    Params must match the index build (asserted against the stored
+    signature width at verify time by the zip_with arity)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    new_sig = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_n, hash_fn, seed).cache()
+    band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
+    new_banded = new_sig.select(
+        F.col("id").alias("new_id"), F.posexplode(band_keys).alias("band", "key")
+    )
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("n_in_bucket") <= max_bucket
+    )
+    cands = (
+        postings.join(F.broadcast(new_banded), ["band", "key"])
+        .where(F.col("id") != F.col("new_id"))
+        .select("new_id", F.col("id").alias("old_id"))
+        .distinct()
+    )
+    old_ids = cands.select(F.col("old_id").alias("id")).distinct()
+    old_sig = spark.read.parquet(f"{path}/signatures").join(F.broadcast(old_ids), "id", "leftsemi")
+    joined = (
+        cands.join(old_sig.select(F.col("id").alias("old_id"), F.col("sig").alias("sig_old")), "old_id")
+        .join(
+            F.broadcast(new_sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_new"))),
+            "new_id",
+        )
+    )
+    return (
+        joined.withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_new", "sig_old", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(num_perm),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "old_id", "est_jaccard")
+    )

@@ -15,6 +15,8 @@ Determinism discipline (what makes value-hash comparison possible):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -5020,6 +5022,149 @@ FROM k WHERE rn <= 10 GROUP BY source
 """
 
 
+def percentile_cont_events(spark, sf_dir):
+    """Interpolated (continuous) percentiles — the PERCENTILE_CONT
+    convention both ANSI engines implement as rank (n-1)p with linear
+    interpolation. Cross-engine float safety: values become integer
+    CENTS first, so every interpolated result is a + (b-a)*frac with
+    integer a,b and frac in {0, .25, .5, .75} — exactly representable,
+    bit-identical in any IEEE engine. One grouped aggregate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+        F.percentile(cents, F.lit(0.5)).alias("p50_cents"),
+        F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+    )
+
+
+PERCENTILE_CONT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.75) AS p75_cents
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
+def unpivot_order_stats(spark, sf_dir):
+    """Wide → long reshape (ANSI UNPIVOT / Spark ``DataFrame.unpivot``,
+    the inverse of the pivot gate): per-status metrics fold into
+    (status, metric, metric_value) rows. Metrics are exact integers
+    (counts, cents) so the reshape is hash-comparable; unpivot is a
+    zero-shuffle Expand over the tiny aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+    return agg.unpivot(
+        ["o_orderstatus"], ["n_orders", "sum_price_cents"], "metric", "metric_value"
+    )
+
+
+UNPIVOT_ORDER_SQL = """
+WITH agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS metric_value FROM agg
+UNION ALL
+SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
+"""
+
+
+def incremental_minhash_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    seed: int = 11,
+) -> str:
+    """DuckDB replica of build_lsh_index + query_lsh_index over the
+    doc_id%4 split: same signatures/band keys as minhash_lsh_sql, the
+    bucket cap counted over the OLD (indexed) side only — exactly the
+    ``n_in_bucket`` column the index materializes — and candidates
+    restricted to new x old."""
+    from ip_filter_spark.operators.dedup import _BAND_K, MINHASH_P, minhash_coeffs
+
+    a_c, b_c = minhash_coeffs(num_perm, seed)
+    r = num_perm // bands
+    P = MINHASH_P
+    sig_cols = ",\n       ".join(
+        f"MIN((h * {a_c[p]} + {b_c[p]}) % {P}) AS s{p}" for p in range(num_perm)
+    )
+
+    def key_expr(b: int) -> str:
+        acc = str(b + 1)
+        for j in range(r):
+            acc = f"(({acc}) * {_BAND_K} + s{b * r + j}) % {P}"
+        return acc
+
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, {key_expr(b)} AS key FROM sig" for b in range(bands)
+    )
+    sig_list = ", ".join(f"s{p}" for p in range(num_perm))
+    return f"""
+WITH shg AS (
+  SELECT DISTINCT doc_id AS id, unnest({_sql_shingles(shingle_n)}) AS sh FROM documents),
+h AS (SELECT id, CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) % {P} AS h FROM shg),
+sig AS (SELECT id,
+       {sig_cols}
+FROM h GROUP BY id),
+sigl AS (SELECT id, [{sig_list}] AS sl FROM sig),
+banded AS (
+{banded}),
+oldb AS (SELECT * FROM banded WHERE id % 4 <> 0),
+newb AS (SELECT * FROM banded WHERE id % 4 = 0),
+ok AS (SELECT band, key FROM oldb GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+  FROM newb n JOIN oldb o ON n.band = o.band AND n.key = o.key
+  JOIN ok ON ok.band = n.band AND ok.key = n.key),
+est AS (
+  SELECT new_id, old_id,
+         ROUND(list_sum(list_transform(range(1, {num_perm + 1}),
+               i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) / {float(num_perm)}, 6) AS est_jaccard
+  FROM cand JOIN sigl sa ON sa.id = cand.new_id JOIN sigl sb ON sb.id = cand.old_id)
+SELECT new_id, old_id, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def incremental_near_dup_docs(spark, sf_dir):
+    """Daily-ingest near-dup: docs with doc_id % 4 == 0 are the NEW
+    batch, the rest the indexed corpus (operators/dedup.build_lsh_index
+    → query_lsh_index). The corpus text never rescans and never
+    shuffles at query time — the batch's band rows broadcast against
+    the postings scan with the materialized ``n_in_bucket`` cap pushed
+    into the parquet read. Oracle replays the full algorithm in SQL
+    restricted to new x old pairs with the old-side-only bucket cap."""
+    import re as _re
+    import tempfile
+
+    from ip_filter_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    d = _t(spark, sf_dir, "documents")
+    idx = os.path.join(
+        tempfile.gettempdir(), "ifs_lsh_index_" + _re.sub(r"\W", "_", sf_dir)
+    )
+    build_lsh_index(
+        d.where(F.col("doc_id") % 4 != 0), "doc_id", "text", idx, num_perm=64, bands=16
+    )
+    return query_lsh_index(
+        spark,
+        idx,
+        d.where(F.col("doc_id") % 4 == 0),
+        "doc_id",
+        "text",
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
 def sql_udaf_order_value_medians(spark, sf_dir):
     """DDSketch exposed through the SQL UDAF surface (the VALUE-relative
     member of the quantile algebra, completing the per-sketch SQL parity
@@ -5140,6 +5285,9 @@ FROM qs, n ORDER BY q
 # =====================================================================
 QUERIES = {
     "dup_ngram_spans_docs": dup_ngram_spans_docs,
+    "incremental_near_dup_docs": incremental_near_dup_docs,
+    "percentile_cont_events": percentile_cont_events,
+    "unpivot_order_stats": unpivot_order_stats,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5275,6 +5423,9 @@ QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
     "dup_ngram_spans_docs": DUP_NGRAM_SPANS_SQL,
+    "incremental_near_dup_docs": incremental_minhash_sql(num_perm=64, bands=16, threshold=0.5),
+    "percentile_cont_events": PERCENTILE_CONT_SQL,
+    "unpivot_order_stats": UNPIVOT_ORDER_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,

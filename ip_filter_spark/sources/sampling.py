@@ -161,13 +161,23 @@ def balanced_sample(
                     cut.append((g, b, n_per_group - cum))
                 break
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    whole_df = spark.createDataFrame(
-        keep_whole or [(None, None)], f"{group_col} string, __bucket string"
+    gtype = df.schema[group_col].dataType  # groups need not be strings
+    whole_schema = StructType(
+        [StructField(group_col, gtype), StructField("__bucket", StringType())]
     )
+    whole_df = spark.createDataFrame(keep_whole, whole_schema)
     kept = keyed.join(F.broadcast(whole_df), [group_col, "__bucket"], "leftsemi")
     if cut:
-        cut_df = spark.createDataFrame(cut, f"{group_col} string, __bucket string, __residual long")
+        cut_schema = StructType(
+            [
+                StructField(group_col, gtype),
+                StructField("__bucket", StringType()),
+                StructField("__residual", LongType()),
+            ]
+        )
+        cut_df = spark.createDataFrame(cut, cut_schema)
         w = Window.partitionBy(group_col, "__bucket").orderBy("__bkey")
         residual = (
             keyed.join(F.broadcast(cut_df), [group_col, "__bucket"], "inner")

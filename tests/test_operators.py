@@ -996,3 +996,31 @@ def test_balanced_sample_matches_naive_window(spark):
         .collect()
     }
     assert got == want and len(got) == 21
+
+
+def test_incremental_lsh_index_finds_planted_near_dup(spark, tmp_path):
+    """A new doc nearly identical to an indexed doc is found; an
+    unrelated new doc pairs with nothing; the bucket-cap predicate is
+    pushed into the postings scan (no corpus-side bucket-count job at
+    query time)."""
+    from ip_filter_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    base = "spark merge window table scan filter join group sort hash value batch"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely " * 3)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, base + " extra"), (101, "nothing shared here at all whatsoever")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(old, "doc_id", "text", idx, num_perm=64, bands=16)
+    res = query_lsh_index(
+        spark, idx, new, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    )
+    rows = res.collect()
+    assert {(r.new_id, r.old_id) for r in rows} == {(100, 1)}
+    assert all(r.est_jaccard >= 0.5 for r in rows)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "n_in_bucket" in plan.split("Scan parquet")[1][:2000]  # filter reaches the scan

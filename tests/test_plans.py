@@ -559,3 +559,33 @@ def test_pivot_explicit_values_single_aggregate(spark):
     assert "Expand" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dup_ngram_spans_plans_as_take_ordered(spark):
+    """The top-k duplicated spans must come out via TakeOrderedAndProject
+    (bounded driver result), never a global sort of the span table."""
+    from ip_filter_spark.queries import dup_ngram_spans_docs
+
+    plan = _plan(dup_ngram_spans_docs(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_balanced_sample_avoids_full_corpus_window(spark):
+    """balanced_sample's whole-bucket keep must be a broadcast semi-join
+    and its residual window must run over the FILTERED cut buckets only —
+    the full corpus never passes through a window operator."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.sampling import balanced_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = F.sha2(F.concat_ws(":", "text", "doc_id"), 256)
+    out = balanced_sample(df, "source", key, n_per_group=10)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # any Window node must sit above a bucket-filter join, not the raw scan:
+    # the naive form (window over the whole corpus) has a Window whose child
+    # subtree contains no join at all.
+    if "Window" in plan:
+        window_tail = plan[plan.index("Window"):]
+        assert "BroadcastHashJoin" in window_tail, plan
