@@ -5075,6 +5075,77 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def stream_ddsketch_quantiles(spark, sf_dir):
+    """Streaming quantiles: an availableNow stream over orders maintains
+    DDSketch partials in the batch-id-keyed idempotent store; because
+    DDSketch merge is EXACT (linear bucket addition), the stream-merged
+    sketch is bucket-identical to a single-pass batch build, so the
+    deterministic value-relative guarantee survives incremental
+    maintenance verbatim. Gate: every row ingested exactly once, >1
+    micro-batch actually processed, and each quantile estimate within
+    1.05*alpha of the exact batch quantile (same fencepost as the SQL
+    twin)."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.engine import SketchSpec
+    from ip_filter_spark.operators.quantiles import exact_quantiles
+    from ip_filter_spark.streaming import merged_sketches_from_store, stream_sketch_build
+
+    ALPHA = 0.01
+    batch = _t(spark, sf_dir, "orders").withColumn(
+        "v", F.col("o_totalprice").cast("double")
+    )
+    work = tempfile.mkdtemp(prefix="ifs_stream_dd_")
+    try:
+        src = f"{work}/src"
+        batch.repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+        spec = SketchSpec("ddsketch", {"alpha": ALPHA}, on="value")
+        q = stream_sketch_build(
+            stream, [spec], store_dir=f"{work}/store", checkpoint_dir=f"{work}/ckpt",
+            value="v",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300 s")
+        store = spark.read.parquet(f"{work}/store")
+        n_batches = store.select("batch_id").distinct().count()
+        sk = merged_sketches_from_store(spark, f"{work}/store", [spec])[spec.key()]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    n_rows = batch.count()
+    est = dict(zip([float(x) for x in QS], (float(v) for v in sk.quantile(QS))))
+    exact = exact_quantiles(batch, "v", QS)
+    est_col = F.lit(None).cast("double")
+    for qq, v in est.items():
+        est_col = F.when(F.col("q") == qq, F.lit(v)).otherwise(est_col)
+    return exact.select(
+        "q",
+        F.col("value").alias("exact_value"),
+        (F.abs(est_col - F.col("value")) <= F.lit(ALPHA * 1.05) * F.abs(F.col("value"))).alias(
+            "within_rel_bound"
+        ),
+        F.lit(n_batches > 1).alias("multi_batch"),
+        F.lit(sk.n_items == n_rows).alias("ingested_once"),
+    ).orderBy("q")
+
+
+STREAM_DDSKETCH_SQL = f"""
+WITH sorted AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn
+  FROM orders),
+n AS (SELECT COUNT(*) AS c FROM orders),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QS)})
+SELECT CAST(q AS DOUBLE) AS q, value AS exact_value, TRUE AS within_rel_bound,
+       TRUE AS multi_batch, TRUE AS ingested_once
+FROM qs, n JOIN sorted ON sorted.rn = CAST(FLOOR((n.c - 1) * qs.q) AS BIGINT) + 1
+ORDER BY q
+"""
+
+
 def incremental_minhash_sql(
     num_perm: int = 64,
     bands: int = 16,
@@ -5288,6 +5359,7 @@ QUERIES = {
     "incremental_near_dup_docs": incremental_near_dup_docs,
     "percentile_cont_events": percentile_cont_events,
     "unpivot_order_stats": unpivot_order_stats,
+    "stream_ddsketch_quantiles": stream_ddsketch_quantiles,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5426,6 +5498,7 @@ ORACLES = {
     "incremental_near_dup_docs": incremental_minhash_sql(num_perm=64, bands=16, threshold=0.5),
     "percentile_cont_events": PERCENTILE_CONT_SQL,
     "unpivot_order_stats": UNPIVOT_ORDER_SQL,
+    "stream_ddsketch_quantiles": STREAM_DDSKETCH_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
