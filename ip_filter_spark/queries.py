@@ -5075,6 +5075,65 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def analyze_lineitem_stats(spark, sf_dir):
+    """ANALYZE-style statistics collection — the per-column profile an
+    optimizer keeps (row count, null count, exact NDV, min/max): one
+    single-pass aggregate over lineitem computes all four numeric
+    columns' stats, then ``stack`` reshapes the one wide row to a
+    (col_name, stats...) long form — no second scan, no per-column jobs.
+    Min/max surface as exact integer cents so the row is
+    hash-comparable."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_null"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+            F.round(F.min(c) * 100).cast("long").alias(f"{c}_min"),
+            F.round(F.max(c) * 100).cast("long").alias(f"{c}_max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_null, {c}_ndv, {c}_min, {c}_max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_cents, max_cents)",
+    )
+
+
+ANALYZE_LINEITEM_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_null,
+         COUNT(DISTINCT l_quantity) AS q_ndv,
+         CAST(ROUND(MIN(l_quantity) * 100) AS BIGINT) AS q_min,
+         CAST(ROUND(MAX(l_quantity) * 100) AS BIGINT) AS q_max,
+         SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_null,
+         COUNT(DISTINCT l_extendedprice) AS p_ndv,
+         CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS p_min,
+         CAST(ROUND(MAX(l_extendedprice) * 100) AS BIGINT) AS p_max,
+         SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_null,
+         COUNT(DISTINCT l_discount) AS d_ndv,
+         CAST(ROUND(MIN(l_discount) * 100) AS BIGINT) AS d_min,
+         CAST(ROUND(MAX(l_discount) * 100) AS BIGINT) AS d_max,
+         SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_null,
+         COUNT(DISTINCT l_tax) AS t_ndv,
+         CAST(ROUND(MIN(l_tax) * 100) AS BIGINT) AS t_min,
+         CAST(ROUND(MAX(l_tax) * 100) AS BIGINT) AS t_max
+  FROM lineitem)
+SELECT n_rows, 'l_quantity' AS col_name, CAST(q_null AS BIGINT) AS n_null,
+       q_ndv AS n_distinct, q_min AS min_cents, q_max AS max_cents FROM a
+UNION ALL
+SELECT n_rows, 'l_extendedprice', CAST(p_null AS BIGINT), p_ndv, p_min, p_max FROM a
+UNION ALL
+SELECT n_rows, 'l_discount', CAST(d_null AS BIGINT), d_ndv, d_min, d_max FROM a
+UNION ALL
+SELECT n_rows, 'l_tax', CAST(t_null AS BIGINT), t_ndv, t_min, t_max FROM a
+"""
+
+
 def stream_ddsketch_quantiles(spark, sf_dir):
     """Streaming quantiles: an availableNow stream over orders maintains
     DDSketch partials in the batch-id-keyed idempotent store; because
@@ -5360,6 +5419,7 @@ QUERIES = {
     "percentile_cont_events": percentile_cont_events,
     "unpivot_order_stats": unpivot_order_stats,
     "stream_ddsketch_quantiles": stream_ddsketch_quantiles,
+    "analyze_lineitem_stats": analyze_lineitem_stats,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5499,6 +5559,7 @@ ORACLES = {
     "percentile_cont_events": PERCENTILE_CONT_SQL,
     "unpivot_order_stats": UNPIVOT_ORDER_SQL,
     "stream_ddsketch_quantiles": STREAM_DDSKETCH_SQL,
+    "analyze_lineitem_stats": ANALYZE_LINEITEM_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
