@@ -134,6 +134,11 @@ def balanced_sample(
     The result is EXACTLY the same set the naive window selects
     (lexicographic hash order is total when ``key_expr`` is unique), so
     a plain-SQL oracle can verify it with the naive form.
+
+    Regime: built for FEW, LARGE groups (training-mix sources/languages
+    — the histogram to the driver is |groups| * 16^probe_chars rows).
+    For many small groups the naive window is already parallel and
+    cheap — use ``deterministic_group_sample`` (WindowGroupLimit) there.
     """
     spark = df.sparkSession
     if n_per_group is None:
