@@ -106,3 +106,32 @@ def test_misra_gries_bound_any_stream_any_split(data, cap, cut):
     for key, c in true.items():
         if c > n / (cap + 1):
             assert key in kept
+
+
+@FAST
+@given(n=st.integers(1, 20_000), parts=st.integers(1, 6), seed=st.integers(0, 2**31))
+def test_ddsketch_merge_order_independent_and_bounded(n, parts, seed):
+    """DDSketch is a linear sketch: any split/merge order yields the
+    SAME bucket counts as the bulk build, and every quantile estimate
+    stays within the relative bound of the true quantile (no collapse
+    at these sizes)."""
+    from ip_filter_spark.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(seed)
+    vals = rng.lognormal(3, 2, n) * rng.choice([-1.0, 1.0], n)
+    whole = DDSketch(alpha=0.02).update_values(vals)
+    chunks = np.array_split(vals, parts)
+    fwd = DDSketch(alpha=0.02)
+    for c in chunks:
+        fwd.merge(DDSketch(alpha=0.02).update_values(c))
+    rev = DDSketch(alpha=0.02)
+    for c in reversed(chunks):
+        rev.merge(DDSketch(alpha=0.02).update_values(c))
+    assert fwd.pos == whole.pos == rev.pos
+    assert fwd.neg == whole.neg == rev.neg
+    assert fwd.zero == whole.zero == rev.zero
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        exact = srt[int(np.floor((n - 1) * q))]
+        est = float(whole.quantile(q)[0])
+        assert abs(est - exact) <= 0.0202 * abs(exact) + 1e-12
