@@ -5075,6 +5075,56 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def intersect_except_user_days(spark, sf_dir):
+    """ANSI set OPERATORS (not just set semantics): (user, day) activity
+    tuples of click-events INTERSECT ALL / EXCEPT ALL purchase-events —
+    multiset semantics, so duplicate activity tuples survive with
+    min/difference multiplicities (Spark plans these as specialized
+    aggregates, a physical shape no other gate exercises). Output:
+    per-day tuple counts from both operators, full-value."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), day.alias("day")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), day.alias("day")
+    )
+    both = clicks.intersectAll(purchases).groupBy("day").agg(
+        F.count("*").alias("n_intersect_all")
+    )
+    only = clicks.exceptAll(purchases).groupBy("day").agg(
+        F.count("*").alias("n_except_all")
+    )
+    return both.join(only, "day", "full").select(
+        "day",
+        F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+    )
+
+
+INTERSECT_EXCEPT_SQL = """
+WITH clicks AS (
+  SELECT user_id AS u, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id AS u, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE event_type = 'purchase'),
+both_t AS (
+  SELECT day, COUNT(*) AS n_intersect_all
+  FROM (SELECT * FROM clicks INTERSECT ALL SELECT * FROM purchases)
+  GROUP BY day),
+only_t AS (
+  SELECT day, COUNT(*) AS n_except_all
+  FROM (SELECT * FROM clicks EXCEPT ALL SELECT * FROM purchases)
+  GROUP BY day)
+SELECT COALESCE(b.day, o.day) AS day,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(n_except_all, 0) AS n_except_all
+FROM both_t b FULL OUTER JOIN only_t o ON b.day = o.day
+"""
+
+
 def analyze_lineitem_stats(spark, sf_dir):
     """ANALYZE-style statistics collection — the per-column profile an
     optimizer keeps (row count, null count, exact NDV, min/max): one
@@ -5420,6 +5470,7 @@ QUERIES = {
     "unpivot_order_stats": unpivot_order_stats,
     "stream_ddsketch_quantiles": stream_ddsketch_quantiles,
     "analyze_lineitem_stats": analyze_lineitem_stats,
+    "intersect_except_user_days": intersect_except_user_days,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5560,6 +5611,7 @@ ORACLES = {
     "unpivot_order_stats": UNPIVOT_ORDER_SQL,
     "stream_ddsketch_quantiles": STREAM_DDSKETCH_SQL,
     "analyze_lineitem_stats": ANALYZE_LINEITEM_SQL,
+    "intersect_except_user_days": INTERSECT_EXCEPT_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
