@@ -5075,6 +5075,43 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def wow_change_events(spark, sf_dir):
+    """Period-over-period reporting: weekly event counts per type with
+    the previous week's count and the integer delta (LAG over an
+    aggregated series — the window runs over the TINY weeks x types
+    dimension, after the one heavy groupBy collapses map-side).
+    date_trunc('week') is ISO-Monday in both engines; weeks surface as
+    date strings and deltas as exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date").cast("string")
+    weekly = ev.groupBy(F.col("event_type"), week.alias("week")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_week_events"),
+        (F.col("n_events") - F.coalesce(F.lag("n_events").over(w), F.lit(0))).alias(
+            "delta"
+        ),
+    )
+
+
+WOW_CHANGE_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, week, n_events,
+       LAG(n_events) OVER w AS prev_week_events,
+       n_events - COALESCE(LAG(n_events) OVER w, 0) AS delta
+FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def intersect_except_user_days(spark, sf_dir):
     """ANSI set OPERATORS (not just set semantics): (user, day) activity
     tuples of click-events INTERSECT ALL / EXCEPT ALL purchase-events —
@@ -5471,6 +5508,7 @@ QUERIES = {
     "stream_ddsketch_quantiles": stream_ddsketch_quantiles,
     "analyze_lineitem_stats": analyze_lineitem_stats,
     "intersect_except_user_days": intersect_except_user_days,
+    "wow_change_events": wow_change_events,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5612,6 +5650,7 @@ ORACLES = {
     "stream_ddsketch_quantiles": STREAM_DDSKETCH_SQL,
     "analyze_lineitem_stats": ANALYZE_LINEITEM_SQL,
     "intersect_except_user_days": INTERSECT_EXCEPT_SQL,
+    "wow_change_events": WOW_CHANGE_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
