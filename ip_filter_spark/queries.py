@@ -26,6 +26,7 @@ from ip_filter_spark.functions.text import (
     MOD,
     fingerprint_expr,
     lang_id_expr,
+    ngrams_expr,
     token_count_expr,
     tokens_expr,
 )
@@ -5075,6 +5076,63 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def curation_pipeline_v2_docs(spark, sf_dir):
+    """End-to-end curation composing the round-4 operators: (1) drop
+    every document that shares a 4-token exact substring with ANOTHER
+    document (ExactSubstr dedup at the doc level — the span table
+    groups once on sha, flagged doc-ids come back as one broadcastable
+    set); (2) balance the survivors to <= 8 docs per source by
+    content-hash order (the two-phase histogram sampler); (3) report
+    per-source kept counts + chars. One span shuffle + one broadcast
+    semi-join + the sampler's broadcast joins — the corpus text itself
+    is never shuffled."""
+    from ip_filter_spark.sources.sampling import balanced_sample
+
+    d = _t(spark, sf_dir, "documents")
+    spans = d.select(
+        F.col("doc_id"), F.explode(ngrams_expr(F.col("text"), 4)).alias("span")
+    ).select("doc_id", F.sha2(F.col("span"), 256).alias("span_sha"))
+    cross_doc = (
+        spans.groupBy("span_sha")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    flagged = (
+        spans.join(cross_doc, "span_sha", "leftsemi").select("doc_id").distinct()
+    )
+    clean = d.join(flagged, "doc_id", "left_anti")
+    key = F.sha2(F.concat_ws(":", F.col("text"), F.col("doc_id")), 256)
+    kept = balanced_sample(clean, "source", key, n_per_group=8)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+CURATION_V2_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+spans AS (
+  SELECT doc_id,
+         sha256(unnest(list_transform(range(1, len(t) - 2),
+                s -> array_to_string(t[s:s+3], ' ')))) AS span_sha
+  FROM toks WHERE len(t) >= 4),
+cross_doc AS (
+  SELECT span_sha FROM spans GROUP BY span_sha
+  HAVING COUNT(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT DISTINCT doc_id FROM spans JOIN cross_doc USING (span_sha)),
+clean AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY sha256(concat(text, ':', CAST(doc_id AS VARCHAR)))) AS rn
+  FROM clean)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rn <= 8 GROUP BY source
+"""
+
+
 def wow_change_events(spark, sf_dir):
     """Period-over-period reporting: weekly event counts per type with
     the previous week's count and the integer delta (LAG over an
@@ -5509,6 +5567,7 @@ QUERIES = {
     "analyze_lineitem_stats": analyze_lineitem_stats,
     "intersect_except_user_days": intersect_except_user_days,
     "wow_change_events": wow_change_events,
+    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5651,6 +5710,7 @@ ORACLES = {
     "analyze_lineitem_stats": ANALYZE_LINEITEM_SQL,
     "intersect_except_user_days": INTERSECT_EXCEPT_SQL,
     "wow_change_events": WOW_CHANGE_SQL,
+    "curation_pipeline_v2_docs": CURATION_V2_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
