@@ -5076,6 +5076,28 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def user_event_type_sets(spark, sf_dir):
+    """Set-valued aggregation surface: per-user DISTINCT event-type set.
+    ``collect_set`` returns in arbitrary (partition-dependent) order, so
+    the gate pins the determinism discipline: ``array_sort`` before
+    ``array_join`` — the sorted-CSV form is stable across engines,
+    partitionings, and cluster sizes. One groupBy; the set is bounded by
+    |event types|."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+USER_EVENT_TYPE_SETS_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def curation_pipeline_v2_docs(spark, sf_dir):
     """End-to-end curation composing the round-4 operators: (1) drop
     every document that shares a 4-token exact substring with ANOTHER
@@ -5568,6 +5590,7 @@ QUERIES = {
     "intersect_except_user_days": intersect_except_user_days,
     "wow_change_events": wow_change_events,
     "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
+    "user_event_type_sets": user_event_type_sets,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5711,6 +5734,7 @@ ORACLES = {
     "intersect_except_user_days": INTERSECT_EXCEPT_SQL,
     "wow_change_events": WOW_CHANGE_SQL,
     "curation_pipeline_v2_docs": CURATION_V2_SQL,
+    "user_event_type_sets": USER_EVENT_TYPE_SETS_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
