@@ -5462,6 +5462,102 @@ def incremental_near_dup_docs(spark, sf_dir):
     )
 
 
+def stream_incremental_near_dup(spark, sf_dir):
+    """Continuous-ingest dedup: the NEW half of the corpus arrives as an
+    availableNow stream (maxFilesPerTrigger=1 → real micro-batches);
+    each batch runs ``query_lsh_index`` against the PERSISTED old-corpus
+    index and lands its pairs in a batch-id-keyed idempotent store. The
+    final union of per-batch pairs must equal the one-shot batch answer
+    EXACTLY — proven with a bounded verdict the oracle recomputes from
+    the full SQL replay: pair count + two order-insensitive integer
+    checksums (ids, and est_jaccard in millionths — every estimate is
+    k/64, dyadic, so the decimal form is exact in both engines). No
+    full-output driver collect: the verdict aggregates in Spark."""
+    _ensure_shipped(spark)
+    import re as _re
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 4 != 0)
+    new = d.where(F.col("doc_id") % 4 == 0)
+    n_new = new.count()
+    idx = os.path.join(
+        tempfile.gettempdir(), "ifs_lsh_sidx_" + _re.sub(r"\W", "_", sf_dir)
+    )
+    build_lsh_index(old, "doc_id", "text", idx, num_perm=64, bands=16)
+    work = tempfile.mkdtemp(prefix="ifs_stream_lsh_")
+    try:
+        src = f"{work}/src"
+        new.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(new.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def handle(batch_df, batch_id):
+            pairs = query_lsh_index(
+                spark, idx, batch_df, "doc_id", "text",
+                num_perm=64, bands=16, threshold=0.5,
+            )
+            pairs.write.mode("overwrite").parquet(f"{work}/store/batch={batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow LSH stream did not finish in 300 s")
+        ingested = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        n_batches = sum(1 for p in (q.recentProgress or []) if p["numInputRows"])
+        verdict = (
+            spark.read.parquet(f"{work}/store")
+            .select("new_id", "old_id", "est_jaccard")
+            .distinct()
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.col("new_id") * 1000003 + F.col("old_id")), F.lit(0)
+                ).cast("long").alias("id_checksum"),
+                F.coalesce(
+                    F.sum((F.col("est_jaccard") * 1000000).cast("long")), F.lit(0)
+                ).cast("long").alias("est_checksum"),
+            )
+            .first()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(verdict["n_pairs"]),
+                int(verdict["id_checksum"]),
+                int(verdict["est_checksum"]),
+                bool(n_batches >= 2),
+                bool(ingested == n_new),
+            )
+        ],
+        "n_pairs long, id_checksum long, est_checksum long, multi_batch boolean, all_rows_ingested boolean",
+    )
+
+
+def stream_incremental_verdict_sql(**kw) -> str:
+    """Bounded-verdict wrapper over the full incremental replay."""
+    inner = incremental_minhash_sql(**kw)
+    return f"""
+WITH pairs AS ({inner})
+SELECT COUNT(*) AS n_pairs,
+       CAST(COALESCE(SUM(new_id * 1000003 + old_id), 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(SUM(CAST(est_jaccard * 1000000 AS BIGINT)), 0) AS BIGINT) AS est_checksum,
+       TRUE AS multi_batch, TRUE AS all_rows_ingested
+FROM pairs
+"""
+
+
 def sql_udaf_order_value_medians(spark, sf_dir):
     """DDSketch exposed through the SQL UDAF surface (the VALUE-relative
     member of the quantile algebra, completing the per-sketch SQL parity
@@ -5591,6 +5687,7 @@ QUERIES = {
     "wow_change_events": wow_change_events,
     "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     "user_event_type_sets": user_event_type_sets,
+    "stream_incremental_near_dup": stream_incremental_near_dup,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5735,6 +5832,7 @@ ORACLES = {
     "wow_change_events": WOW_CHANGE_SQL,
     "curation_pipeline_v2_docs": CURATION_V2_SQL,
     "user_event_type_sets": USER_EVENT_TYPE_SETS_SQL,
+    "stream_incremental_near_dup": stream_incremental_verdict_sql(num_perm=64, bands=16, threshold=0.5),
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
