@@ -5076,6 +5076,59 @@ SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
 """
 
 
+def multi_format_roundtrip_docs(spark, sf_dir):
+    """Source/sink format coverage beyond parquet: the documents table
+    (as stable typed columns + a content sha — raw text stays out of
+    CSV/JSON escaping territory by design) round-trips through JSON
+    lines, CSV and ORC; each format's read-back must aggregate to the
+    identical row count, char sum and content checksum as the parquet
+    original (the oracle side). Reads use EXPLICIT schemas — no
+    inference scan. The checksum folds the first 8 sha hex chars to an
+    integer, so any row corruption, loss or duplication shows."""
+    import shutil
+    import tempfile
+
+    cols = ["doc_id", "lang", "source", "n_chars", "sha"]
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", F.sha2("text", 256).alias("sha")
+    )
+    schema = "doc_id bigint, lang string, source string, n_chars bigint, sha string"
+    work = tempfile.mkdtemp(prefix="ifs_fmt_rt_")
+    rows = []
+    try:
+        for fmt in ("json", "csv", "orc"):
+            path = f"{work}/{fmt}"
+            w = base.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", True)
+            w.format(fmt).save(path)
+            r = spark.read.schema(schema)
+            if fmt == "csv":
+                r = r.option("header", True)
+            back = r.format(fmt).load(path).select(*cols)
+            agg = back.agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.sum(F.conv(F.substring("sha", 1, 8), 16, 10).cast("long")).alias("ck"),
+            ).first()
+            rows.append((fmt, int(agg["n"]), int(agg["chars"]), int(agg["ck"])))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "format string, n_docs long, sum_chars long, sha_checksum long"
+    )
+
+
+MULTI_FORMAT_RT_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT)) AS BIGINT) AS sha_checksum
+  FROM documents)
+SELECT f.format, n_docs, sum_chars, sha_checksum
+FROM agg, (VALUES ('json'), ('csv'), ('orc')) AS f(format)
+"""
+
+
 def user_event_type_sets(spark, sf_dir):
     """Set-valued aggregation surface: per-user DISTINCT event-type set.
     ``collect_set`` returns in arbitrary (partition-dependent) order, so
@@ -5688,6 +5741,7 @@ QUERIES = {
     "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     "user_event_type_sets": user_event_type_sets,
     "stream_incremental_near_dup": stream_incremental_near_dup,
+    "multi_format_roundtrip_docs": multi_format_roundtrip_docs,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5833,6 +5887,7 @@ ORACLES = {
     "curation_pipeline_v2_docs": CURATION_V2_SQL,
     "user_event_type_sets": USER_EVENT_TYPE_SETS_SQL,
     "stream_incremental_near_dup": stream_incremental_verdict_sql(num_perm=64, bands=16, threshold=0.5),
+    "multi_format_roundtrip_docs": MULTI_FORMAT_RT_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
