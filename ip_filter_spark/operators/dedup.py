@@ -669,6 +669,7 @@ def query_lsh_index(
     max_bucket: int = 200,
     hash_fn: str = "sha",
     seed: int = 11,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, est_jaccard) between a NEW batch
     and a persisted ``build_lsh_index`` corpus — the incremental twin of
@@ -688,7 +689,12 @@ def query_lsh_index(
     signature width at verify time by the zip_with arity)."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    new_sig = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_n, hash_fn, seed).cache()
+    new_sig = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_n, hash_fn, seed)
+    if cache:
+        # two downstream uses (band keys + verify join); callers invoking
+        # this repeatedly (per micro-batch) pass cache=False — cached
+        # blocks are never auto-unpersisted and would accumulate
+        new_sig = new_sig.cache()
     band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
     new_banded = new_sig.select(
         F.col("id").alias("new_id"), F.posexplode(band_keys).alias("band", "key")

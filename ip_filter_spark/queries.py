@@ -5552,7 +5552,7 @@ def stream_incremental_near_dup(spark, sf_dir):
         def handle(batch_df, batch_id):
             pairs = query_lsh_index(
                 spark, idx, batch_df, "doc_id", "text",
-                num_perm=64, bands=16, threshold=0.5,
+                num_perm=64, bands=16, threshold=0.5, cache=False,
             )
             pairs.write.mode("overwrite").parquet(f"{work}/store/batch={batch_id}")
 
