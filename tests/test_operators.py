@@ -1024,3 +1024,33 @@ def test_incremental_lsh_index_finds_planted_near_dup(spark, tmp_path):
     assert all(r.est_jaccard >= 0.5 for r in rows)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "n_in_bucket" in plan.split("Scan parquet")[1][:2000]  # filter reaches the scan
+
+
+def test_new_operators_handle_empty_and_degenerate_inputs(spark, tmp_path):
+    """Empty corpora and over-large budgets must not throw: span stats on
+    an empty table, balanced_sample asking for more rows than any group
+    has (keeps everything), and an LSH query with an empty new batch."""
+    from ip_filter_spark.operators.dedup import (
+        build_lsh_index,
+        duplicate_span_stats,
+        query_lsh_index,
+    )
+    from ip_filter_spark.sources.sampling import balanced_sample
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert duplicate_span_stats(empty, "text", "doc_id", window_tokens=4).count() == 0
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"text {i}") for i in range(6)], ["id", "grp", "text"]
+    )
+    key = F.sha2(F.concat_ws(":", "text", "id"), 256)
+    kept = balanced_sample(df, "grp", key, n_per_group=100)
+    assert kept.count() == 6  # budget exceeds every group: keep all
+
+    idx = str(tmp_path / "lsh_e")
+    build_lsh_index(df, "id", "text", idx, num_perm=64, bands=16)
+    empty_new = spark.createDataFrame([], "id bigint, text string")
+    assert (
+        query_lsh_index(spark, idx, empty_new, "id", "text", num_perm=64, bands=16).count()
+        == 0
+    )
