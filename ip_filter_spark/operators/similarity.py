@@ -445,3 +445,124 @@ def quantized_dot_topk(
         .where(F.col("rank") <= k)
         .select("rank", id_col, "qdot")
     )
+
+
+class PQCodebook:
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011): the
+    vector dimension splits into ``m`` subspaces; each subspace gets its
+    own ``k``-centroid codebook (distributed Lloyd — the IVF trainer's
+    pattern, but all m subspaces learn in the SAME passes). A vector
+    encodes as m small ints: m bytes instead of 4*dim float32 —
+    (4*dim/m)x compression, the memory regime that makes billion-vector
+    ANN fit a cluster's RAM.
+
+    Query scoring is Asymmetric Distance Computation (ADC): the query
+    precomputes an (m x k) lookup table of per-subspace partial dots;
+    each row's approximate dot is m table lookups summed. ``adc_score_
+    expr`` emits that as PURE Spark expressions — element_at over
+    literal arrays, whole-stage-codegen'd, no Python on the scan path.
+
+    Determinism: centroid seeds are the hash-smallest ids' subvectors
+    (no RNG), Lloyd updates are numpy partial sums — same corpus, same
+    codebooks, any partitioning.
+    """
+
+    def __init__(self, codebooks: np.ndarray):
+        self.C = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+        self.m, self.k, self.dsub = self.C.shape
+
+    @classmethod
+    def train(
+        cls,
+        emb: DataFrame,
+        m: int = 8,
+        k: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 3,
+    ) -> "PQCodebook":
+        src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        seeds = src.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(k).collect()
+        S = np.vstack([np.asarray(r.v, dtype=np.float64) for r in seeds])  # (k, dim)
+        dim = S.shape[1]
+        assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+        dsub = dim // m
+        C = S.reshape(k, m, dsub).transpose(1, 0, 2).copy()  # (m, k, dsub)
+        sc = emb.sparkSession.sparkContext
+        for _ in range(iters):
+            bc = sc.broadcast(C)
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                Cl = bc.value  # (m, k, dsub)
+                mm, kk, dd = Cl.shape
+                sums = np.zeros((mm, kk, dd), dtype=np.float64)
+                cnts = np.zeros((mm, kk), dtype=np.int64)
+                for b in batches:
+                    if not len(b):
+                        continue
+                    M = np.vstack(b["v"].to_numpy()).astype(np.float64)
+                    X = M.reshape(len(M), mm, dd)
+                    for s in range(mm):
+                        # L2 assignment: argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c)
+                        d2 = (Cl[s] ** 2).sum(1)[None, :] - 2.0 * (X[:, s, :] @ Cl[s].T)
+                        a = np.argmin(d2, axis=1)
+                        np.add.at(sums[s], a, X[:, s, :])
+                        np.add.at(cnts[s], a, 1)
+                yield pd.DataFrame(
+                    {
+                        "s": np.repeat(np.arange(mm), kk),
+                        "j": np.tile(np.arange(kk), mm),
+                        "vec": list(sums.reshape(mm * kk, dd)),
+                        "n": cnts.reshape(mm * kk),
+                    }
+                )
+
+            agg = (
+                src.select("v")
+                .mapInPandas(partials, schema="s int, j int, vec array<double>, n long")
+                .collect()
+            )
+            sums = np.zeros((m, k, dsub), dtype=np.float64)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for r in agg:
+                sums[r.s, r.j] += np.asarray(r.vec)
+                cnts[r.s, r.j] += r.n
+            nz = cnts > 0
+            C[nz] = sums[nz] / cnts[nz][:, None]
+        return cls(C)
+
+    def encode(self, emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """(id, codes array<int>[m]) — one Arrow pass."""
+        bc = emb.sparkSession.sparkContext.broadcast(self.C)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl = bc.value
+            mm, kk, dd = Cl.shape
+            for b in batches:
+                if not len(b):
+                    yield pd.DataFrame({"id": [], "codes": []})
+                    continue
+                M = np.vstack(b["v"].to_numpy()).astype(np.float64)
+                X = M.reshape(len(M), mm, dd)
+                codes = np.empty((len(M), mm), dtype=np.int32)
+                for s in range(mm):
+                    d2 = (Cl[s] ** 2).sum(1)[None, :] - 2.0 * (X[:, s, :] @ Cl[s].T)
+                    codes[:, s] = np.argmin(d2, axis=1)
+                yield pd.DataFrame({"id": b["id"].to_numpy(), "codes": list(codes)})
+
+        return emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).mapInPandas(assign, schema="id bigint, codes array<int>")
+
+    def adc_score_expr(self, query_vec) -> "F.Column":
+        """Approximate dot(query, x) from the codes column, as a pure
+        JVM expression: sum over subspaces of element_at(<literal k-float
+        array>, codes[s] + 1)."""
+        q = np.asarray(query_vec, dtype=np.float64).reshape(self.m, self.dsub)
+        score = F.lit(0.0)
+        for s in range(self.m):
+            lut = [float(q[s] @ self.C[s, j]) for j in range(self.k)]
+            score = score + F.element_at(
+                F.array(*[F.lit(v) for v in lut]), F.col("codes")[s] + 1
+            )
+        return score

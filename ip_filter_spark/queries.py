@@ -5515,6 +5515,77 @@ def incremental_near_dup_docs(spark, sf_dir):
     )
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) under the ANN
+    bound-column gate: 8x16 codebooks trained by the distributed
+    RNG-free Lloyd (operators/similarity.PQCodebook), vectors encoded to
+    8 ints (32x smaller than float32x64), candidates ranked by ADC —
+    pure element_at-over-literal-array JVM expressions, no Python on the
+    scan — then exact-cosine re-ranked. Vec 0 (the query itself) is
+    force-included in the candidate set like the IVF gate, so the exact
+    re-rank provably yields (0, 1.0) first; code-width/alphabet
+    invariants are checked in-query over EVERY row."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.similarity import PQCodebook, cosine_topk
+
+    M, K, TOPK, CAND = 8, 16, 10, 50
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q0 = _q0(spark, sf_dir)
+    pq = PQCodebook.train(emb, m=M, k=K, iters=3)
+    codes = pq.encode(emb, "vec_id", "embedding")
+    shape = codes.agg(
+        F.count("*").alias("n"),
+        F.min(F.size("codes")).alias("wmin"),
+        F.max(F.size("codes")).alias("wmax"),
+        F.max(F.array_max("codes")).alias("cmax"),
+        F.min(F.array_min("codes")).alias("cmin"),
+    ).first()
+    cands = (
+        codes.withColumn("adc", pq.adc_score_expr(q0))
+        .orderBy(F.desc("adc"), F.asc("id"))
+        .limit(CAND)
+        .select("id")
+        .union(spark.createDataFrame([(0,)], "id bigint"))
+        .distinct()
+    )
+    n_cand = cands.count()
+    cand_vecs = emb.join(
+        F.broadcast(cands.withColumnRenamed("id", "vec_id")), "vec_id", "leftsemi"
+    )
+    top = cosine_topk(cand_vecs, q0, TOPK, "vec_id", "embedding").collect()
+    cosines = [r.cosine for r in top]
+    return spark.createDataFrame(
+        [
+            (
+                int(top[0].vec_id),
+                float(top[0].cosine),
+                len(top),
+                bool(cosines == sorted(cosines, reverse=True)),
+                bool(all(c <= 1.0 + 1e-9 for c in cosines)),
+                bool(n_cand >= TOPK),
+                bool(
+                    shape["wmin"] == M
+                    and shape["wmax"] == M
+                    and 0 <= shape["cmin"]
+                    and shape["cmax"] < K
+                ),
+            )
+        ],
+        "top1_id long, top1_cosine double, k_returned int, cosines_sorted_desc boolean, "
+        "all_cosines_le_1 boolean, n_candidates_ge_k boolean, codes_shape_valid boolean",
+    )
+
+
+ANN_PQ_SQL = """
+SELECT CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine,
+       CAST(10 AS INTEGER) AS k_returned, TRUE AS cosines_sorted_desc,
+       TRUE AS all_cosines_le_1, TRUE AS n_candidates_ge_k,
+       TRUE AS codes_shape_valid
+"""
+
+
 def stream_incremental_near_dup(spark, sf_dir):
     """Continuous-ingest dedup: the NEW half of the corpus arrives as an
     availableNow stream (maxFilesPerTrigger=1 → real micro-batches);
@@ -5742,6 +5813,7 @@ QUERIES = {
     "user_event_type_sets": user_event_type_sets,
     "stream_incremental_near_dup": stream_incremental_near_dup,
     "multi_format_roundtrip_docs": multi_format_roundtrip_docs,
+    "ann_pq_topk": ann_pq_topk,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5888,6 +5960,7 @@ ORACLES = {
     "user_event_type_sets": USER_EVENT_TYPE_SETS_SQL,
     "stream_incremental_near_dup": stream_incremental_verdict_sql(num_perm=64, bands=16, threshold=0.5),
     "multi_format_roundtrip_docs": MULTI_FORMAT_RT_SQL,
+    "ann_pq_topk": ANN_PQ_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,

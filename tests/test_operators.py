@@ -1054,3 +1054,34 @@ def test_new_operators_handle_empty_and_degenerate_inputs(spark, tmp_path):
         query_lsh_index(spark, idx, empty_new, "id", "text", num_perm=64, bands=16).count()
         == 0
     )
+
+
+def test_pq_codebook_adc_tracks_exact_dot(spark):
+    """On clustered vectors, ADC top-1 for a cluster-member query is a
+    member of the same cluster; codebooks are deterministic (two trains
+    on the same data are identical); codes use the full declared shape."""
+    import numpy as np
+
+    from ip_filter_spark.operators.similarity import PQCodebook
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, 64))
+    vecs = [
+        (int(i), (centers[i % 4] + rng.normal(0, 0.05, 64)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    pq = PQCodebook.train(emb, m=8, k=16, iters=3)
+    pq2 = PQCodebook.train(emb, m=8, k=16, iters=3)
+    assert np.array_equal(pq.C, pq2.C)  # RNG-free determinism
+    codes = pq.encode(emb, "vec_id", "embedding")
+    q = vecs[0][1]  # cluster-0 member
+    top = (
+        codes.withColumn("adc", pq.adc_score_expr(q))
+        .orderBy(F.desc("adc"), F.asc("id"))
+        .limit(5)
+        .collect()
+    )
+    assert all(r.id % 4 == 0 for r in top)  # all top-ADC hits in cluster 0
+    first = codes.first()
+    assert len(first.codes) == 8 and all(0 <= c < 16 for c in first.codes)
