@@ -566,3 +566,92 @@ class PQCodebook:
                 F.array(*[F.lit(v) for v in lut]), F.col("codes")[s] + 1
             )
         return score
+
+
+class IVFPQIndex:
+    """IVF + PQ composed — the billion-vector architecture (FAISS's
+    IVFPQ, after Jégou et al. 2011): a coarse k-means quantizer routes
+    each vector to a partition (IVF), and inside the index only the m-int
+    PQ codes are stored. A query (a) probes nprobe coarse cells —
+    PARTITION-PRUNED parquet read, (b) ADC-scores the codes of those
+    cells only (pure JVM lookup expressions), (c) exact-re-ranks the
+    bounded candidate set against the raw vectors (broadcast semi-join;
+    the full-precision corpus is touched only for ~candidate rows).
+
+    Build is ONE fused Arrow pass per vector computing both the coarse
+    cell and the PQ codes — no build-time join. Deterministic: both
+    trainers are RNG-free.
+    """
+
+    def __init__(self, spark, path: str, centroids: np.ndarray, pq: "PQCodebook", id_col: str):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.pq = pq
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        path: str,
+        nlist: int = 16,
+        m: int = 8,
+        k: int = 16,
+        iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        spark = emb.sparkSession
+        centroids = IVFIndex.train_kmeans(emb, nlist, id_col, vec_col, iters)
+        pq = PQCodebook.train(emb, m, k, id_col, vec_col, iters)
+        bc_c = spark.sparkContext.broadcast(centroids)
+        bc_q = spark.sparkContext.broadcast(pq.C)
+
+        def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cc, Cq = bc_c.value, bc_q.value
+            mm, kk, dd = Cq.shape
+            for b in batches:
+                if not len(b):
+                    yield pd.DataFrame({"id": [], "cid": [], "codes": []})
+                    continue
+                M = np.vstack(b["v"].to_numpy()).astype(np.float64)
+                cid = _assign_cids(b["v"], Cc)
+                X = M.reshape(len(M), mm, dd)
+                codes = np.empty((len(M), mm), dtype=np.int32)
+                for s in range(mm):
+                    d2 = (Cq[s] ** 2).sum(1)[None, :] - 2.0 * (X[:, s, :] @ Cq[s].T)
+                    codes[:, s] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {"id": b["id"].to_numpy(), "cid": cid.astype("int32"), "codes": list(codes)}
+                )
+
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+            fused, schema="id bigint, cid int, codes array<int>"
+        ).write.mode("overwrite").partitionBy("cid").parquet(path)
+        return cls(spark, path, centroids, pq, id_col)
+
+    def topk(
+        self,
+        emb: DataFrame,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 4,
+        n_candidates: int = 50,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        cids = [int(c) for c in np.argsort(-(self.centroids @ qn))[:nprobe]]
+        cands = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("cid").isin(cids))
+            .withColumn("adc", self.pq.adc_score_expr(query_vec))
+            .orderBy(F.desc("adc"), F.asc("id"))
+            .limit(n_candidates)
+            .select("id")
+        )
+        cand_vecs = emb.join(
+            F.broadcast(cands.withColumnRenamed("id", self.id_col)), self.id_col, "leftsemi"
+        )
+        return cosine_topk(cand_vecs, query_vec, k, self.id_col, vec_col)

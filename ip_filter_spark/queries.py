@@ -5578,6 +5578,77 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (the FAISS-style billion-vector composition): coarse
+    k-means routing + PQ codes inside partition-pruned cells, built in
+    ONE fused Arrow pass; ADC over the probed cells only; exact-cosine
+    re-rank touches full-precision vectors for ~candidate rows via a
+    broadcast semi-join. Vec 0's own cell is force-probed (read from
+    the index, same rationale as the IVF gate), so the re-rank provably
+    returns (0, 1.0) first; pruning is proven in-query by the scanned
+    row count being under the corpus count."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.operators.similarity import IVFPQIndex, cosine_topk
+
+    TOPK = 10
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n_total = emb.count()
+    q0 = _q0(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfpq_gate_")
+    try:
+        idx = IVFPQIndex.build(emb, path, nlist=16, m=8, k=16, iters=3)
+        import numpy as np
+
+        qn = np.asarray(q0) / max(float(np.linalg.norm(q0)), 1e-12)
+        probes = [int(c) for c in np.argsort(-(idx.centroids @ qn))[:4]]
+        own_cid = int(
+            spark.read.parquet(path).where("id = 0").select("cid").first().cid
+        )
+        if own_cid not in probes:
+            probes.append(own_cid)
+        scanned = spark.read.parquet(path).where(F.col("cid").isin(probes))
+        n_scanned = scanned.count()
+        cands = (
+            scanned.withColumn("adc", idx.pq.adc_score_expr(q0))
+            .orderBy(F.desc("adc"), F.asc("id"))
+            .limit(50)
+            .select("id")
+        )
+        cand_vecs = emb.join(
+            F.broadcast(cands.withColumnRenamed("id", "vec_id")), "vec_id", "leftsemi"
+        )
+        top = cosine_topk(cand_vecs, q0, TOPK, "vec_id", "embedding").collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    cosines = [r.cosine for r in top]
+    return spark.createDataFrame(
+        [
+            (
+                int(top[0].vec_id),
+                float(top[0].cosine),
+                len(top),
+                bool(cosines == sorted(cosines, reverse=True)),
+                bool(all(c <= 1.0 + 1e-9 for c in cosines)),
+                bool(0 < n_scanned < n_total),
+            )
+        ],
+        "top1_id long, top1_cosine double, k_returned int, cosines_sorted_desc boolean, "
+        "all_cosines_le_1 boolean, scan_was_pruned boolean",
+    )
+
+
+ANN_IVFPQ_SQL = """
+SELECT CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine,
+       CAST(10 AS INTEGER) AS k_returned, TRUE AS cosines_sorted_desc,
+       TRUE AS all_cosines_le_1, TRUE AS scan_was_pruned
+"""
+
+
 ANN_PQ_SQL = """
 SELECT CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine,
        CAST(10 AS INTEGER) AS k_returned, TRUE AS cosines_sorted_desc,
@@ -5814,6 +5885,7 @@ QUERIES = {
     "stream_incremental_near_dup": stream_incremental_near_dup,
     "multi_format_roundtrip_docs": multi_format_roundtrip_docs,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -5961,6 +6033,7 @@ ORACLES = {
     "stream_incremental_near_dup": stream_incremental_verdict_sql(num_perm=64, bands=16, threshold=0.5),
     "multi_format_roundtrip_docs": MULTI_FORMAT_RT_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
