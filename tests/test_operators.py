@@ -1085,3 +1085,31 @@ def test_pq_codebook_adc_tracks_exact_dot(spark):
     assert all(r.id % 4 == 0 for r in top)  # all top-ADC hits in cluster 0
     first = codes.first()
     assert len(first.codes) == 8 and all(0 <= c < 16 for c in first.codes)
+
+
+def test_ivfpq_index_prunes_and_finds_cluster(spark, tmp_path):
+    """IVF-PQ on planted clusters: a member query's probed cells contain
+    its cluster, the pruned scan reads fewer rows than the corpus, and
+    the exact re-rank puts the query itself first."""
+    import numpy as np
+
+    from ip_filter_spark.operators.similarity import IVFPQIndex
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(0, 1, (4, 64))
+    vecs = [
+        (int(i), (centers[i % 4] + rng.normal(0, 0.05, 64)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    idx = IVFPQIndex.build(emb, path, nlist=8, m=8, k=16, iters=3)
+    q = vecs[0][1]
+    top = idx.topk(emb, q, k=5, nprobe=2).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    qn = np.asarray(q) / np.linalg.norm(q)
+    cids = [int(c) for c in np.argsort(-(idx.centroids @ qn))[:2]]
+    n_scanned = (
+        spark.read.parquet(path).where(F.col("cid").isin(cids)).count()
+    )
+    assert 0 < n_scanned < 200  # genuinely pruned
