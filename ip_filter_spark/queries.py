@@ -5515,6 +5515,59 @@ def incremental_near_dup_docs(spark, sf_dir):
     )
 
 
+def batch_cosine_topk_exact(spark, sf_dir):
+    """Multi-query exact ANN baseline — the SERVING shape (a batch of
+    query vectors, top-k each), not one-query-at-a-time: 10 queries
+    (vec_id < 10) broadcast against the corpus scan, cosine per pair,
+    top-3 per query via the grouped rank (WindowGroupLimit — map-side
+    partial top-k per query). Float discipline: both engines rank on
+    the ROUNDED (4 dp) cosine with an id tie-break, so last-ulp
+    differences between fold orders can neither flip ranks nor the
+    hash. At 100 TB the LSH/IVF/PQ tiers prune this cross product;
+    this gate is their exact oracle in batch form."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "neighbor_id",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("cv"))), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+BATCH_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+s AS (SELECT qid, neighbor_id,
+             ROUND(list_cosine_similarity(qv, cv), 4) AS cosine
+      FROM q, c),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM s)
+SELECT qid, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM r WHERE rn <= 3
+"""
+
+
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011) under the ANN
     bound-column gate: 8x16 codebooks trained by the distributed
@@ -5886,6 +5939,7 @@ QUERIES = {
     "multi_format_roundtrip_docs": multi_format_roundtrip_docs,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "batch_cosine_topk_exact": batch_cosine_topk_exact,
     "sql_udaf_order_value_medians": sql_udaf_order_value_medians,
     "native_approx_distinct_events": native_approx_distinct_events,
     "native_approx_quantiles_events": native_approx_quantiles_events,
@@ -6034,6 +6088,7 @@ ORACLES = {
     "multi_format_roundtrip_docs": MULTI_FORMAT_RT_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
+    "batch_cosine_topk_exact": BATCH_COSINE_SQL,
     "sql_udaf_order_value_medians": SQL_UDAF_ORDER_VALUE_SQL,
     "native_approx_distinct_events": NATIVE_APPROX_DISTINCT_SQL,
     "native_approx_quantiles_events": NATIVE_APPROX_QUANTILES_SQL,
