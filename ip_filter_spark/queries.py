@@ -5921,10 +5921,204 @@ FROM qs, n ORDER BY q
 """
 
 
+def pagerank_customer_supplier(spark, sf_dir):
+    """Iterative graph analytics under the gate: 3-iteration INTEGER
+    PageRank over the symmetrized customer–supplier bipartite graph
+    (an edge when a customer's order contains the supplier's line).
+    All arithmetic is BIGINT micro-units with floor division
+    (``operators/graph.py``), so the fixed point is bit-identical in
+    any engine / partitioning / summation order — the oracle is the
+    same recurrence unrolled as three chained CTEs. Per iteration the
+    only edge-sized shuffle is edges ⋈ shares + groupBy(dst); rank
+    state is O(|V|) and never leaves the cluster. Output: top-20 nodes
+    by (rank desc, node)."""
+    from ip_filter_spark.operators.graph import pagerank_integer
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat_ws("", F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat_ws("", F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, iterations=3)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.col("rank").alias("rank_micros"))
+    )
+
+
+def _pagerank_sql() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    steps = []
+    for i in range(3):
+        steps.append(f""",
+r{i + 1} AS (
+  SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.pr // d.out_deg) AS BIGINT) AS s
+    FROM edges e JOIN r{i} r ON e.src = r.node
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON n.node = c.dst)""")
+    tail = """
+SELECT node, pr AS rank_micros FROM r3 ORDER BY pr DESC, node LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+def unigram_commonness_docs(spark, sf_dir):
+    """Quality-filter proxy for training-data curation: per-doc token
+    "commonness" — the sum of corpus-wide frequencies of the doc's
+    tokens, length-normalized to an exact integer per-mille
+    ((1000·Σfreq) div n_tokens). Low scores flag rare-token / noisy
+    docs; the ranking is pure integers so it hash-matches the oracle
+    (no log-prob floats). Plan: one token explode feeding BOTH the
+    frequency groupBy and (re-joined on the token key) the per-doc
+    aggregate — the vocabulary side of the join is a groupBy output,
+    tiny after map-side partial aggregation even at 100 TB. Output:
+    top-5 docs per language by commonness."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("f"))
+    scored = (
+        toks.join(freq, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("f").alias("sum_freq"), F.count("*").alias("n_tokens"))
+        .withColumn("commonness_milli", F.expr("(1000 * sum_freq) div n_tokens"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("commonness_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "lang",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            "commonness_milli",
+        )
+    )
+
+
+UNIGRAM_COMMONNESS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(SUM(f.f) AS BIGINT) AS sum_freq,
+         COUNT(*) AS n_tokens
+  FROM tok t JOIN freq f USING (w)
+  GROUP BY t.doc_id, t.lang),
+ranked AS (
+  SELECT *, (1000 * sum_freq) // n_tokens AS commonness_milli FROM scored),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY commonness_milli DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_tokens, sum_freq,
+       commonness_milli
+FROM top WHERE rank <= 5
+"""
+
+
+def top_bigrams_corpus(spark, sf_dir):
+    """Corpus-wide n-gram vocabulary mining (the exact companion to the
+    CMS heavy-hitter sketches): token bigrams generated INSIDE the row
+    with a codegen'd transform (sequence+slice — zero joins, zero extra
+    shuffles before the one aggregate), exploded, counted, top-20 by
+    (count desc, bigram). The aggregate's map-side partial combine is
+    what makes this viable at 100 TB: the reducer sees vocabulary-sized
+    data, not corpus-sized."""
+    d = _t(spark, sf_dir, "documents")
+    big = d.select(F.explode(ngrams_expr("text", 2)).alias("bigram"))
+    return (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TOP_BIGRAMS_SQL = f"""
+WITH big AS (
+  SELECT unnest(CASE WHEN len({_SQL_TOKENS}) >= 2
+    THEN list_transform(range(1, len({_SQL_TOKENS})),
+         i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + 1), ' '))
+    ELSE [] END) AS bigram
+  FROM documents)
+SELECT bigram, COUNT(*) AS n FROM big
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def ntile_user_activity(spark, sf_dir):
+    """Equal-frequency user segmentation: NTILE(10) deciles over
+    per-user event counts (total order: count desc, user_id — NTILE's
+    larger-buckets-first semantics is identical in both engines only
+    under a total order). Returns per-decile population and exact
+    activity bounds; the window runs over the already-aggregated
+    user dimension, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("decile")
+    )
+
+
+NTILE_USER_ACTIVITY_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+deciled AS (
+  SELECT *, NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+  FROM per_user)
+SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS sum_events,
+       MIN(n_events) AS min_events, MAX(n_events) AS max_events
+FROM deciled GROUP BY decile ORDER BY decile
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "pagerank_customer_supplier": pagerank_customer_supplier,
+    "unigram_commonness_docs": unigram_commonness_docs,
+    "top_bigrams_corpus": top_bigrams_corpus,
+    "ntile_user_activity": ntile_user_activity,
     "dup_ngram_spans_docs": dup_ngram_spans_docs,
     "incremental_near_dup_docs": incremental_near_dup_docs,
     "percentile_cont_events": percentile_cont_events,
@@ -6074,6 +6268,10 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "pagerank_customer_supplier": PAGERANK_SQL,
+    "unigram_commonness_docs": UNIGRAM_COMMONNESS_SQL,
+    "top_bigrams_corpus": TOP_BIGRAMS_SQL,
+    "ntile_user_activity": NTILE_USER_ACTIVITY_SQL,
     "dup_ngram_spans_docs": DUP_NGRAM_SPANS_SQL,
     "incremental_near_dup_docs": incremental_minhash_sql(num_perm=64, bands=16, threshold=0.5),
     "percentile_cont_events": PERCENTILE_CONT_SQL,

@@ -1113,3 +1113,59 @@ def test_ivfpq_index_prunes_and_finds_cluster(spark, tmp_path):
         spark.read.parquet(path).where(F.col("cid").isin(cids)).count()
     )
     assert 0 < n_scanned < 200  # genuinely pruned
+
+
+def test_pagerank_integer_exact_fixed_point(spark):
+    """Integer PageRank on a hand-checkable star graph matches the
+    recurrence computed independently in pure Python, bit for bit, and
+    the checkpoint_every path returns the identical result."""
+    from ip_filter_spark.operators.graph import pagerank_integer
+
+    # star: hub h <-> leaves a,b,c (symmetrized)
+    pairs = [("h", x) for x in "abc"] + [(x, "h") for x in "abc"]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+
+    # independent reference: same recurrence in plain dict arithmetic
+    out = {"h": 3, "a": 1, "b": 1, "c": 1}
+    rank = {v: 1_000_000 for v in "habc"}
+    for _ in range(3):
+        share = {v: rank[v] // out[v] for v in rank}
+        contrib = {"h": share["a"] + share["b"] + share["c"]}
+        for x in "abc":
+            contrib[x] = share["h"]
+        rank = {v: 150_000 + (85 * contrib[v]) // 100 for v in rank}
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iterations=3).collect()
+    }
+    assert got == rank
+    # symmetric leaves must tie exactly; hub strictly dominates
+    assert got["a"] == got["b"] == got["c"] < got["h"]
+
+    ckpt = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iterations=3, checkpoint_every=1).collect()
+    }
+    assert ckpt == rank
+
+
+def test_pagerank_integer_dangling_and_sink(spark):
+    """A directed chain with a sink: the sink receives but never emits
+    (out-degree 0 -> contributes nothing), and a 4-iteration run stays
+    deterministic across repartitionings."""
+    from ip_filter_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_integer(edges, iterations=4).collect()}
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges.repartition(7), iterations=4).collect()
+    }
+    assert r1 == r2
+    # 'a' has no in-edges: fixed at base after iteration 1
+    assert r1["a"] == 150_000
+    # sink 'c' accumulates from both a and b
+    assert r1["c"] > r1["b"] > r1["a"]
