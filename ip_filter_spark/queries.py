@@ -6111,10 +6111,283 @@ FROM deciled GROUP BY decile ORDER BY decile
 """
 
 
+def phrase_search_docs(spark, sf_dir):
+    """Positional phrase search — the inverted-index upgrade the
+    keyword gate can't express: find every document containing the
+    corpus's probe phrase (the first 3 tokens of the lowest doc_id) at
+    CONSECUTIVE positions. The plan filters the positional postings to
+    the 3 phrase terms FIRST (predicate pushed to the scan side of the
+    explode), so the self-joins run over term-frequency-sized inputs,
+    not corpus-sized — at 100 TB the join sides are |postings(w)|, the
+    same asymptotics as a real positional index. Output: bounded hit
+    stats (count / min / max / sum of matching doc_ids)."""
+    d = _t(spark, sf_dir, "documents")
+    probe = (
+        d.orderBy("doc_id")
+        .select(F.slice(tokens_expr("text"), 1, 3).alias("p"))
+        .first()["p"]
+    )
+    w1, w2, w3 = probe[0], probe[1], probe[2]
+    toks = d.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "w")
+    )
+    t1 = toks.where(F.col("w") == w1).select("doc_id", F.col("pos").alias("p1"))
+    t2 = toks.where(F.col("w") == w2).select("doc_id", F.col("pos").alias("p2"))
+    t3 = toks.where(F.col("w") == w3).select("doc_id", F.col("pos").alias("p3"))
+    hits = (
+        t1.join(t2, "doc_id")
+        .where(F.col("p2") == F.col("p1") + 1)
+        .join(t3, "doc_id")
+        .where(F.col("p3") == F.col("p1") + 2)
+        .select("doc_id")
+        .distinct()
+    )
+    return hits.agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_id").alias("sum_doc_ids"),
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS w,
+         unnest(range(len({_SQL_TOKENS}))) AS pos
+  FROM documents),
+phrase AS (
+  SELECT list_slice({_SQL_TOKENS}, 1, 3) AS p FROM documents
+  WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+hits AS (
+  SELECT DISTINCT t1.doc_id
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  CROSS JOIN phrase
+  WHERE t1.w = p[1] AND t2.w = p[2] AND t3.w = p[3])
+SELECT COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+FROM hits
+"""
+
+
+def mad_outliers_orders(spark, sf_dir):
+    """Robust outlier detection by Median Absolute Deviation — the
+    median-based companion to the z-score gate (immune to the outliers
+    it hunts). Exactness: prices become integer cents, so the median is
+    integer-or-half and every |cents − med| is exact in IEEE doubles;
+    the MAD (a median of those) lands on quarters — all bit-identical
+    across engines under the shared PERCENTILE_CONT convention. The
+    plan is three passes over ONE pruned column with the two scalar
+    medians broadcast back in-plan (no driver round-trip of data).
+    Flag: deviation > 1.5 × MAD (the corpus prices are near-uniform,
+    so max_dev ≈ 2·MAD — a 1.5 cut flags a real ~25% tail)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    med = cents.agg(F.percentile("cents", F.lit(0.5)).alias("med_cents"))
+    dev = cents.crossJoin(F.broadcast(med)).select(
+        "cents", "med_cents", F.abs(F.col("cents") - F.col("med_cents")).alias("dev")
+    )
+    mad = dev.groupBy("med_cents").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad_cents"),
+        F.count("*").alias("n"),
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad.select("mad_cents", "n")))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum((F.col("dev") > 1.5 * F.col("mad_cents")).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.max("dev").alias("max_dev"),
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+med AS (SELECT quantile_cont(cents, 0.5) AS med_cents FROM cents),
+dev AS (
+  SELECT cents, med_cents, ABS(cents - med_cents) AS dev
+  FROM cents CROSS JOIN med),
+mad AS (
+  SELECT med_cents, quantile_cont(dev, 0.5) AS mad_cents, COUNT(*) AS n
+  FROM dev GROUP BY med_cents)
+SELECT mad.n AS n, mad.med_cents AS med_cents, mad.mad_cents AS mad_cents,
+       CAST(SUM(CASE WHEN dev > 1.5 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       MAX(dev) AS max_dev
+FROM dev CROSS JOIN mad
+GROUP BY mad.n, mad.med_cents, mad.mad_cents
+"""
+
+
+def compact_small_files_docs(spark, sf_dir):
+    """Table-maintenance operator every 100 TB lakehouse runs nightly:
+    SMALL-FILE COMPACTION. Writes the documents projection as 16
+    round-robin part files (the pathological many-small-files layout),
+    then rewrites at the target file count with repartition(4) — the
+    OPTIMIZE-style shuffle rewrite, chosen over coalesce() because the
+    parquet scan itself already BIN-PACKS tiny files into few input
+    partitions (openCostInBytes), so a narrow coalesce could land under
+    the target — and proves the rewrite is lossless (row count, doc_id
+    and n_chars checksums) and the file count is exactly the target.
+    The oracle pins the data invariants; layout facts surface as the
+    literal counts the gate asserts."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="compact_gate_")
+    try:
+        small, big = f"{root}/small", f"{root}/big"
+        d.repartition(16).write.mode("overwrite").parquet(small)
+        before = spark.read.parquet(small)
+        n_before = len(before.inputFiles())
+        before.repartition(4).write.mode("overwrite").parquet(big)
+        after = spark.read.parquet(big)
+        n_after = len(after.inputFiles())
+        row = after.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).first()
+        assert n_before == 16 and n_after == 4, (n_before, n_after)
+        return spark.createDataFrame(
+            [(16, 4, row["n_rows"], row["sum_doc_ids"], row["sum_chars"])],
+            "n_files_before int, n_files_after int, n_rows bigint, "
+            "sum_doc_ids bigint, sum_chars bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+COMPACT_SMALL_FILES_SQL = """
+SELECT CAST(16 AS INTEGER) AS n_files_before, CAST(4 AS INTEGER) AS n_files_after,
+       COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+def skyline_orders(spark, sf_dir):
+    """2-D Pareto frontier (skyline): orders not strictly dominated on
+    (earlier o_orderdate, higher o_totalprice). The naive skyline is an
+    O(n²) self-join; the scalable plan reduces per-row work to one
+    groupBy: an order is on the frontier iff its cents equal its DAY's
+    max AND beat the running max over all EARLIER days — so the heavy
+    data collapses to the bounded day dimension first (map-side
+    combine), the running max runs over ~10³ day rows, and frontier
+    membership broadcast-joins back. Prices are integer cents; ties on
+    a frontier day all survive (none strictly dominates another).
+    Output: frontier days with cents and the tied-order count/ids."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date").cast("string")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = orders.select(
+        day.alias("day"), cents.alias("cents"), F.col("o_orderkey").alias("okey")
+    )
+    day_max = o.groupBy("day").agg(F.max("cents").alias("day_max"))
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_days = day_max.withColumn(
+        "prev_max", F.coalesce(F.max("day_max").over(w_prev), F.lit(-1))
+    ).where(F.col("day_max") > F.col("prev_max"))
+    fd = frontier_days.select(
+        F.col("day").alias("f_day"), F.col("day_max").alias("f_max")
+    )
+    return (
+        o.join(
+            F.broadcast(fd),
+            (F.col("day") == F.col("f_day")) & (F.col("cents") == F.col("f_max")),
+        )
+        .groupBy("day", "cents")
+        .agg(F.count("*").alias("n_tied"), F.min("okey").alias("min_orderkey"))
+        .orderBy("day")
+    )
+
+
+SKYLINE_ORDERS_SQL = """
+WITH o AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey AS okey
+  FROM orders),
+day_max AS (SELECT day, MAX(cents) AS day_max FROM o GROUP BY day),
+frontier AS (
+  SELECT day, day_max FROM (
+    SELECT day, day_max,
+           COALESCE(MAX(day_max) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_max
+    FROM day_max)
+  WHERE day_max > prev_max)
+SELECT o.day AS day, o.cents AS cents, COUNT(*) AS n_tied,
+       MIN(o.okey) AS min_orderkey
+FROM o JOIN frontier f ON o.day = f.day AND o.cents = f.day_max
+GROUP BY o.day, o.cents ORDER BY o.day
+"""
+
+
+def interarrival_median_events(spark, sf_dir):
+    """Per-user inter-arrival-time profile: exact median gap (µs)
+    between a user's consecutive events, then the distribution of those
+    medians across users. Ordering inside a user is total
+    ((t_us, event_id)), so LAG is engine-independent; gaps are exact
+    integer microseconds, medians land on halves, and the
+    median-of-medians on quarters — all IEEE-exact. The per-user window
+    shuffles once on user_id (parallel across users, no global
+    window); the second aggregate runs over the users dimension."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_us("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.percentile("gap_us", F.lit(0.5)).alias("med_gap_us"),
+        F.count("*").alias("n_gaps"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_gaps").alias("n_gaps_total"),
+        F.min("med_gap_us").alias("min_med_us"),
+        F.max("med_gap_us").alias("max_med_us"),
+        F.percentile("med_gap_us", F.lit(0.5)).alias("p50_med_us"),
+    )
+
+
+INTERARRIVAL_MEDIAN_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+gaps AS (
+  SELECT user_id,
+         t_us - LAG(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS gap_us
+  FROM e),
+per_user AS (
+  SELECT user_id, quantile_cont(gap_us, 0.5) AS med_gap_us,
+         COUNT(*) AS n_gaps
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id)
+SELECT COUNT(*) AS n_users, CAST(SUM(n_gaps) AS BIGINT) AS n_gaps_total,
+       MIN(med_gap_us) AS min_med_us, MAX(med_gap_us) AS max_med_us,
+       quantile_cont(med_gap_us, 0.5) AS p50_med_us
+FROM per_user
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "skyline_orders": skyline_orders,
+    "interarrival_median_events": interarrival_median_events,
+    "phrase_search_docs": phrase_search_docs,
+    "mad_outliers_orders": mad_outliers_orders,
+    "compact_small_files_docs": compact_small_files_docs,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "unigram_commonness_docs": unigram_commonness_docs,
     "top_bigrams_corpus": top_bigrams_corpus,
@@ -6268,6 +6541,11 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "skyline_orders": SKYLINE_ORDERS_SQL,
+    "interarrival_median_events": INTERARRIVAL_MEDIAN_SQL,
+    "phrase_search_docs": PHRASE_SEARCH_SQL,
+    "mad_outliers_orders": MAD_OUTLIERS_SQL,
+    "compact_small_files_docs": COMPACT_SMALL_FILES_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
     "unigram_commonness_docs": UNIGRAM_COMMONNESS_SQL,
     "top_bigrams_corpus": TOP_BIGRAMS_SQL,
