@@ -1115,10 +1115,10 @@ def test_ivfpq_index_prunes_and_finds_cluster(spark, tmp_path):
     assert 0 < n_scanned < 200  # genuinely pruned
 
 
-def test_pagerank_integer_exact_fixed_point(spark):
+def test_pagerank_integer_exact_fixed_point(spark, tmp_path):
     """Integer PageRank on a hand-checkable star graph matches the
     recurrence computed independently in pure Python, bit for bit, and
-    the checkpoint_every path returns the identical result."""
+    the reliable-checkpoint path returns the identical result."""
     from ip_filter_spark.operators.graph import pagerank_integer
 
     # star: hub h <-> leaves a,b,c (symmetrized)
@@ -1145,7 +1145,9 @@ def test_pagerank_integer_exact_fixed_point(spark):
 
     ckpt = {
         r["node"]: r["rank"]
-        for r in pagerank_integer(edges, iterations=3, checkpoint_every=1).collect()
+        for r in pagerank_integer(
+            edges, iterations=3, checkpoint_dir=str(tmp_path / "pr_ckpt")
+        ).collect()
     }
     assert ckpt == rank
 
