@@ -118,3 +118,99 @@ def pagerank_integer(
         for df in (e, nodes, deg):
             df.unpersist()
     return ranks
+
+
+def resolve_hierarchy(
+    h: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_iterations: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Resolve every node of a parent-pointer forest to its root + depth.
+
+    Input: DataFrame[node, parent] with parent NULL for roots. Output:
+    DataFrame[node, root, depth] — the SQL ``WITH RECURSIVE`` climb, but
+    executed by POINTER DOUBLING: the state (node, anc, depth) joins to
+    itself on ``anc == node``, composing ancestor pointers, so a depth-d
+    forest resolves in ceil(log2(d)) rounds instead of d. At 100 TB that
+    is the difference between 4 shuffles and 40 for a depth-20 catalog
+    taxonomy; each round is one node-sized self-join (co-partitioned on
+    the join key after round one), state never collects to the driver.
+
+    Roots carry the fixed point (root, root, 0), so composing through a
+    resolved pointer is idempotent — no per-row "done" bookkeeping.
+    Convergence is checked with a piggybacked aggregate (count of
+    unresolved pointers) on the SAME materialized state used for the next
+    round — no extra scan of anything edge-sized. Same eager-cut /
+    reliable-checkpoint discipline as ``pagerank_integer``.
+    """
+    spark = h.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(
+            eager=True
+        )
+
+    base = h.select(F.col(node).alias("node"), F.col(parent).alias("parent"))
+    state = _cut(
+        base.select(
+            "node",
+            F.coalesce(F.col("parent"), F.col("node")).alias("anc"),
+            F.when(F.col("parent").isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("depth"),
+        )
+    )
+    roots = base.where(F.col("parent").isNull()).select(F.col("node").alias("anc"))
+
+    for _ in range(max_iterations):
+        unresolved = state.join(roots, "anc", "left_anti").limit(1).count()
+        if unresolved == 0:
+            break
+        s2 = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        state = _cut(
+            state.join(s2, state["anc"] == s2["j_node"], "inner").select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"hierarchy did not resolve in {max_iterations} doubling rounds "
+            "(cycle, or parent pointing at a missing node?)"
+        )
+    return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Enumerate triangles of an undirected graph given as CANONICAL
+    edges (a < b, distinct). Returns DataFrame[a, b, c] with a < b < c.
+
+    Plan shape: the standard two-join enumeration — wedges = E(a,b) ⋈
+    E(b,c) on the middle vertex with c > b, closed by a semi-shaped
+    inner join back to E on (a,c). Two shuffles, both on edge keys;
+    no driver involvement; output is O(#triangles). The canonical
+    ordering means each triangle is produced exactly once — no /3 or /6
+    dedup pass. Skewed hub vertices are the classic hazard: cap or
+    pre-filter degree upstream (the supplier-projection gate caps the
+    per-customer fanout before edges are even formed)."""
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = e.join(e2, "b").where(F.col("c") > F.col("b"))
+    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    return (
+        wedge.join(
+            closing,
+            (wedge["a"] == closing["ca"]) & (wedge["c"] == closing["cc"]),
+            "inner",
+        )
+        .select("a", "b", "c")
+    )

@@ -6379,10 +6379,237 @@ FROM per_user
 """
 
 
+def hierarchy_rollup_parts(spark, sf_dir):
+    """Recursive-hierarchy traversal under the gate: the part catalog is
+    read as a parent-pointer forest (parent(k) = k div 10; k < 10 are
+    roots — partkeys are contiguous, so every parent exists) and each
+    part is resolved to its root + depth by POINTER DOUBLING
+    (``operators/graph.resolve_hierarchy``): ceil(log2(depth)) node-sized
+    self-joins instead of depth chained joins — the Spark-native answer
+    to SQL's WITH RECURSIVE, which the oracle uses verbatim. Rollup:
+    top-20 root subtrees by descendant retail value, in exact integer
+    cents (prices are 2-dp doubles; decimal-cast then scale, so both
+    engines agree bit-for-bit)."""
+    from ip_filter_spark.operators.graph import resolve_hierarchy
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10")).alias("parent"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    resolved = resolve_hierarchy(p.select("node", "parent"))
+    return (
+        resolved.join(p.select("node", "cents"), "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.max("depth").alias("max_depth"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+        .orderBy(F.desc("subtree_cents"), F.asc("root"))
+        .limit(20)
+    )
+
+
+HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE h AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM part),
+walk AS (
+  SELECT node, node AS cur, 0 AS depth, parent FROM h
+  UNION ALL
+  SELECT w.node, h.node AS cur, w.depth + 1, h.parent
+  FROM walk w JOIN h ON w.parent = h.node),
+resolved AS (SELECT node, cur AS root, depth FROM walk WHERE parent IS NULL)
+SELECT r.root, COUNT(*) AS n_desc, CAST(MAX(r.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(h.cents) AS BIGINT) AS subtree_cents
+FROM resolved r JOIN h ON h.node = r.node
+GROUP BY r.root
+ORDER BY subtree_cents DESC, r.root ASC
+LIMIT 20
+"""
+
+
+def basket_pairs_lineitem(spark, sf_dir):
+    """Market-basket mining (frequent co-purchased part pairs) with the
+    apriori prune that makes it survive 100x: items are deduped per
+    basket, infrequent items (support < 5 baskets) are dropped BEFORE
+    the pair join — the frequent-item list is tiny and broadcast, so the
+    only shuffle is the per-basket self-join, and TPC-H baskets are <= 7
+    items so its fanout is bounded per row. Lift is reported in exact
+    integer millionths via floor division (identical in both engines);
+    top-25 is fully tie-broken (count desc, p1, p2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    i1 = items.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", F.col("l_partkey").alias("p1"), F.col("c").alias("c1")
+    )
+    i2 = items.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", F.col("l_partkey").alias("p2"), F.col("c").alias("c2")
+    )
+    pairs = (
+        i1.join(i2, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "c1", "p2", "c2")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= 2)
+    )
+    return (
+        pairs.select(
+            "p1",
+            "p2",
+            "pair_count",
+            F.expr(f"(1000000 * pair_count * {int(n_orders)}) div (c1 * c2)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("p1"), F.asc("p2"))
+        .limit(25)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+freq AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1 HAVING COUNT(*) >= 5),
+pairs AS (
+  SELECT i1.l_partkey AS p1, f1.c AS c1, i2.l_partkey AS p2, f2.c AS c2,
+         COUNT(*) AS pair_count
+  FROM items i1
+  JOIN items i2 ON i1.l_orderkey = i2.l_orderkey AND i1.l_partkey < i2.l_partkey
+  JOIN freq f1 ON f1.l_partkey = i1.l_partkey
+  JOIN freq f2 ON f2.l_partkey = i2.l_partkey
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+SELECT p1, p2, CAST(pair_count AS BIGINT) AS pair_count,
+       (1000000 * pair_count * (SELECT n_orders FROM n)) // (c1 * c2) AS lift_ppm
+FROM pairs ORDER BY pair_count DESC, p1, p2 LIMIT 25
+"""
+
+
+def cumulative_new_users_daily(spark, sf_dir):
+    """User-acquisition curve: first-seen day per user, daily new-user
+    counts, and the running cumulative total. Two shuffles (per-user min,
+    per-day count); the cumulative window runs over the O(days) daily
+    rollup, so its single-partition sort is bounded by the calendar, not
+    the data. events.ts is TIMESTAMP_NTZ — ``to_date`` is
+    timezone-independent on it in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+CUMULATIVE_NEW_USERS_SQL = """
+WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY 1)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily
+"""
+
+
+def triangle_count_suppliers(spark, sf_dir):
+    """Triangle counting (``operators/graph.triangles``) over a
+    DETERMINISTICALLY SPARSIFIED supplier graph. The raw co-purchase
+    projection of a bipartite graph is near-complete (measured 365k
+    edges on 1k suppliers at sf0.1 — a 10^8-triangle blowup), so the
+    gate builds the realistic analytics shape instead: per-customer
+    fanout capped at 20 (row_number by suppkey), then each supplier
+    keeps only its 5 STRONGEST co-suppliers (by shared-customer count,
+    suppkey tie-break) — a kNN graph, O(5·|V|) edges at any scale. The
+    enumeration itself is the canonical two-join wedge-close with a < b
+    < c, each triangle produced exactly once. Output: top-15 suppliers
+    by triangle support + the global triangle count on every row."""
+    from ip_filter_spark.operators.graph import triangles
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    wc = Window.partitionBy("cust").orderBy("supp")
+    capped = cs.withColumn("rn", F.row_number().over(wc)).where(F.col("rn") <= 20)
+    a = capped.select("cust", F.col("supp").alias("sa"))
+    b = capped.select("cust", F.col("supp").alias("sb"))
+    co = (
+        a.join(b, "cust")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("w"))
+    )
+    directed = co.select(F.col("sa").alias("src"), F.col("sb").alias("dst"), "w").union(
+        co.select(F.col("sb").alias("src"), F.col("sa").alias("dst"), "w")
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    knn = directed.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= 5)
+    edges = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    tri = triangles(edges)
+    total = tri.count()
+    support = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("suppkey"))
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    return (
+        support.orderBy(F.desc("tri_count"), F.asc("suppkey"))
+        .limit(15)
+        .withColumn("total_triangles", F.lit(int(total)).cast("long"))
+    )
+
+
+TRIANGLE_COUNT_SQL = """
+WITH cs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+capped AS (SELECT cust, supp FROM (
+   SELECT cust, supp, ROW_NUMBER() OVER (PARTITION BY cust ORDER BY supp) AS rn
+   FROM cs) t WHERE rn <= 20),
+co AS (SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS w
+       FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+       GROUP BY 1, 2),
+dir AS (SELECT sa AS src, sb AS dst, w FROM co
+        UNION ALL SELECT sb, sa, w FROM co),
+knn AS (SELECT src, dst FROM (
+   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+   FROM dir) t WHERE rn <= 5),
+edges AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM knn),
+tri AS (SELECT e1.a, e1.b, w2.c FROM edges e1
+        JOIN (SELECT a AS b, b AS c FROM edges) w2 ON e1.b = w2.b AND w2.c > e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = w2.c),
+support AS (SELECT node AS suppkey, COUNT(*) AS tri_count FROM (
+   SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) u
+   GROUP BY 1)
+SELECT suppkey, CAST(tri_count AS BIGINT) AS tri_count,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS total_triangles
+FROM support ORDER BY tri_count DESC, suppkey LIMIT 15
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "hierarchy_rollup_parts": hierarchy_rollup_parts,
+    "basket_pairs_lineitem": basket_pairs_lineitem,
+    "cumulative_new_users_daily": cumulative_new_users_daily,
+    "triangle_count_suppliers": triangle_count_suppliers,
     "skyline_orders": skyline_orders,
     "interarrival_median_events": interarrival_median_events,
     "phrase_search_docs": phrase_search_docs,
@@ -6541,6 +6768,10 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "hierarchy_rollup_parts": HIERARCHY_ROLLUP_SQL,
+    "basket_pairs_lineitem": BASKET_PAIRS_SQL,
+    "cumulative_new_users_daily": CUMULATIVE_NEW_USERS_SQL,
+    "triangle_count_suppliers": TRIANGLE_COUNT_SQL,
     "skyline_orders": SKYLINE_ORDERS_SQL,
     "interarrival_median_events": INTERARRIVAL_MEDIAN_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,

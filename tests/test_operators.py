@@ -1171,3 +1171,74 @@ def test_pagerank_integer_dangling_and_sink(spark):
     assert r1["a"] == 150_000
     # sink 'c' accumulates from both a and b
     assert r1["c"] > r1["b"] > r1["a"]
+
+
+def test_resolve_hierarchy_pointer_doubling(spark, tmp_path):
+    """Pointer doubling on a hand-checkable two-tree forest resolves
+    every node to the right (root, depth), a chain deeper than one
+    doubling round still converges, and the reliable-checkpoint path
+    returns the identical result."""
+    from ip_filter_spark.operators.graph import resolve_hierarchy
+
+    #   r1            r2
+    #   /\             |
+    #  a  b            x
+    #  |               |
+    #  c               y   (chain depth 2 under r2)
+    rows = [
+        ("r1", None), ("a", "r1"), ("b", "r1"), ("c", "a"),
+        ("r2", None), ("x", "r2"), ("y", "x"),
+    ]
+    h = spark.createDataFrame(rows, "node string, parent string")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_hierarchy(h).collect()
+    }
+    assert got == {
+        "r1": ("r1", 0), "a": ("r1", 1), "b": ("r1", 1), "c": ("r1", 2),
+        "r2": ("r2", 0), "x": ("r2", 1), "y": ("r2", 2),
+    }
+
+    # depth-5 chain: needs 3 doubling rounds, not 5 linear ones
+    chain = [("n0", None)] + [(f"n{i}", f"n{i-1}") for i in range(1, 6)]
+    hc = spark.createDataFrame(chain, "node string, parent string")
+    got_c = {r["node"]: (r["root"], r["depth"]) for r in resolve_hierarchy(hc).collect()}
+    assert got_c == {f"n{i}": ("n0", i) for i in range(6)}
+
+    ck = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_hierarchy(
+            hc, checkpoint_dir=str(tmp_path / "hier_ckpt")
+        ).collect()
+    }
+    assert ck == got_c
+
+
+def test_resolve_hierarchy_cycle_raises(spark):
+    """A parent cycle never reaches a root: the doubling loop must fail
+    loudly instead of spinning."""
+    import pytest as _pytest
+
+    from ip_filter_spark.operators.graph import resolve_hierarchy
+
+    h = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "node string, parent string"
+    )
+    with _pytest.raises(RuntimeError, match="did not resolve"):
+        resolve_hierarchy(h, max_iterations=4)
+
+
+def test_triangles_canonical_enumeration(spark):
+    """K4 has exactly 4 triangles, each emitted once with a < b < c; an
+    open square (4-cycle) has none."""
+    from ip_filter_spark.operators.graph import triangles
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    e = spark.createDataFrame(k4, "a int, b int")
+    tri = sorted(tuple(r) for r in triangles(e).collect())
+    assert tri == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "a int, b int"
+    )
+    assert triangles(square).count() == 0
