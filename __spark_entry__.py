@@ -59,7 +59,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ip_filter_spark.queries import QUERIES
 
     checked = _checked_names()
-    ordered = sorted(QUERIES, key=lambda name: (name in checked,))
+    # Never-checked names first, OLDEST first within that group: the
+    # registry dict is (roughly) newest-first, so reversing it puts the
+    # longest-waiting gates (the round-3 verdict's 29 never-sampled
+    # names) at the head of the driver's per-round sample; this round's
+    # brand-new gates queue behind them and get sampled next round.
+    names = list(QUERIES)
+    age = {name: len(names) - i for i, name in enumerate(names)}  # older = smaller
+    ordered = sorted(names, key=lambda name: (name in checked, age[name]))
     return {name: QUERIES[name] for name in ordered}
 
 

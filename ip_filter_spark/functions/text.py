@@ -101,3 +101,62 @@ def fingerprint_expr(col):
         toks, lambda x, i: ((i + 1) * ((F.length(x) * 131 + F.ascii(x)) % MOD)) % MOD
     )
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: (acc + x) % MOD)
+
+
+# -------------------------------------------------------------------- PII
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark JVM) and RE2 (DuckDB): character classes, bounded repetition,
+# non-capturing groups. No backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_counts_exprs(col) -> dict:
+    """Per-row PII hit counts, one long column per pattern — JVM
+    ``regexp_extract_all`` (codegen'd, no UDF). DuckDB twin:
+    ``len(regexp_extract_all(col, pattern))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii_expr(col):
+    """Replace every PII span with ``[<NAME>]``. Spark's regexp_replace
+    is global; the DuckDB twin needs the explicit ``'g'`` flag. Email
+    runs first so the ipv4 pattern cannot bite a dotted-quad-looking
+    fragment inside an already-redacted address."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for name in ("email", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out
+
+
+def char_entropy_expr(col):
+    """Shannon entropy (bits) of the per-document character distribution
+    — the classic gibberish / low-diversity quality filter — as a pure
+    JVM expression, no UDF and no per-char explode:
+
+        H = log2(N) - (1/N) * sum over distinct chars c of n_c*log2(n_c)
+        n_c = len(text) - len(replace(text, c, ''))
+
+    O(len * distinct_chars) per row, embarrassingly parallel, zero
+    shuffle — the shape that survives 100 TB. DuckDB twin used by the
+    oracle: its native ``entropy()`` aggregate over unnested characters
+    (also log2-based). Empty/NULL text → 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    chars = F.array_distinct(F.split(c, ""))
+    contrib = F.aggregate(
+        F.transform(
+            chars,
+            lambda ch: (n - F.length(F.replace(c, ch))).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, cnt: acc + cnt * F.log2(cnt),
+    )
+    return F.when(n > 0, F.log2(n.cast("double")) - contrib / n).otherwise(F.lit(0.0))

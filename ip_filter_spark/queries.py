@@ -6603,9 +6603,232 @@ FROM support ORDER BY tri_count DESC, suppkey LIMIT 15
 
 
 # =====================================================================
+# Snapshot tables, PII, char entropy, conservative CMS (round 4)
+# =====================================================================
+
+
+def snapshot_incremental_docs(spark, sf_dir):
+    """Iceberg-shaped table contract under the hard gate: documents are
+    committed as two manifest-backed snapshots (sources/snapshots.py) —
+    the even doc_id half, then the odd half. Three scans must reproduce
+    exact per-lang stats: TIME TRAVEL to snapshot 1 read AFTER snapshot
+    2 exists (isolation — a pinned reader never sees later appends), the
+    INCREMENTAL (s1, s2] scan (plans over only the delta's data files —
+    the O(delta)-not-O(table) maintenance read that folds a nightly
+    delta into checkpointed sketch partials at 10^12 files instead of
+    re-scanning the corpus, the incremental-maintenance capability the
+    reference's report leaves as future work — it rebuilds from a full
+    scan every run, /root/reference/prototype/ipfilter.py:124-143), and
+    the current-snapshot scan. Only per-(phase, lang) aggregates reach
+    the driver — bounded rows, never data."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ifs_snap_")
+    rows = []
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        s1 = table.append(docs.where(F.col("doc_id") % 2 == 0))
+        s2 = table.append(docs.where(F.col("doc_id") % 2 == 1))
+        assert table.snapshots() == [s1, s2]
+        for phase, df in (
+            ("snapshot1", table.read(spark, s1)),
+            ("delta", table.incremental(spark, s1, s2)),
+            ("current", table.read(spark)),
+        ):
+            agg = (
+                df.groupBy("lang")
+                .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+                .collect()
+            )
+            rows.extend((phase, r["lang"], int(r["n"]), int(r["chars"])) for r in agg)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, lang string, n_docs long, sum_chars long")
+
+
+SNAPSHOT_INCREMENTAL_SQL = """
+WITH halves AS (
+  SELECT 'snapshot1' AS phase, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'delta' AS phase, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'current' AS phase, lang, n_chars FROM documents)
+SELECT phase, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM halves GROUP BY phase, lang
+"""
+
+
+def pii_redaction_docs(spark, sf_dir):
+    """PII scrubbing — the redaction pass every shared training corpus
+    needs. PII-shaped spans (an email, a dotted-quad host) are
+    synthesized DETERMINISTICALLY from each row's own columns (the
+    corpus words carry none), then extracted and redacted with pure JVM
+    ``regexp_extract_all`` / ``regexp_replace`` (functions/text.py
+    PII_PATTERNS — syntax chosen for identical Java-regex/RE2
+    semantics). Per-lang integers gate the full behavior: hit counts per
+    pattern, zero leftover matches after redaction, and the exact number
+    of characters removed. Zero shuffle beyond the final tiny groupBy;
+    per-row regex work scales embarrassingly."""
+    from ip_filter_spark.functions.text import pii_counts_exprs, redact_pii_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        F.col("lang"),
+        F.lit(" from host 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+    d = docs.select("lang", txt.alias("txt")).withColumn("red", redact_pii_expr("txt"))
+    hits = pii_counts_exprs("txt")
+    left = pii_counts_exprs("red")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(hits["n_email"]).alias("emails_found"),
+        F.sum(hits["n_ipv4"]).alias("ips_found"),
+        F.sum(left["n_email"] + left["n_ipv4"]).alias("leftover_pii"),
+        F.sum(F.length("txt") - F.length("red")).alias("chars_removed"),
+    )
+
+
+def _pii_sql() -> str:
+    from ip_filter_spark.functions.text import PII_PATTERNS
+
+    email, ipv4 = PII_PATTERNS["email"], PII_PATTERNS["ipv4"]
+    return f"""
+WITH synth AS (
+  SELECT lang,
+         text || ' contact ' || source || '_' || CAST(doc_id AS VARCHAR) || '@example.' || lang
+              || ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS txt
+  FROM documents),
+red AS (
+  SELECT lang, txt,
+         regexp_replace(regexp_replace(txt, '{email}', '[EMAIL]', 'g'),
+                        '{ipv4}', '[IPV4]', 'g') AS r
+  FROM synth)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(txt, '{email}'))) AS BIGINT) AS emails_found,
+       CAST(SUM(len(regexp_extract_all(txt, '{ipv4}'))) AS BIGINT) AS ips_found,
+       CAST(SUM(len(regexp_extract_all(r, '{email}')) + len(regexp_extract_all(r, '{ipv4}'))) AS BIGINT) AS leftover_pii,
+       CAST(SUM(length(txt) - length(r)) AS BIGINT) AS chars_removed
+FROM red GROUP BY lang
+"""
+
+
+def char_entropy_docs(spark, sf_dir):
+    """Character-entropy quality filter (gibberish / low-diversity
+    detector): per-doc Shannon entropy in bits as a pure JVM expression
+    (functions/text.py::char_entropy_expr — no UDF, no per-char explode,
+    zero shuffle before the per-lang rollup). The gate bands docs by
+    entropy with thresholds away from any float-ulp boundary (JVM log vs
+    DuckDB libm agree to ~1e-13 relative; bands are integers) and
+    carries an exact integer companion (sum of per-doc distinct-char
+    counts) so the tokenizer-side agreement is full-value. Oracle:
+    DuckDB's native log2-based ``entropy()`` aggregate over unnested
+    characters."""
+    from ip_filter_spark.functions.text import char_entropy_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+    per = d.select(
+        "lang",
+        char_entropy_expr("text").alias("h"),
+        F.size(F.array_distinct(chars)).cast("long").alias("nd"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("h") < 4.09).cast("long")).alias("n_low"),
+        F.sum(((F.col("h") >= 4.09) & (F.col("h") < 4.13)).cast("long")).alias("n_mid"),
+        F.sum((F.col("h") >= 4.13).cast("long")).alias("n_high"),
+        F.sum("nd").alias("sum_distinct_chars"),
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH per_doc AS (
+  SELECT d.doc_id, d.lang, entropy(t.ch) AS h, COUNT(DISTINCT t.ch) AS nd
+  FROM documents d, unnest(string_split(d.text, '')) AS t(ch)
+  WHERE length(d.text) > 0
+  GROUP BY d.doc_id, d.lang)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h < 4.09 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN h >= 4.09 AND h < 4.13 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       CAST(SUM(CASE WHEN h >= 4.13 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(nd) AS BIGINT) AS sum_distinct_chars
+FROM per_doc GROUP BY lang
+"""
+
+
+def cms_conservative_users(spark, sf_dir):
+    """Conservative-update count-min (Estan & Varghese 2002) under the
+    hard gate, distributed: three CMS variants build in ONE scan pass
+    (engine multi-spec partials, sum-merge). The headline sketch is
+    sized collision-free on this corpus (eps=1e-5, same discipline as
+    cms_topk_users) so its conservative estimates EQUAL the exact
+    per-user counts — full-value vs the plain exact SQL. Two
+    deliberately capacity-stressed 256-cell sketches (conservative +
+    vanilla, same hash family) pin the library's distributed-merge
+    invariant as value columns: exact <= est_conservative <= est_vanilla
+    — sum-merged conservative partials stay one-sided but strictly
+    tighter than vanilla. Probed keys are the bounded deterministic
+    user_id % 13 == 0 subset; only (key, exact) pairs and KB-scale blobs
+    reach the driver."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+
+    ev = _t(spark, sf_dir, "events")
+    big = SketchSpec("cms", {"eps": 1e-5, "delta": 0.05, "conservative": True})
+    stress_c = SketchSpec("cms", {"width": 256, "depth": 4, "conservative": True})
+    stress_v = SketchSpec("cms", {"width": 256, "depth": 4})
+    sks = build_and_merge(ev, [big, stress_c, stress_v], key="user_id")
+    exact = {
+        int(r.user_id): r["count"]
+        for r in ev.where(F.col("user_id") % 13 == 0).groupBy("user_id").count().collect()
+    }
+    keys = sorted(exact)
+    h = fnv1a64(digests_to_matrix([key_digest(str(k)) for k in keys]))
+    e_big = sks[big.key()].query_hashes(h)
+    e_c = sks[stress_c.key()].query_hashes(h)
+    e_v = sks[stress_v.key()].query_hashes(h)
+    rows = [
+        (k, int(eb), bool(int(ec) >= exact[k]), bool(int(ec) <= int(evn)))
+        for k, eb, ec, evn in zip(keys, e_big.tolist(), e_c.tolist(), e_v.tolist())
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, cnt long, cons_ge_exact boolean, cons_le_vanilla boolean"
+    )
+
+
+CMS_CONSERVATIVE_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+       TRUE AS cons_ge_exact, TRUE AS cons_le_vanilla
+FROM events WHERE user_id % 13 = 0 GROUP BY user_id
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "snapshot_incremental_docs": snapshot_incremental_docs,
+    "pii_redaction_docs": pii_redaction_docs,
+    "char_entropy_docs": char_entropy_docs,
+    "cms_conservative_users": cms_conservative_users,
     "hierarchy_rollup_parts": hierarchy_rollup_parts,
     "basket_pairs_lineitem": basket_pairs_lineitem,
     "cumulative_new_users_daily": cumulative_new_users_daily,
@@ -6768,6 +6991,10 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "snapshot_incremental_docs": SNAPSHOT_INCREMENTAL_SQL,
+    "pii_redaction_docs": _pii_sql(),
+    "char_entropy_docs": CHAR_ENTROPY_SQL,
+    "cms_conservative_users": CMS_CONSERVATIVE_SQL,
     "hierarchy_rollup_parts": HIERARCHY_ROLLUP_SQL,
     "basket_pairs_lineitem": BASKET_PAIRS_SQL,
     "cumulative_new_users_daily": CUMULATIVE_NEW_USERS_SQL,

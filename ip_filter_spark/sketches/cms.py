@@ -28,10 +28,12 @@ class CountMinSketch(Sketch):
         delta: float = 1e-3,
         width: int | None = None,
         depth: int | None = None,
+        conservative: bool = False,
         _table: np.ndarray | None = None,
     ):
         self.eps = float(eps)
         self.delta = float(delta)
+        self.conservative = bool(conservative)
         self.w = int(width) if width else int(ceil(e / eps))
         self.d = int(depth) if depth else int(ceil(log(1.0 / delta)))
         self.n_items = 0
@@ -44,6 +46,8 @@ class CountMinSketch(Sketch):
     def update_hashes(self, h64: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
         if len(h64) == 0:
             return self
+        if self.conservative:
+            return self.update_hashes_conservative(h64, counts)
         cols = self._cols(h64)
         if counts is None:
             for r in range(self.d):
@@ -54,6 +58,44 @@ class CountMinSketch(Sketch):
             for r in range(self.d):
                 self.table[r] += np.bincount(cols[r], weights=counts, minlength=self.w).astype(np.int64)
             self.n_items += int(counts.sum())
+        return self
+
+    def update_hashes_conservative(
+        self, h64: np.ndarray, counts: np.ndarray | None = None
+    ) -> "CountMinSketch":
+        """Conservative update (Estan & Varghese 2002): raise each of an
+        item's d counters only to ``min(its counters) + count`` — never
+        higher. Point estimates stay one-sided (never undercount) but
+        collide far less, so est_conservative <= est_vanilla cellwise by
+        induction (each update writes values <= the vanilla update's).
+
+        Items are folded per unique key first and processed in sorted
+        hash order, so the result is a deterministic function of the
+        batch MULTISET — partition-layout independent, like every other
+        kernel here.
+
+        Distributed caveat (documented, verified in the gate): sum-merge
+        of conservative partials is still a sound upper bound and still
+        cellwise <= the merged vanilla table, but looser than a
+        single-pass conservative build — exact <= est_cons_merged <=
+        est_vanilla_merged is the invariant the library guarantees."""
+        if len(h64) == 0:
+            return self
+        uniq, inv = np.unique(h64, return_inverse=True)
+        if counts is None:
+            ucnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        else:
+            ucnt = np.bincount(inv, weights=counts.astype(np.int64), minlength=len(uniq)).astype(
+                np.int64
+            )
+        cols = self._cols(uniq)  # (d, u)
+        rr = np.arange(self.d)
+        for j in range(len(uniq)):
+            cj = cols[:, j]
+            vals = self.table[rr, cj]
+            # fancy indexing yields a copy — read, max, write back
+            self.table[rr, cj] = np.maximum(vals, vals.min() + ucnt[j])
+        self.n_items += int(ucnt.sum())
         return self
 
     def query_hashes(self, h64: np.ndarray) -> np.ndarray:
@@ -86,7 +128,10 @@ class CountMinSketch(Sketch):
         return self
 
     def _params(self) -> dict[str, Any]:
-        return {"eps": self.eps, "delta": self.delta, "w": self.w, "d": self.d}
+        p: dict[str, Any] = {"eps": self.eps, "delta": self.delta, "w": self.w, "d": self.d}
+        if self.conservative:
+            p["conservative"] = True
+        return p
 
     def _arrays(self) -> dict[str, np.ndarray]:
         # content-adaptive serialization: per-partition partials touch at
@@ -110,4 +155,11 @@ class CountMinSketch(Sketch):
             table = flat.reshape(params["d"], params["w"])
         else:
             table = arrays["table"]
-        return cls(eps=params["eps"], delta=params["delta"], width=params["w"], depth=params["d"], _table=table)
+        return cls(
+            eps=params["eps"],
+            delta=params["delta"],
+            width=params["w"],
+            depth=params["d"],
+            conservative=params.get("conservative", False),
+            _table=table,
+        )

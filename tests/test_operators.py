@@ -1242,3 +1242,107 @@ def test_triangles_canonical_enumeration(spark):
         [(0, 1), (1, 2), (2, 3), (0, 3)], "a int, b int"
     )
     assert triangles(square).count() == 0
+
+
+def test_snapshot_table_isolation_incremental_and_atomicity(spark, tmp_path):
+    """Manifest-backed snapshot tables: time travel sees only a pinned
+    snapshot's files, incremental scans see only the delta, crashed
+    writers (data files without a committed manifest) are invisible,
+    and bad incremental windows raise."""
+    import os
+
+    import pytest as _pytest
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.snapshots() == [] and t.current_snapshot() == 0
+
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 25).withColumnRenamed("id", "k")
+    df3 = spark.range(25, 30).withColumnRenamed("id", "k")
+    s1, s2, s3 = t.append(df1), t.append(df2), t.append(df3)
+    assert t.snapshots() == [s1, s2, s3]
+
+    # time travel: reads pinned to s1/s2 never see later appends
+    assert t.read(spark, s1).count() == 10
+    assert sorted(r.k for r in t.read(spark, s2).collect()) == list(range(25))
+    assert t.read(spark).count() == 30  # current
+
+    # incremental: only the (from, to] delta's files are planned
+    inc = t.incremental(spark, s1, s3)
+    assert sorted(r.k for r in inc.collect()) == list(range(10, 30))
+    assert t.incremental(spark, 0, s1).count() == 10
+    with _pytest.raises(ValueError):
+        t.incremental(spark, s3, s1)
+
+    # atomicity: a data dir with no committed manifest is invisible
+    orphan = str(tmp_path / "tbl" / "data" / "999-orphan.parquet")
+    spark.range(5).write.parquet(orphan)
+    assert t.snapshots() == [s1, s2, s3]
+    assert t.read(spark).count() == 30
+    assert os.path.exists(orphan)  # the file is there; readers just never plan it
+
+
+def test_char_entropy_expr_matches_numpy(spark):
+    """JVM char_entropy_expr equals an independent numpy computation of
+    -sum p*log2 p over the character multiset (to float tolerance), and
+    empty text maps to 0."""
+    from collections import Counter
+
+    import numpy as np
+
+    from ip_filter_spark.functions.text import char_entropy_expr
+    from pyspark.sql import functions as F
+
+    texts = ["aaaa", "abab", "abcd", "the quick brown fox", "", "aab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.h for r in df.select("i", char_entropy_expr("t").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] == 0.0
+            continue
+        cnt = np.array(list(Counter(t).values()), dtype=float)
+        p = cnt / cnt.sum()
+        want = float(-(p * np.log2(p)).sum())
+        assert abs(got[i] - want) < 1e-9, (t, got[i], want)
+
+
+def test_pii_expressions_extract_and_redact(spark):
+    """PII patterns hit emails and dotted quads, redaction removes every
+    match (idempotent — zero hits on the redacted text), and non-PII
+    text passes through untouched."""
+    from ip_filter_spark.functions.text import pii_counts_exprs, redact_pii_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "mail a.b-c_1%x+y@sub.domain.org and host 192.168.0.1 end"),
+        (1, "no pii here just words"),
+        (2, "two mails x@y.io z@w.ab plus 10.0.0.255 and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    hits = pii_counts_exprs("t")
+    out = (
+        df.withColumn("red", redact_pii_expr("t"))
+        .select(
+            "i",
+            "t",
+            "red",
+            hits["n_email"].alias("ne"),
+            hits["n_ipv4"].alias("ni"),
+        )
+        .collect()
+    )
+    by_i = {r.i: r for r in out}
+    assert (by_i[0].ne, by_i[0].ni) == (1, 1)
+    assert (by_i[1].ne, by_i[1].ni) == (0, 0)
+    assert by_i[1].red == by_i[1].t
+    assert (by_i[2].ne, by_i[2].ni) == (2, 2)
+    assert "[EMAIL]" in by_i[0].red and "[IPV4]" in by_i[0].red
+    # redaction is complete: re-extracting on the redacted text finds nothing
+    red_df = spark.createDataFrame([(r.red,) for r in out], "t string")
+    left = pii_counts_exprs("t")
+    agg = red_df.agg(
+        F.sum(left["n_email"]).alias("e"), F.sum(left["n_ipv4"]).alias("p")
+    ).first()
+    assert (agg.e, agg.p) == (0, 0)

@@ -725,3 +725,53 @@ def test_ddsketch_collapse_sets_flag_and_bounds_memory():
     assert sk.collapsed and len(sk.pos) <= 8
     # high quantiles survive collapse (lowest buckets merged upward)
     vals = np.sort(rng.lognormal(0, 3, 5000))
+
+
+def test_cms_conservative_bounds_merge_and_determinism():
+    """Estan–Varghese conservative update: never undercounts, cellwise
+    tighter than vanilla, the invariant survives sum-merge of partials,
+    serialization round-trips, and the result is a deterministic
+    function of the input multiset (partition-layout independent)."""
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.cms import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 200, 50_000).astype(np.uint64)
+    h = (keys * np.uint64(0x9E3779B97F4A7C15)) ^ (keys >> np.uint64(3))
+    uq = np.unique(keys)
+    hu = (uq * np.uint64(0x9E3779B97F4A7C15)) ^ (uq >> np.uint64(3))
+    exact = np.array([(keys == k).sum() for k in uq], dtype=np.int64)
+
+    van = CountMinSketch(width=97, depth=4).update_hashes(h)
+    con = CountMinSketch(width=97, depth=4, conservative=True).update_hashes(h)
+    ev, ec = van.query_hashes(hu), con.query_hashes(hu)
+    assert (ec >= exact).all() and (ec <= ev).all()
+    # collisions exist at this width, and conservative is strictly tighter
+    assert (ev - exact).sum() > 0
+    assert (ec - exact).sum() < (ev - exact).sum()
+
+    # distributed shape: sum-merged conservative partials stay one-sided
+    # and stay <= merged vanilla
+    cm = (
+        CountMinSketch(width=97, depth=4, conservative=True)
+        .update_hashes(h[:25_000])
+        .merge(CountMinSketch(width=97, depth=4, conservative=True).update_hashes(h[25_000:]))
+    )
+    vm = (
+        CountMinSketch(width=97, depth=4)
+        .update_hashes(h[:25_000])
+        .merge(CountMinSketch(width=97, depth=4).update_hashes(h[25_000:]))
+    )
+    ecm = cm.query_hashes(hu)
+    assert (ecm >= exact).all() and (ecm <= vm.query_hashes(hu)).all()
+
+    # blob round-trip preserves the flag and the table
+    rt = from_bytes(cm.to_bytes())
+    assert rt.conservative and (rt.query_hashes(hu) == ecm).all()
+
+    # multiset determinism: shuffled input, identical table
+    perm = rng.permutation(len(h))
+    again = CountMinSketch(width=97, depth=4, conservative=True).update_hashes(h[perm])
+    assert (again.table == con.table).all()
