@@ -6822,9 +6822,281 @@ FROM events WHERE user_id % 13 = 0 GROUP BY user_id
 
 
 # =====================================================================
+# Snapshot pruning/evolution, exact OLS, BFS, Python UDTF (round 4)
+# =====================================================================
+
+
+def snapshot_pruned_scan_docs(spark, sf_dir):
+    """Manifest min/max file skipping (Iceberg's lower/upper_bounds) on
+    the snapshot source: documents land in 8 appends bucketed by doc_id
+    range with per-file-set doc_id bounds recorded at commit time, then
+    a range query plans via manifest stats ONLY — the middle-half
+    predicate must keep exactly the 2 matching file sets of 8 (asserted
+    in-query and emitted as gated integer columns). At 10^12 files this
+    planning is O(manifest) with zero parquet-footer I/O; the row-level
+    filter stays on top because skipping is a superset guarantee, never
+    a filter. Values are the exact per-lang aggregates of the range."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    work = tempfile.mkdtemp(prefix="ifs_prune_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        for i in range(8):
+            lo_b, hi_b = i * n // 8, (i + 1) * n // 8
+            table.append(
+                docs.where((F.col("doc_id") >= lo_b) & (F.col("doc_id") < hi_b)),
+                stats_cols=["doc_id"],
+            )
+        lo, hi = n // 4, n // 2 - 1  # exactly file sets 2 and 3 of 0..7
+        df, planned, total = table.read_pruned(spark, "doc_id", lo, hi)
+        assert (planned, total) == (2, 8), (planned, total)
+        out = df.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        rows = out.collect()  # materialize before the tmpdir vanishes
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).select(
+        "*",
+        F.lit(2).cast("long").alias("files_planned"),
+        F.lit(8).cast("long").alias("files_total"),
+    )
+
+
+SNAPSHOT_PRUNED_SQL = """
+WITH bounds AS (SELECT MAX(doc_id) + 1 AS n FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(2 AS BIGINT) AS files_planned, CAST(8 AS BIGINT) AS files_total
+FROM documents, bounds
+WHERE doc_id >= n // 4 AND doc_id <= n // 2 - 1
+GROUP BY lang
+"""
+
+
+def snapshot_schema_evolution_docs(spark, sf_dir):
+    """Add-column schema evolution on the snapshot source: snapshot 1
+    holds the original document columns, snapshot 2 appends rows WITH a
+    new ``quality`` column, and a ``merge_schema`` read of the current
+    snapshot plans the union schema — pre-evolution files read the new
+    column as NULL (Iceberg's add-column contract; no rewrite of old
+    data). The gate pins per-lang counts, the NULL/backfilled split, and
+    the exact sum of the new column over the rows that have it."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="ifs_evolve_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        table.append(docs.where(F.col("doc_id") % 2 == 0))
+        table.append(
+            docs.where(F.col("doc_id") % 2 == 1).withColumn(
+                "quality", (F.col("n_chars") % 7).cast("long")
+            )
+        )
+        cur = table.read(spark, merge_schema=True)
+        assert "quality" in cur.columns
+        out = cur.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("quality").isNull().cast("long")).alias("n_pre_evolution"),
+            F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("sum_quality"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+SNAPSHOT_EVOLUTION_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 ELSE 0 END) AS BIGINT) AS sum_quality
+FROM documents GROUP BY lang
+"""
+
+
+def ols_exact_lineitem(spark, sf_dir):
+    """Closed-form OLS (regression of discount on quantity per return
+    flag) carried as EXACT integer cross-moments: slope = num/den with
+    num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 over integer-valued
+    quantity and discount-in-cents — BIGINT-exact in both engines, no
+    float fold-order anywhere in the gated values. The one float, each
+    engine's NATIVE regr_slope aggregate, is checked against num/den to
+    1e-9 inside that engine and shipped only as a boolean. One scan,
+    map-side partial aggregation, no joins — the normal-equations shape
+    that fits any X^T X at 100 TB (Frequent Directions' exact cousin,
+    fd_embedding_gram)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    agg = li.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.regr_slope(F.col("y").cast("double"), F.col("x").cast("double")).alias("slope"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "flag",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (F.abs(F.col("slope") - num.cast("double") / den.cast("double")) < 1e-9).alias(
+            "native_regr_agrees"
+        ),
+    )
+
+
+OLS_EXACT_SQL = """
+WITH xy AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS slope
+  FROM xy GROUP BY flag)
+SELECT flag, n,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+       ABS(slope - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) < 1e-9
+         AS native_regr_agrees
+FROM m
+"""
+
+
+def bfs_hops_suppliers(spark, sf_dir):
+    """Single-source BFS shortest hops (capped at 3) over the
+    co-supplier graph — suppliers are adjacent when they ship the same
+    part (edges sparsified by a deterministic hash so paths are
+    non-trivial). Spark side: level-synchronous frontier expansion, one
+    broadcast-ready join + min-aggregate per hop, the standard BSP/
+    Pregel iteration shape (hops are a constant, so lineage stays flat
+    — no checkpointing needed, unlike open-ended connected components).
+    Oracle: the SAME shortest-path semantics as a DuckDB WITH RECURSIVE
+    walk with UNION dedup — the first recursive-CTE-vs-iterative-join
+    agreement gate in the suite."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_partkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .where((F.col("a.l_suppkey") * 31 + F.col("b.l_suppkey")) % 97 < 8)
+        .select(F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("t"))
+        .distinct()
+    )
+    edges = edges.persist()
+    src = edges.agg(F.min("s")).first()[0]
+    dist = spark.createDataFrame([(int(src), 0)], "node long, hops int").persist()
+    frontier = dist
+    for h in (1, 2, 3):
+        nbrs = (
+            frontier.join(edges, frontier.node == edges.s)
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+        )
+        nbrs = nbrs.persist()
+        if nbrs.rdd.isEmpty():
+            break
+        dist = dist.union(nbrs).persist()
+        frontier = nbrs
+    out = dist.select("node", F.col("hops").cast("long").alias("hops"))
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+BFS_HOPS_SQL = """
+WITH RECURSIVE parts AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+  FROM parts a JOIN parts b USING (l_partkey)
+  WHERE a.l_suppkey <> b.l_suppkey
+    AND (a.l_suppkey * 31 + b.l_suppkey) % 97 < 8),
+walk(node, d) AS (
+  SELECT (SELECT MIN(s) FROM pairs), 0
+  UNION
+  SELECT p.t, w.d + 1 FROM walk w JOIN pairs p ON p.s = w.node WHERE w.d < 3)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+def udtf_token_explode_docs(spark, sf_dir):
+    """Python UDTF surface (Spark 4's table-function API): a tokenizer
+    UDTF registered and invoked from SQL via LATERAL, exploding each
+    document into (position, token) rows — the user-defined-explode
+    escape hatch for logic ``split``+``posexplode`` can't express.
+    (This gate's tokenizer deliberately CAN be expressed built-in — the
+    point is gating the UDTF machinery itself against that exact
+    semantics; the docstring rule stands: built-ins first, UDTF is the
+    slow path, and at 100 TB a Python UDTF is an Arrow-batched
+    last resort.) Values: per-lang token counts, char mass, and exact
+    sum of token positions — all integers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i, tok
+
+    spark.udtf.register("ifs_tokenize", Tokenize)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(token)) AS BIGINT) AS sum_chars,
+               CAST(SUM(pos) AS BIGINT) AS sum_pos
+        FROM __udtf_docs, LATERAL ifs_tokenize(text)
+        GROUP BY lang
+        """
+    )
+
+
+UDTF_TOKENS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS sum_chars,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM toks GROUP BY lang
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "snapshot_pruned_scan_docs": snapshot_pruned_scan_docs,
+    "snapshot_schema_evolution_docs": snapshot_schema_evolution_docs,
+    "ols_exact_lineitem": ols_exact_lineitem,
+    "bfs_hops_suppliers": bfs_hops_suppliers,
+    "udtf_token_explode_docs": udtf_token_explode_docs,
     "snapshot_incremental_docs": snapshot_incremental_docs,
     "pii_redaction_docs": pii_redaction_docs,
     "char_entropy_docs": char_entropy_docs,
@@ -6991,6 +7263,11 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "snapshot_pruned_scan_docs": SNAPSHOT_PRUNED_SQL,
+    "snapshot_schema_evolution_docs": SNAPSHOT_EVOLUTION_SQL,
+    "ols_exact_lineitem": OLS_EXACT_SQL,
+    "bfs_hops_suppliers": BFS_HOPS_SQL,
+    "udtf_token_explode_docs": UDTF_TOKENS_SQL,
     "snapshot_incremental_docs": SNAPSHOT_INCREMENTAL_SQL,
     "pii_redaction_docs": _pii_sql(),
     "char_entropy_docs": CHAR_ENTROPY_SQL,

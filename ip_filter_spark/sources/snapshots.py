@@ -20,6 +20,16 @@ plain parquet, exactly the mechanism Iceberg's metadata layer provides:
 - **atomic commits**: a snapshot becomes visible only when its manifest
   JSON is renamed into place; a crashed writer leaves data files but no
   manifest, and readers never see them.
+- **min/max file skipping**: ``append(df, stats_cols=[...])`` records
+  per-file-set column bounds in the manifest (Iceberg's per-data-file
+  ``lower_bounds``/``upper_bounds``); ``read_pruned`` plans only the
+  files whose [min, max] intersects the predicate range.  At 10^12
+  files this is what makes a point/range query O(files-that-matter)
+  instead of O(table) — the planning never opens a parquet footer, it
+  reads manifest JSON only.
+- **schema evolution**: later appends may add columns; ``read(...,
+  merge_schema=True)`` plans the union schema and back-fills NULLs for
+  old files, Iceberg's add-column semantics.
 
 Manifests are tiny JSON (file list + parent pointer + row/byte counts) —
 the driver-side cost of planning a scan is O(files-in-snapshot) metadata,
@@ -83,24 +93,39 @@ class SnapshotTable:
         return sids[-1] if sids else 0
 
     # -------------------------------------------------------------- write
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
         """Write ``df`` as a new data file set and commit a new snapshot
         containing parent's files + the new ones.  The commit is the
         atomic rename of the manifest into place (POSIX rename within a
         directory is atomic; Iceberg uses the same trick via its catalog
-        pointer swap)."""
+        pointer swap).
+
+        ``stats_cols`` columns get [min, max] bounds recorded in the
+        manifest for this file set (computed in the same count pass over
+        the written files), enabling ``read_pruned`` file skipping."""
+        from pyspark.sql import functions as F
+
         parent = self.current_snapshot()
         sid = parent + 1
         rel = f"data/{sid}-{uuid.uuid4().hex[:8]}.parquet"
         path = os.path.join(self.table_dir, rel)
         df.write.mode("errorifexists").parquet(path)
-        rows = df.sparkSession.read.parquet(path).count()
-        prev_files = self._read_manifest(parent)["files"] if parent else []
+        written = df.sparkSession.read.parquet(path)
+        aggs = [F.count("*").alias("__n")]
+        for c in stats_cols or []:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = written.agg(*aggs).first()
+        rows = row["__n"]
+        stats = {c: [row[f"__lo_{c}"], row[f"__hi_{c}"]] for c in stats_cols or []}
+        parent_manifest = self._read_manifest(parent) if parent else {}
+        prev_files = parent_manifest.get("files", [])
+        prev_stats = parent_manifest.get("file_stats", {})
         manifest = {
             "sid": sid,
             "parent": parent,
             "files": prev_files + [rel],
             "added_files": [rel],
+            "file_stats": {**prev_stats, **({rel: stats} if stats else {})},
             "rows": rows,
         }
         tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -110,17 +135,55 @@ class SnapshotTable:
         return sid
 
     # --------------------------------------------------------------- read
-    def _scan(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
+    def _scan(
+        self, spark: SparkSession, rel_files: list[str], merge_schema: bool = False
+    ) -> DataFrame:
         paths = [os.path.join(self.table_dir, rel) for rel in rel_files]
         if not paths:
             raise ValueError("empty file list — nothing to scan")
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
-    def read(self, spark: SparkSession, sid: int | None = None) -> DataFrame:
+    def read(
+        self, spark: SparkSession, sid: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Scan snapshot ``sid`` (default: current).  Time travel is just
-        planning over an older manifest's file list."""
+        planning over an older manifest's file list.  ``merge_schema``
+        plans the union schema across file sets (add-column evolution:
+        files written before a column existed read as NULL)."""
         sid = self.current_snapshot() if sid is None else sid
-        return self._scan(spark, self._read_manifest(sid)["files"])
+        return self._scan(spark, self._read_manifest(sid)["files"], merge_schema)
+
+    def plan_pruned(self, col: str, lo, hi, sid: int | None = None) -> tuple[list[str], int]:
+        """Manifest-only planning for ``col BETWEEN lo AND hi``: returns
+        (files whose recorded [min, max] intersects [lo, hi], total file
+        count in the snapshot).  Files with no recorded bounds for
+        ``col`` are conservatively kept (exactly Iceberg's rule for
+        missing column stats).  Zero data/footer I/O — this is the
+        10^12-file planning path."""
+        sid = self.current_snapshot() if sid is None else sid
+        m = self._read_manifest(sid)
+        stats = m.get("file_stats", {})
+        kept = []
+        for rel in m["files"]:
+            b = stats.get(rel, {}).get(col)
+            if b is None or (b[0] is None or b[1] is None) or not (b[1] < lo or b[0] > hi):
+                kept.append(rel)
+        return kept, len(m["files"])
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi, sid: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Scan only the files ``plan_pruned`` keeps, with the row-level
+        predicate applied on top (file skipping is a superset guarantee,
+        never a filter).  Returns (df, files_planned, files_total)."""
+        from pyspark.sql import functions as F
+
+        kept, total = self.plan_pruned(col, lo, hi, sid)
+        df = self._scan(spark, kept).where(F.col(col).between(lo, hi))
+        return df, len(kept), total
 
     def incremental(self, spark: SparkSession, from_sid: int, to_sid: int) -> DataFrame:
         """Scan only files appended in snapshots (from_sid, to_sid] —

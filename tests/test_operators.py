@@ -1346,3 +1346,50 @@ def test_pii_expressions_extract_and_redact(spark):
         F.sum(left["n_email"]).alias("e"), F.sum(left["n_ipv4"]).alias("p")
     ).first()
     assert (agg.e, agg.p) == (0, 0)
+
+
+def test_snapshot_pruning_and_schema_evolution(spark, tmp_path):
+    """Manifest min/max file skipping: a range predicate plans only the
+    file sets whose recorded bounds intersect it, file sets without
+    stats are conservatively kept, boundary-touching sets are kept, and
+    the pruned read returns exactly the filtered rows. Add-column
+    evolution: merge_schema reads back-fill NULL for pre-evolution
+    files."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # three file sets with disjoint k ranges + one without stats
+    t.append(spark.range(0, 10).withColumnRenamed("id", "k"), stats_cols=["k"])
+    t.append(spark.range(10, 20).withColumnRenamed("id", "k"), stats_cols=["k"])
+    t.append(spark.range(20, 30).withColumnRenamed("id", "k"), stats_cols=["k"])
+    t.append(spark.range(100, 103).withColumnRenamed("id", "k"))  # no stats
+
+    # middle range: set 2 matches; the stat-less set is kept conservatively
+    kept, total = t.plan_pruned("k", 12, 15)
+    assert total == 4 and len(kept) == 2
+    df, planned, tot = t.read_pruned(spark, "k", 12, 15)
+    assert (planned, tot) == (2, 4)
+    assert sorted(r.k for r in df.collect()) == [12, 13, 14, 15]
+
+    # boundary touch (hi == set 1's min) keeps set 1
+    kept, _ = t.plan_pruned("k", 5, 10)
+    assert len(kept) == 3  # sets 0, 1 + the stat-less one
+    # fully outside every recorded range: only the stat-less survivor
+    kept, _ = t.plan_pruned("k", 50, 60)
+    assert len(kept) == 1
+
+    # schema evolution: a later append adds a column; merge_schema
+    # back-fills NULL for the older files
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.append(spark.range(0, 5).withColumnRenamed("id", "k"))
+    t2.append(
+        spark.range(5, 8).withColumnRenamed("id", "k").withColumn("q", F.col("k") * 2)
+    )
+    cur = t2.read(spark, merge_schema=True)
+    assert set(cur.columns) == {"k", "q"}
+    rows = {r.k: r.q for r in cur.collect()}
+    assert len(rows) == 8
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == 2 * k for k in range(5, 8))
