@@ -7088,10 +7088,311 @@ FROM toks GROUP BY lang
 """
 
 
+def snapshot_bloom_point_docs(spark, sf_dir):
+    """Bloom-filter file skipping on the snapshot source — the planning
+    min/max bounds CANNOT do: documents land in 8 appends bucketed by
+    ``doc_id % 8`` (every file set's [min, max] spans essentially the
+    whole id domain, so range stats keep 8/8 for any point), each append
+    recording a Bloom sketch of its doc_ids in the manifest
+    (``SnapshotTable.append(bloom_cols=...)``, Iceberg/Parquet's
+    per-file bloom analog built from this repo's own filter kernel).
+    Four point lookups then each plan EXACTLY the 1 true file set of 8
+    via driver-side blob probes (zero data I/O), while the min/max
+    planner is shown keeping all 8; an absent key plans 0 files.  All
+    planning outcomes ship as gated integer columns; FPP is sized at
+    1e-8 per file set so the planned counts are deterministic.  Values
+    are the exact looked-up rows."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    work = tempfile.mkdtemp(prefix="ifs_bloom_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        for i in range(8):
+            table.append(
+                docs.where(F.col("doc_id") % 8 == i),
+                stats_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+        probe_ids = [8, n // 3, n // 2 + 1, n - 9]
+        assert len(set(probe_ids)) == 4 and all(7 <= p <= n - 8 for p in probe_ids)
+        all_rows = []
+        schema = None
+        for pid in probe_ids:
+            df, planned, total = table.read_point(spark, "doc_id", pid)
+            assert (planned, total) == (1, 8), (pid, planned, total)
+            # min/max alone keeps every interleaved file set (bounds are
+            # checked inside plan_point too — here shown in isolation)
+            minmax_kept, _ = table.plan_pruned("doc_id", pid, pid)
+            assert len(minmax_kept) == 8, (pid, len(minmax_kept))
+            out = df.select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.lit(planned).cast("long").alias("files_planned"),
+                F.lit(total).cast("long").alias("files_total"),
+                F.lit(len(minmax_kept)).cast("long").alias("minmax_would_plan"),
+            )
+            schema = out.schema
+            all_rows.extend(out.collect())
+        absent_kept, _ = table.plan_point("doc_id", n + 12345)
+        assert absent_kept == [], absent_kept
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(all_rows, schema).select(
+        "*", F.lit(len(absent_kept)).cast("long").alias("absent_planned")
+    )
+
+
+SNAPSHOT_BLOOM_POINT_SQL = """
+WITH b AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+ids AS (
+  SELECT 8 AS probe_id FROM b
+  UNION ALL SELECT n // 3 FROM b
+  UNION ALL SELECT n // 2 + 1 FROM b
+  UNION ALL SELECT n - 9 FROM b)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(1 AS BIGINT) AS files_planned,
+       CAST(8 AS BIGINT) AS files_total,
+       CAST(8 AS BIGINT) AS minmax_would_plan,
+       CAST(0 AS BIGINT) AS absent_planned
+FROM documents d JOIN ids ON d.doc_id = ids.probe_id
+"""
+
+
+def dgim_sliding_counts_events(spark, sf_dir):
+    """DGIM exponential histogram (Datar–Gionis–Indyk–Motwani, SODA'02)
+    counting each event type's last-7-days activity in O(log² W) state:
+    one sorted pass per type inserts epoch-microsecond timestamps into a
+    ``sketches.dgim.Dgim`` chain (at most k+1 buckets per power-of-two
+    size), then the doubled estimate ``2T + s`` brackets the true count
+    by the DGIM theorem |2C − est2x| ≤ s — an exact integer statement
+    both engines can check, no tail bound, no float.  Gated columns:
+    the exact recent count (full value) plus the bracket and the
+    k-invariant relative bound s·k ≤ max(k, 2C) as booleans.  Spark
+    shape: ONE shuffle (groupBy event_type), per-key state is the
+    bucket chain — kilobytes per key at any window size; the streaming
+    habitat is the same chain under ``applyInPandasWithState``."""
+    import pandas as pd
+
+    from ip_filter_spark.sketches.dgim import Dgim
+
+    K = 8
+    WINDOW_US = 7 * 86400 * 10**6
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # parquet stores TIMESTAMP_NTZ; the cast applies one fixed session
+        # offset, so the micros stay affine in event time (all the DGIM
+        # math needs) and the 7-day cutoff matches the oracle's INTERVAL
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    now_us = ev.agg(F.max("ts_us")).first()[0]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        d = Dgim(k=K)
+        for t in pdf["ts_us"].to_numpy():
+            d.insert(int(t))
+        est2x, unc = d.estimate2x(now_us, WINDOW_US)
+        exact = int((pdf["ts_us"] > now_us - WINDOW_US).sum())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "exact_recent": [exact],
+                "within_uncertainty": [abs(2 * exact - est2x) <= unc],
+                "rel_bound_ok": [unc * K <= max(K, 2 * exact)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        run,
+        schema="event_type string, exact_recent long, within_uncertainty boolean, rel_bound_ok boolean",
+    )
+
+
+DGIM_SLIDING_SQL = """
+WITH m AS (SELECT MAX(ts) AS now_ts FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts > now_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_recent,
+       TRUE AS within_uncertainty,
+       TRUE AS rel_bound_ok
+FROM events, m GROUP BY event_type
+"""
+
+
+def icws_weighted_jaccard_docs(spark, sf_dir):
+    """ICWS weighted MinHash (Ioffe, ICDM 2010) vs exact weighted
+    Jaccard over term-frequency multisets: plain MinHash ignores how
+    often a term repeats; the weighted Jaccard Σmin/Σmax is the
+    similarity a dedup pass over real corpora needs.  Ten document
+    pairs (2i, 2i+1): Spark computes each doc's 128-slot ICWS signature
+    (term digests JVM-side via ``engine.sha256_digest``, the O(F·H)
+    sampler per doc in ``sketches/weighted_minhash.py`` — deterministic
+    splitmix64 streams, so partition layout can't change a signature),
+    estimates J_w as the equal-slot fraction with JVM ``zip_with`` +
+    ``aggregate``, and checks it against the exact Σmin/Σmax computed
+    the same pivot-shaped way as the oracle.  Gated: exact jw_num /
+    jw_den as BIGINTs (full value) + the |est − exact| ≤ 0.25 boolean
+    (5.7σ at H=128 — and deterministic given the fixed seed)."""
+    import pandas as pd
+
+    from ip_filter_spark.engine import sha256_digest
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
+    from ip_filter_spark.sketches.weighted_minhash import icws_signature
+
+    H, SEED = 128, 11
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+
+    piv = tc.groupBy(F.floor(F.col("doc_id") / 2).alias("pair_id"), "term").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, F.col("cnt")).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, F.col("cnt")).otherwise(0)).alias("b"),
+    )
+    exact = piv.groupBy("pair_id").agg(
+        F.sum(F.least("a", "b")).alias("jw_num"),
+        F.sum(F.greatest("a", "b")).alias("jw_den"),
+    )
+
+    tcd = tc.select("doc_id", sha256_digest(F.col("term")).alias("__digest"), "cnt")
+
+    def sig(pdf: pd.DataFrame) -> pd.DataFrame:
+        h64 = fnv1a64(digests_to_matrix(pdf["__digest"]))
+        s = icws_signature(h64, pdf["cnt"].to_numpy(), H, SEED)
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "sig": [s.tolist()]})
+
+    sigs = tcd.groupBy("doc_id").applyInPandas(sig, schema="doc_id long, sig array<long>")
+    a = sigs.where(F.col("doc_id") % 2 == 0).select(
+        F.floor(F.col("doc_id") / 2).alias("pair_id"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.where(F.col("doc_id") % 2 == 1).select(
+        F.floor(F.col("doc_id") / 2).alias("pair_id"), F.col("sig").alias("sig_b")
+    )
+    est = a.join(b, "pair_id").select(
+        "pair_id",
+        (
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(H)
+        ).alias("est"),
+    )
+    return exact.join(est, "pair_id").select(
+        "pair_id",
+        "jw_num",
+        "jw_den",
+        (F.abs(F.col("est") - F.col("jw_num") / F.col("jw_den")) <= 0.25).alias("icws_close"),
+    )
+
+
+ICWS_WEIGHTED_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 20),
+tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+piv AS (SELECT doc_id // 2 AS pair_id, term,
+               SUM(CASE WHEN doc_id % 2 = 0 THEN cnt ELSE 0 END) AS a,
+               SUM(CASE WHEN doc_id % 2 = 1 THEN cnt ELSE 0 END) AS b
+        FROM tc GROUP BY doc_id // 2, term)
+SELECT pair_id, CAST(SUM(LEAST(a, b)) AS BIGINT) AS jw_num,
+       CAST(SUM(GREATEST(a, b)) AS BIGINT) AS jw_den,
+       TRUE AS icws_close
+FROM piv GROUP BY pair_id
+"""
+
+
+def snapshot_upsert_docs(spark, sf_dir):
+    """Copy-on-write MERGE on the snapshot source (Delta/Iceberg CoW):
+    documents land in 4 interleaved appends (``doc_id % 4``) with
+    manifest blooms, then one upsert batch modifies every ``doc_id % 10
+    = 3`` row (+1000 chars) and inserts 5 brand-new rows.  The planner
+    probes the manifest blooms with the batch's keys and rewrites ONLY
+    the 2 file sets that can hold a ``% 10 = 3`` key (ids ≡ 3 (mod 10)
+    fall in buckets 1 and 3 (mod 4)) — O(files-touched) data I/O,
+    asserted and gated as integer columns.  Snapshot isolation is gated
+    too: the pre-upsert snapshot still counts the original rows.
+    Values: exact per-lang aggregates of the post-merge table."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    work = tempfile.mkdtemp(prefix="ifs_upsert_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        for i in range(4):
+            table.append(
+                docs.where(F.col("doc_id") % 4 == i),
+                stats_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+        updates = docs.where(F.col("doc_id") % 10 == 3).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+        inserts = spark.range(5).select(
+            (F.lit(n) + F.col("id")).alias("doc_id"),
+            F.lit("xx").alias("lang"),
+            F.lit(42).cast("long").alias("n_chars"),
+        )
+        sid, rewritten, total = table.merge_upsert(
+            spark,
+            updates.unionByName(inserts),
+            "doc_id",
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+        assert (rewritten, total) == (2, 4), (rewritten, total)
+        pre_rows = table.read(spark, sid=4).count()
+        out = table.read(spark).groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).select(
+        "*",
+        F.lit(rewritten).cast("long").alias("files_rewritten"),
+        F.lit(total).cast("long").alias("files_total"),
+        F.lit(pre_rows).cast("long").alias("pre_upsert_rows"),
+    )
+
+
+SNAPSHOT_UPSERT_SQL = """
+WITH b AS (SELECT MAX(doc_id) + 1 AS n, COUNT(*) AS total FROM documents),
+merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT n + x AS doc_id, 'xx' AS lang, 42 AS n_chars
+  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS x), b)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(2 AS BIGINT) AS files_rewritten,
+       CAST(4 AS BIGINT) AS files_total,
+       (SELECT CAST(total AS BIGINT) FROM b) AS pre_upsert_rows
+FROM merged GROUP BY lang
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "snapshot_upsert_docs": snapshot_upsert_docs,
+    "icws_weighted_jaccard_docs": icws_weighted_jaccard_docs,
+    "dgim_sliding_counts_events": dgim_sliding_counts_events,
+    "snapshot_bloom_point_docs": snapshot_bloom_point_docs,
     "snapshot_pruned_scan_docs": snapshot_pruned_scan_docs,
     "snapshot_schema_evolution_docs": snapshot_schema_evolution_docs,
     "ols_exact_lineitem": ols_exact_lineitem,
@@ -7263,6 +7564,10 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "snapshot_upsert_docs": SNAPSHOT_UPSERT_SQL,
+    "icws_weighted_jaccard_docs": ICWS_WEIGHTED_SQL,
+    "dgim_sliding_counts_events": DGIM_SLIDING_SQL,
+    "snapshot_bloom_point_docs": SNAPSHOT_BLOOM_POINT_SQL,
     "snapshot_pruned_scan_docs": SNAPSHOT_PRUNED_SQL,
     "snapshot_schema_evolution_docs": SNAPSHOT_EVOLUTION_SQL,
     "ols_exact_lineitem": OLS_EXACT_SQL,

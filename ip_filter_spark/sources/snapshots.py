@@ -30,6 +30,25 @@ plain parquet, exactly the mechanism Iceberg's metadata layer provides:
 - **schema evolution**: later appends may add columns; ``read(...,
   merge_schema=True)`` plans the union schema and back-fills NULLs for
   old files, Iceberg's add-column semantics.
+- **Bloom-filter file skipping**: ``append(df, bloom_cols=[...])``
+  builds one of the library's own Bloom sketches per file set per
+  column (distributed build via ``engine.build_and_merge`` — partials
+  per partition, OR-merge — so the blob never funnels row data to the
+  driver) and stores the blob in the manifest; ``read_point`` plans a
+  ``col = value`` lookup by probing each file set's bloom driver-side.
+  This is what min/max bounds cannot do when appends interleave the key
+  space (every file's [min, max] spans the whole domain): the bloom
+  skips all-but-the-matching file sets with FPP chosen at append time.
+  Iceberg and Parquet expose the same mechanism (per-file bloom
+  filters); here it composes the repo's own filter kernel — the
+  reference's ip-filter idea applied to table planning.
+- **copy-on-write MERGE / DELETE**: ``merge_upsert`` and
+  ``delete_where`` rewrite ONLY the file sets that may hold affected
+  keys (planned via the same manifest blooms/stats) and commit a new
+  snapshot whose file list swaps the touched files for their rewritten
+  survivors — O(files-touched) data I/O, never O(table), which is the
+  whole point of CoW at 10^12 files.  Readers pinned to older
+  snapshots keep seeing the pre-upsert rows (snapshot isolation).
 
 Manifests are tiny JSON (file list + parent pointer + row/byte counts) —
 the driver-side cost of planning a scan is O(files-in-snapshot) metadata,
@@ -93,7 +112,13 @@ class SnapshotTable:
         return sids[-1] if sids else 0
 
     # -------------------------------------------------------------- write
-    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 1e-8,
+    ) -> int:
         """Write ``df`` as a new data file set and commit a new snapshot
         containing parent's files + the new ones.  The commit is the
         atomic rename of the manifest into place (POSIX rename within a
@@ -102,37 +127,223 @@ class SnapshotTable:
 
         ``stats_cols`` columns get [min, max] bounds recorded in the
         manifest for this file set (computed in the same count pass over
-        the written files), enabling ``read_pruned`` file skipping."""
+        the written files), enabling ``read_pruned`` file skipping.
+
+        ``bloom_cols`` columns additionally get a Bloom sketch of the
+        file set's key values in the manifest (sized for ``bloom_fpp``
+        at this file set's row count — an upper bound on its distinct
+        count, so the realized FPP is at most ``bloom_fpp``), enabling
+        ``read_point`` skipping.  The build is one extra distributed
+        pass over the just-written delta — O(delta), never O(table)."""
         from pyspark.sql import functions as F
 
         parent = self.current_snapshot()
         sid = parent + 1
+        rel, rows, stats, blooms = self._write_fileset(df, sid, stats_cols, bloom_cols, bloom_fpp)
+        parent_manifest = self._read_manifest(parent) if parent else {}
+        prev_files = parent_manifest.get("files", [])
+        prev_stats = parent_manifest.get("file_stats", {})
+        prev_blooms = parent_manifest.get("file_blooms", {})
+        self._commit(
+            {
+                "sid": sid,
+                "parent": parent,
+                "files": prev_files + [rel],
+                "added_files": [rel],
+                "file_stats": {**prev_stats, **({rel: stats} if stats else {})},
+                "file_blooms": {**prev_blooms, **({rel: blooms} if blooms else {})},
+                "rows": rows,
+            }
+        )
+        return sid
+
+    def _write_fileset(
+        self,
+        df: DataFrame,
+        sid: int,
+        stats_cols: list[str] | None,
+        bloom_cols: list[str] | None,
+        bloom_fpp: float,
+    ) -> tuple[str, int, dict, dict]:
+        """Write one data file set and compute its manifest entries
+        (row count, [min, max] bounds, bloom blobs)."""
+        from pyspark.sql import functions as F
+
         rel = f"data/{sid}-{uuid.uuid4().hex[:8]}.parquet"
         path = os.path.join(self.table_dir, rel)
         df.write.mode("errorifexists").parquet(path)
-        written = df.sparkSession.read.parquet(path)
+        try:
+            written = df.sparkSession.read.parquet(path)
+        except Exception:
+            # an all-rows-filtered write can leave no readable part files
+            return rel, 0, {}, {}
         aggs = [F.count("*").alias("__n")]
         for c in stats_cols or []:
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
         row = written.agg(*aggs).first()
         rows = row["__n"]
         stats = {c: [row[f"__lo_{c}"], row[f"__hi_{c}"]] for c in stats_cols or []}
-        parent_manifest = self._read_manifest(parent) if parent else {}
-        prev_files = parent_manifest.get("files", [])
-        prev_stats = parent_manifest.get("file_stats", {})
-        manifest = {
-            "sid": sid,
-            "parent": parent,
-            "files": prev_files + [rel],
-            "added_files": [rel],
-            "file_stats": {**prev_stats, **({rel: stats} if stats else {})},
-            "rows": rows,
-        }
-        tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+        blooms = {}
+        for c in bloom_cols or []:
+            from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+            spec = SketchSpec("bloom", {"fpp": bloom_fpp, "n": max(int(rows), 1)})
+            sk = build_and_merge(written, [spec], key=c)[spec.key()]
+            blooms[c] = sk.to_bytes().hex()
+        return rel, int(rows), stats, blooms
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path(manifest["sid"]) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, self._manifest_path(sid))
-        return sid
+        os.rename(tmp, self._manifest_path(manifest["sid"]))
+
+    # ----------------------------------------------------- copy-on-write
+    def _plan_touched(self, key_col: str, key_rows: list, m: dict) -> list[str]:
+        """Files that MAY contain any of the given key values, planned
+        from manifest metadata only: [min, max] bounds exclude a file
+        when the whole key batch falls outside; the per-file bloom
+        excludes it when none of the batch's digests hit.  Conservative
+        for files with neither."""
+        from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+        from ip_filter_spark.sketches.registry import from_bytes
+
+        stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
+        digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in key_rows]
+        h64 = fnv1a64(digests_to_matrix(digests)) if digests else None
+        try:
+            kmin, kmax = min(key_rows), max(key_rows)
+        except TypeError:
+            kmin = kmax = None
+        touched = []
+        for rel in m["files"]:
+            b = stats.get(rel, {}).get(key_col)
+            try:
+                if (
+                    kmin is not None
+                    and b is not None
+                    and b[0] is not None
+                    and b[1] is not None
+                    and (kmax < b[0] or kmin > b[1])
+                ):
+                    continue
+            except TypeError:
+                pass
+            blob_hex = blooms.get(rel, {}).get(key_col)
+            if blob_hex is not None and h64 is not None:
+                if not bool(from_bytes(bytes.fromhex(blob_hex)).contains_hashes(h64).any()):
+                    continue
+            touched.append(rel)
+        return touched
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_col: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 1e-8,
+    ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (Delta/Iceberg CoW semantics): rows of
+        ``updates`` replace current rows with the same ``key_col`` value;
+        unmatched keys insert.  Only the file sets that MAY contain an
+        affected key (planned via manifest blooms/bounds — zero data
+        I/O) are rewritten; every other file is carried into the new
+        snapshot untouched, so the data rewritten is O(files-touched),
+        never O(table).  Older snapshots still read the pre-merge rows.
+
+        ``updates`` must carry the table schema and at most one row per
+        key (standard MERGE precondition).  Returns
+        (new sid, files_rewritten, files_total_before).
+
+        Planning collects the update batch's distinct keys to the
+        driver — O(delta), the same metadata the blooms are probed
+        with; at 100 TB the delta is a batch, not the table."""
+        return self._rewrite(spark, updates, key_col, insert=True, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        keys: list,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 1e-8,
+    ) -> tuple[int, int, int]:
+        """Copy-on-write row-level DELETE by key list: rewrites only the
+        file sets that may contain a doomed key.  Returns
+        (new sid, files_rewritten, files_total_before)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        template = self.read(spark).limit(0)
+        updates = spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([StructField(key_col, template.schema[key_col].dataType)]),
+        )
+        for c in template.columns:
+            if c != key_col:
+                updates = updates.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
+        return self._rewrite(spark, updates.select(template.columns), key_col, insert=False, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
+
+    def _rewrite(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_col: str,
+        insert: bool,
+        stats_cols: list[str] | None,
+        bloom_cols: list[str] | None,
+        bloom_fpp: float,
+    ) -> tuple[int, int, int]:
+        parent = self.current_snapshot()
+        if parent == 0:
+            raise ValueError("copy-on-write needs an existing snapshot; use append() first")
+        sid = parent + 1
+        m = self._read_manifest(parent)
+        key_rows = [r[0] for r in updates.select(key_col).distinct().collect()]
+        touched = self._plan_touched(key_col, key_rows, m)
+        new_files = [f for f in m["files"] if f not in set(touched)]
+        added = []
+        file_stats = {k: v for k, v in m.get("file_stats", {}).items() if k not in set(touched)}
+        file_blooms = {k: v for k, v in m.get("file_blooms", {}).items() if k not in set(touched)}
+        rewritten_rows = 0
+        if touched:
+            doomed = updates.select(key_col).distinct()
+            survivors = self._scan(spark, touched).join(doomed, key_col, "left_anti")
+            rel, rows, st, bl = self._write_fileset(survivors, sid, stats_cols, bloom_cols, bloom_fpp)
+            rewritten_rows = rows
+            if rows:
+                new_files.append(rel)
+                added.append(rel)
+                if st:
+                    file_stats[rel] = st
+                if bl:
+                    file_blooms[rel] = bl
+        if insert:
+            rel, rows, st, bl = self._write_fileset(updates, sid, stats_cols, bloom_cols, bloom_fpp)
+            if rows:
+                new_files.append(rel)
+                added.append(rel)
+                if st:
+                    file_stats[rel] = st
+                if bl:
+                    file_blooms[rel] = bl
+            rewritten_rows += rows
+        self._commit(
+            {
+                "sid": sid,
+                "parent": parent,
+                "files": new_files,
+                "added_files": added,
+                "file_stats": file_stats,
+                "file_blooms": file_blooms,
+                "rows": rewritten_rows,
+            }
+        )
+        return sid, len(touched), len(m["files"])
 
     # --------------------------------------------------------------- read
     def _scan(
@@ -184,6 +395,60 @@ class SnapshotTable:
         kept, total = self.plan_pruned(col, lo, hi, sid)
         df = self._scan(spark, kept).where(F.col(col).between(lo, hi))
         return df, len(kept), total
+
+    def plan_point(self, col: str, value, sid: int | None = None) -> tuple[list[str], int]:
+        """Manifest-only planning for ``col = value``: keep a file when
+        its Bloom sketch says maybe-present (or it has no bloom for
+        ``col`` — conservative, like missing min/max stats), further
+        intersected with recorded [min, max] bounds when both exist.
+        Probing hashes the value exactly the way the engine's build path
+        does (sha256 of Spark's canonical string cast, truncated to
+        DIGEST_W, then FNV-1a 64 — ``engine.sha256_digest``'s Python
+        replica), so build and probe agree bit-for-bit.  Zero data I/O:
+        at 10^12 files a point lookup plans in O(files) driver-side blob
+        probes and scans only the handful of maybe-files."""
+        from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+        from ip_filter_spark.sketches.registry import from_bytes
+
+        sid = self.current_snapshot() if sid is None else sid
+        m = self._read_manifest(sid)
+        stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
+        key = value if isinstance(value, (str, bytes)) else str(value)
+        h64 = fnv1a64(digests_to_matrix([key_digest(key)]))
+        kept = []
+        for rel in m["files"]:
+            b = stats.get(rel, {}).get(col)
+            try:
+                if b is not None and b[0] is not None and b[1] is not None and (
+                    value < b[0] or value > b[1]
+                ):
+                    continue
+            except TypeError:
+                pass  # value/bounds not comparable after JSON round-trip: keep
+            blob_hex = blooms.get(rel, {}).get(col)
+            if blob_hex is not None and not bool(from_bytes(bytes.fromhex(blob_hex)).contains_hashes(h64)[0]):
+                continue
+            kept.append(rel)
+        return kept, len(m["files"])
+
+    def read_point(
+        self, spark: SparkSession, col: str, value, sid: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Scan only the files ``plan_point`` keeps, with the row-level
+        equality predicate applied on top (bloom skipping is a superset
+        guarantee — false positives scan and filter to nothing, never a
+        wrong row).  Returns (df, files_planned, files_total); when every
+        file is skipped the DataFrame is a zero-row plan over the
+        snapshot's schema."""
+        from pyspark.sql import functions as F
+
+        sid = self.current_snapshot() if sid is None else sid
+        kept, total = self.plan_point(col, value, sid)
+        if not kept:
+            first = self._read_manifest(sid)["files"][:1]
+            return self._scan(spark, first).where(F.lit(False)), 0, total
+        return self._scan(spark, kept).where(F.col(col) == F.lit(value)), len(kept), total
 
     def incremental(self, spark: SparkSession, from_sid: int, to_sid: int) -> DataFrame:
         """Scan only files appended in snapshots (from_sid, to_sid] —

@@ -1393,3 +1393,101 @@ def test_snapshot_pruning_and_schema_evolution(spark, tmp_path):
     assert len(rows) == 8
     assert all(rows[k] is None for k in range(5))
     assert all(rows[k] == 2 * k for k in range(5, 8))
+
+
+def test_snapshot_bloom_point_skipping(spark, tmp_path):
+    """Bloom manifest skipping: interleaved appends (overlapping
+    [min, max]) where range stats keep everything, bloom planning keeps
+    exactly the true file set; absent keys plan zero files and the
+    zero-row read still carries the snapshot schema; bloom composes
+    with min/max when both are recorded."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(
+            spark.range(0, 40).withColumnRenamed("id", "k").where(F.col("k") % 4 == i),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    # range stats can't discriminate interleaved buckets...
+    kept, total = t.plan_pruned("k", 13, 13)
+    assert (len(kept), total) == (4, 4)
+    # ...the bloom plans exactly the one true file set
+    kept, total = t.plan_point("k", 13)
+    assert (len(kept), total) == (1, 4)
+    df, planned, tot = t.read_point(spark, "k", 13)
+    assert (planned, tot) == (1, 4)
+    assert [r.k for r in df.collect()] == [13]
+    # absent key: zero files planned, zero-row scan with intact schema
+    kept, _ = t.plan_point("k", 999)
+    assert kept == []
+    df, planned, _ = t.read_point(spark, "k", 999)
+    assert planned == 0 and df.columns == ["k"] and df.count() == 0
+    # min/max still composes: a value outside every range is pruned by
+    # bounds alone even though blooms would have to be probed
+    kept, _ = t.plan_point("k", -5)
+    assert kept == []
+    # string keys hash consistently too (Spark cast canonical form)
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.append(
+        spark.createDataFrame([("alpha",), ("beta",)], "name string"),
+        bloom_cols=["name"],
+    )
+    t2.append(
+        spark.createDataFrame([("gamma",), ("delta",)], "name string"),
+        bloom_cols=["name"],
+    )
+    kept, total = t2.plan_point("name", "gamma")
+    assert (len(kept), total) == (1, 2)
+    df, planned, _ = t2.read_point(spark, "name", "gamma")
+    assert planned == 1 and [r.name for r in df.collect()] == ["gamma"]
+
+
+def test_snapshot_copy_on_write_upsert_and_delete(spark, tmp_path):
+    """CoW MERGE/DELETE: only bloom-hit file sets are rewritten (the
+    untouched file names carry over verbatim), updates replace rows by
+    key, inserts land, deletes remove, and readers pinned to an older
+    snapshot keep the pre-merge rows."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for i in range(4):
+        t.append(base.where(F.col("k") % 4 == i), stats_cols=["k"], bloom_cols=["k"])
+    files_before = set(t._read_manifest(4)["files"])
+
+    # upsert keys 5 and 13 (both ≡ 1 mod 4 — ONE file set touched) + a new key 100
+    updates = spark.createDataFrame([(5, -5), (13, -13), (100, -100)], "k long, v long")
+    sid, rewritten, total = t.merge_upsert(
+        spark, updates, "k", stats_cols=["k"], bloom_cols=["k"]
+    )
+    assert (rewritten, total) == (1, 4)
+    files_after = set(t._read_manifest(sid)["files"])
+    assert len(files_before & files_after) == 3  # 3 file sets untouched
+    cur = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(cur) == 41
+    assert (cur[5], cur[13], cur[100]) == (-5, -13, -100)
+    assert cur[9] == 90  # same-bucket survivor intact
+    # snapshot isolation: the pre-merge snapshot reads the old values
+    old = {r.k: r.v for r in t.read(spark, sid=4).collect()}
+    assert old[5] == 50 and 100 not in old and len(old) == 40
+
+    # delete two keys in different buckets -> two file sets rewritten
+    sid2, rewritten2, total2 = t.delete_keys(
+        spark, "k", [100, 2], stats_cols=["k"], bloom_cols=["k"]
+    )
+    assert rewritten2 == 2 and total2 == len(files_after)
+    cur2 = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(cur2) == 39 and 100 not in cur2 and 2 not in cur2
+    assert cur2[5] == -5
+    # absent-key delete touches nothing
+    sid3, rewritten3, _ = t.delete_keys(spark, "k", [9999])
+    assert rewritten3 == 0
+    assert t.read(spark, sid=sid3).count() == 39

@@ -775,3 +775,74 @@ def test_cms_conservative_bounds_merge_and_determinism():
     perm = rng.permutation(len(h))
     again = CountMinSketch(width=97, depth=4, conservative=True).update_hashes(h[perm])
     assert (again.table == con.table).all()
+
+
+def test_dgim_bracket_and_invariants():
+    """DGIM: the doubled-estimate bracket |2C - est2x| <= s holds at
+    every prefix and window against a brute-force count; at most k+1
+    buckets per size; chain stays O(log^2) of the window count."""
+    from collections import Counter
+
+    from ip_filter_spark.sketches.dgim import Dgim
+
+    # deterministic bursty arrivals: gaps cycle 1..7 with occasional 50s
+    ts, t = [], 0
+    for i in range(3000):
+        t += 50 if i % 97 == 0 else (i % 7) + 1
+        ts.append(t)
+
+    for k in (1, 2, 8):
+        d = Dgim(k=k)
+        for i, x in enumerate(ts):
+            d.insert(x)
+            sizes = Counter(b[0] for b in d.buckets)
+            assert all(c <= k + 1 for c in sizes.values()), (k, i, sizes)
+            # sizes non-decreasing with age (newest-first chain)
+            ss = [b[0] for b in d.buckets]
+            assert ss == sorted(ss), ss
+            if i % 251 == 0:
+                for w in (5, 40, 300, 10**9):
+                    est2x, unc = d.estimate2x(x, w)
+                    exact = sum(1 for y in ts[: i + 1] if y > x - w)
+                    assert abs(2 * exact - est2x) <= unc, (k, i, w, exact, est2x, unc)
+                    assert unc * k <= max(k, 2 * exact), (k, i, w, exact, unc)
+        # expire keeps the estimate identical for the expired window
+        est_before = d.estimate2x(ts[-1], 500)
+        d.expire(ts[-1], 500)
+        assert d.estimate2x(ts[-1], 500) == est_before
+        assert d.n_buckets <= 2 * (k + 1) * (len(bin(len(ts))) + 2)
+
+
+def test_icws_weighted_minhash_estimates_weighted_jaccard():
+    """ICWS: equal-slot fraction tracks exact weighted Jaccard within
+    sampling error; signatures are deterministic and invariant to
+    feature order (partition-layout independence)."""
+    import numpy as np
+
+    from ip_filter_spark.sketches.weighted_minhash import icws_estimate, icws_signature
+
+    rng = np.random.default_rng(7)
+    errs = []
+    for _ in range(8):
+        n = int(rng.integers(5, 60))
+        keys = rng.integers(0, 2**63, size=n).astype(np.uint64)
+        wa = rng.integers(1, 9, size=n).astype(float)
+        wb = wa.copy()
+        mask = rng.random(n) < 0.4
+        wb[mask] = rng.integers(0, 9, size=int(mask.sum()))
+        exact = float(np.minimum(wa, wb).sum() / np.maximum(wa, wb).sum())
+        sa = icws_signature(keys, wa, 256, seed=3)
+        sb = icws_signature(keys[wb > 0], wb[wb > 0], 256, seed=3)
+        errs.append(abs(icws_estimate(sa, sb) - exact))
+    assert max(errs) < 0.12, errs
+
+    # determinism + permutation invariance
+    s1 = icws_signature(keys, wa, 64, seed=3)
+    assert np.array_equal(s1, icws_signature(keys, wa, 64, seed=3))
+    p = rng.permutation(len(keys))
+    assert np.array_equal(s1, icws_signature(keys[p], wa[p], 64, seed=3))
+    # identical sets collide on every slot; zero-weight features ignored
+    assert icws_estimate(s1, s1) == 1.0
+    wz = np.concatenate([wa, [0.0]])
+    kz = np.concatenate([keys, [np.uint64(123)]])
+    assert np.array_equal(s1, icws_signature(kz, wz, 64, seed=3))
