@@ -7385,10 +7385,111 @@ FROM merged GROUP BY lang
 """
 
 
+def stream_dgim_equivalence(spark, sf_dir):
+    """Streaming DGIM under the hard gate: a 6-slice time-ordered replay
+    of events feeds ``streaming/dgim_stream.py`` — one
+    ``applyInPandasWithState`` bucket chain per event type, state
+    O(log² W) per key, ``expire`` after every batch so the chain never
+    buffers window events.  Gated FULL-VALUE: the exact 7-day count per
+    type (same oracle as the batch DGIM gate) plus five booleans — the
+    bracket theorem |2C − est2x| ≤ s on the STREAMED chain, the
+    k-invariant bound, exactly-once ingestion (inserted == total rows
+    per key), ≥2 real micro-batches, and the operator's own
+    ``in_order`` high-water-mark flag (True — the replay slices arrive
+    in time order; a violation fails loudly instead of silently
+    degrading).  Output rows travel via per-batch parquet stores, never
+    a driver collect."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from ip_filter_spark.streaming.dgim_stream import stream_dgim_recent
+
+    K = 8
+    WINDOW_US = 7 * 86400 * 10**6
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    now_us = ev.agg(F.max("ts_us")).first()[0]
+    work = _stream_scratch("dgim", sf_dir)
+    try:
+        src = f"{work}/src"
+        evn = ev.withColumn("rn", F.row_number().over(Window.orderBy("ts_us", "event_id")))
+        total = evn.count()
+        for i in range(6):
+            lo_r, hi_r = i * total // 6, (i + 1) * total // 6
+            evn.where((F.col("rn") > lo_r) & (F.col("rn") <= hi_r)).drop("rn").coalesce(
+                1
+            ).write.parquet(f"{src}/s{i:02d}")
+        stream = (
+            # glob: slices live one-per-subdir (s00..s05) so each keeps its
+            # own _SUCCESS; FileStreamSource does not recurse without it.
+            # Order = (mtime, path): slices are written sequentially and
+            # s00 < s01 < ... lexically, so replay order is time order.
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/s*")
+        )
+        out = stream_dgim_recent(stream, "event_type", "ts_us", int(now_us), WINDOW_US, k=K)
+
+        def handle_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{work}/out/batch_id={int(batch_id)}")
+
+        q = (
+            out.writeStream.foreachBatch(handle_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow DGIM stream did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    emitted = spark.read.parquet(f"{work}/out")
+    w = Window.partitionBy("key").orderBy(F.desc("n_batches"))
+    final = (
+        emitted.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1).drop("__r")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("ts_us") > now_us - WINDOW_US).cast("long")).alias("exact_recent"),
+    )
+    return exact.join(final, exact.event_type == final.key).select(
+        "event_type",
+        "exact_recent",
+        (F.abs(2 * F.col("exact_recent") - F.col("est2x")) <= F.col("uncertainty")).alias(
+            "within_uncertainty"
+        ),
+        (
+            F.col("uncertainty") * K
+            <= F.greatest(F.lit(K).cast("long"), 2 * F.col("exact_recent"))
+        ).alias("rel_bound_ok"),
+        (F.col("inserted") == F.col("n_rows")).alias("ingested_exactly_once"),
+        (F.col("n_batches") >= 2).alias("multi_batch"),
+        "in_order",
+    )
+
+
+STREAM_DGIM_SQL = """
+WITH m AS (SELECT MAX(ts) AS now_ts FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts > now_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_recent,
+       TRUE AS within_uncertainty, TRUE AS rel_bound_ok,
+       TRUE AS ingested_exactly_once, TRUE AS multi_batch, TRUE AS in_order
+FROM events, m GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "stream_dgim_equivalence": stream_dgim_equivalence,
     "snapshot_upsert_docs": snapshot_upsert_docs,
     "icws_weighted_jaccard_docs": icws_weighted_jaccard_docs,
     "dgim_sliding_counts_events": dgim_sliding_counts_events,
@@ -7564,6 +7665,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "stream_dgim_equivalence": STREAM_DGIM_SQL,
     "snapshot_upsert_docs": SNAPSHOT_UPSERT_SQL,
     "icws_weighted_jaccard_docs": ICWS_WEIGHTED_SQL,
     "dgim_sliding_counts_events": DGIM_SLIDING_SQL,

@@ -350,3 +350,70 @@ def test_stream_cdc_snapshot_idempotent_and_pruned(spark, tmp_path):
     run("ckpt2")  # full replay into the same store
     got2 = sorted(map(tuple, latest_snapshot(spark, snaps).collect()))
     assert got2 == want
+
+
+def test_stream_dgim_matches_batch_and_flags_order(spark, tmp_path):
+    """Streaming DGIM: bracket theorem holds on the streamed chain, state
+    carries across micro-batches (n_batches > 1), ingestion is counted
+    exactly once, and a replay that violates time order flips the
+    operator's in_order flag instead of failing silently."""
+    import json
+
+    import pandas as pd
+
+    from ip_filter_spark.sketches.dgim import Dgim
+    from ip_filter_spark.streaming.dgim_stream import stream_dgim_recent
+
+    K, WINDOW, NOW = 4, 1000, 10_000
+    rows = [("a", NOW - 3000 + 7 * i) for i in range(500)] + [
+        ("b", NOW - 900 + 2 * i) for i in range(300)
+    ]
+
+    def run(order, name):
+        src = str(tmp_path / f"src_{name}")
+        data = sorted(rows, key=lambda r: r[1], reverse=(order == "desc"))
+        third = len(data) // 3
+        for i in range(3):
+            pdf = pd.DataFrame(data[i * third : (i + 1) * third if i < 2 else len(data)],
+                               columns=["key", "ts_us"])
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/s{i}")
+        stream = (
+            spark.readStream.schema("key string, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/s*")
+        )
+        out = stream_dgim_recent(stream, "key", "ts_us", NOW, WINDOW, k=K)
+        sink = str(tmp_path / f"out_{name}")
+
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, i: b.write.mode("overwrite").parquet(f"{sink}/b={int(i)}")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        emitted = spark.read.parquet(sink).toPandas()
+        return emitted.sort_values("n_batches").groupby("key").last().reset_index()
+
+    final = run("asc", "ord").set_index("key")
+    exact = {"a": sum(1 for k, t in rows if k == "a" and t > NOW - WINDOW),
+             "b": sum(1 for k, t in rows if k == "b" and t > NOW - WINDOW)}
+    # n_batches counts micro-batches the KEY received rows in: "a" spans
+    # all 3 slices; "b"'s timestamps all land in the later two.
+    for k, want_batches in (("a", 3), ("b", 2)):
+        r = final.loc[k]
+        assert bool(r["in_order"]) is True
+        assert int(r["n_batches"]) == want_batches
+        assert int(r["inserted"]) == sum(1 for kk, _ in rows if kk == k)
+        assert abs(2 * exact[k] - int(r["est2x"])) <= int(r["uncertainty"])
+        # state bound: replay the same chain serially and check O(k log W) size
+        d = Dgim(k=K)
+        for _, t in sorted((r2 for r2 in rows if r2[0] == k), key=lambda r2: r2[1]):
+            d.insert(t)
+        assert len(json.dumps(d.buckets)) < 64 * (K + 1) * 24
+
+    disordered = run("desc", "rev").set_index("key")
+    assert not bool(disordered.loc["a"]["in_order"])
