@@ -365,6 +365,63 @@ def build_keyed_sketches(
     )
 
 
+def build_with_deletions(
+    inserts: DataFrame,
+    deletes: DataFrame,
+    spec: SketchSpec,
+    key,
+    shards: int = 32,
+) -> Sketch:
+    """Distributed build of a DELETABLE membership sketch (cuckoo filter,
+    counting Bloom) when the deletions are a DataFrame, not a blob.
+
+    CBF deletion is linear (blob subtraction — see
+    ``cbf_deletion_membership``), but a cuckoo filter must see the key of
+    every deletion. The scale shape: tag inserts +1 / deletes −1, shuffle
+    BOTH streams once on a key-hash shard, and let each shard task build
+    its filter then apply its deletions locally — a delete always lands in
+    the shard that inserted its key (same digest → same shard), so no
+    cross-shard coordination and no keys to the driver. Only O(shards)
+    blobs leave the executors; the deterministic shard-ordered merge
+    re-inserts fingerprints (placement-history-dependent, so byte-identity
+    across shard counts is NOT promised — membership answers are).
+
+    Deletions must be keys actually inserted (standard cuckoo/CBF
+    contract); a never-inserted delete raises inside its shard task."""
+    kc = F.col(key) if isinstance(key, str) else key
+    proj_i = inserts.select(sha256_digest(_hashable(inserts, kc)).alias(DIGEST_COL)).withColumn(
+        "__op", F.lit(1)
+    )
+    proj_d = deletes.select(sha256_digest(_hashable(deletes, kc)).alias(DIGEST_COL)).withColumn(
+        "__op", F.lit(-1)
+    )
+    u = proj_i.unionByName(proj_d).withColumn(
+        "__shard", ((F.xxhash64(DIGEST_COL) % shards + shards) % shards).cast("int")
+    )
+    name, params = spec.sketch, spec.params
+    schema = StructType(
+        [StructField("shard", IntegerType(), False), StructField("payload", BinaryType(), False)]
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make_sketch(name, **params)
+        ins = pdf[pdf["__op"] == 1]
+        if len(ins):
+            sk.update_hashes(fnv1a64(digests_to_matrix(ins[DIGEST_COL])))
+        dels = pdf[pdf["__op"] == -1]
+        if len(dels):
+            deleter = getattr(sk, "delete_hashes", None) or getattr(sk, "remove_hashes")
+            deleter(fnv1a64(digests_to_matrix(dels[DIGEST_COL])))
+        return pd.DataFrame({"shard": [int(pdf["__shard"].iloc[0])], "payload": [sk.to_bytes()]})
+
+    rows = u.groupBy("__shard").applyInPandas(build_shard, schema=schema).collect()
+    rows.sort(key=lambda r: r.shard)
+    merged = from_bytes(rows[0].payload)
+    for r in rows[1:]:
+        merged = merged.merge(from_bytes(r.payload))
+    return merged
+
+
 def rollup_keyed_sketches(
     df: DataFrame,
     spec: SketchSpec,

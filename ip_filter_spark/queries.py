@@ -2142,6 +2142,59 @@ FROM events WHERE event_type <> 'error' GROUP BY user_id
 """
 
 
+def cuckoo_deletion_membership(spark, sf_dir):
+    """Cuckoo-filter key retraction (Fan et al. CoNEXT'14) — the third
+    regime in the membership family beside Bloom (no deletes) and
+    counting Bloom (counter blobs): fingerprint slots delete per key at
+    roughly half CBF's space for the same FPR. A cuckoo filter stores
+    SETS (a key has at most 2·bucket_size tabled copies — the structure
+    is the wrong tool for heavy multisets, which is CBF's regime and is
+    documented as such), so the gate models the north rule's "is this
+    content hash still present": insert each DISTINCT user once, then
+    retract a deterministic third of them (user_id % 3 == 0 — non-vacuous
+    at every sf; "users whose events are ALL errors" is an empty set on
+    this synthetic data). Unlike CBF, deletion
+    is NOT blob subtraction — each delete must locate its fingerprint —
+    so the distributed shape is ``engine.build_with_deletions``: inserts
+    (+1) and deletes (−1) shuffle ONCE on a digest-hash shard, each
+    shard task builds then deletes locally (a delete always lands in its
+    insert's shard — same digest, same shard), and only O(shards) blobs
+    leave the executors for the deterministic merge. A surviving user is
+    never retracted, so ``still_contained`` is structural (zero false
+    negatives under deletion ⊆ insertion — holds through the overflow
+    path too), full-value per user; the in-query assert pins the exact
+    post-retraction cardinality."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_with_deletions, probe_membership
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    n_users = users.count()  # size the table for the distinct-key set
+    spec = SketchSpec("cuckoo", {"n": max(64, int(n_users)), "fp_bits": 16})
+    cf = build_with_deletions(
+        users,
+        users.where(F.col("user_id") % 3 == 0),
+        spec,
+        key="user_id",
+        shards=16,
+    )
+    remaining = (
+        ev.where(F.col("user_id") % 3 != 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_remaining"))
+    )
+    # exact set accounting survived the sharded build+retract
+    assert cf.n_items == remaining.count(), "cuckoo shard build/retract lost keys"
+    probed = probe_membership(remaining, "user_id", cf, out_col="still_contained")
+    return probed.select("user_id", "exact_remaining", "still_contained")
+
+
+CUCKOO_DELETION_SQL = """
+SELECT user_id, COUNT(*) AS exact_remaining, TRUE AS still_contained
+FROM events WHERE user_id % 3 <> 0 GROUP BY user_id
+"""
+
+
 def minhash_corpus_signature(spark, sf_dir):
     """Corpus-level MinHash: the merge algebra must be partitioning-
     invariant — building over 4 partitions and over 13 partitions must
@@ -7622,6 +7675,7 @@ QUERIES = {
     "bloom_membership": bloom_membership,
     "cbf_duplicate_counts": cbf_duplicate_counts,
     "cbf_deletion_membership": cbf_deletion_membership,
+    "cuckoo_deletion_membership": cuckoo_deletion_membership,
     "minhash_corpus_signature": minhash_corpus_signature,
     "multimodal_features": multimodal_features,
     "mg_top_langs": mg_top_langs,
@@ -7797,6 +7851,7 @@ ORACLES = {
     "bloom_membership": BLOOM_SQL,
     "cbf_duplicate_counts": CBF_SQL,
     "cbf_deletion_membership": CBF_DELETION_SQL,
+    "cuckoo_deletion_membership": CUCKOO_DELETION_SQL,
     "minhash_corpus_signature": MINHASH_CORPUS_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "mg_top_langs": MG_TOP_LANGS_SQL,

@@ -7,6 +7,7 @@ from ip_filter_spark.sketches.bloom import BloomFilter
 from ip_filter_spark.sketches.cms import CountMinSketch
 from ip_filter_spark.sketches.counting_bloom import CountingBloomFilter
 from ip_filter_spark.sketches.countsketch import CountSketch
+from ip_filter_spark.sketches.cuckoo import CuckooFilter
 from ip_filter_spark.sketches.ddsketch import DDSketch
 from ip_filter_spark.sketches.frequent_directions import FrequentDirections
 from ip_filter_spark.sketches.hll import HyperLogLog
@@ -24,6 +25,7 @@ REGISTRY: dict[str, type[Sketch]] = {
         HyperLogLog,
         CountMinSketch,
         CountSketch,
+        CuckooFilter,
         KLLSketch,
         DDSketch,
         TDigest,

@@ -261,3 +261,22 @@ def test_rollup_scans_input_exactly_once(spark):
     rolled.collect()
     rolled.collect()  # repeat actions must not rescan either
     assert acc.value == n, acc.value
+
+
+def test_build_with_deletions_cuckoo_and_cbf(spark):
+    """Sharded insert/delete build: a delete co-shards with its insert
+    (same digest), so shard-local deletion is exact. Cuckoo exercises
+    delete_hashes; CBF exercises the remove_hashes fallback."""
+    from ip_filter_spark.engine import SketchSpec, build_with_deletions
+    from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+
+    ins = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    dels = spark.createDataFrame([(f"k{i}",) for i in range(0, 500, 2)], "key string")
+    kept = fnv1a64(digests_to_matrix([key_digest(f"k{i}") for i in range(1, 500, 2)]))
+    gone = fnv1a64(digests_to_matrix([key_digest(f"k{i}") for i in range(0, 500, 2)]))
+    for spec in (SketchSpec("cuckoo", {"n": 600}), SketchSpec("cbf", {"fpp": 1e-4, "n": 600})):
+        sk = build_with_deletions(ins, dels, spec, key="key", shards=8)
+        assert sk.n_items == 250, spec.sketch
+        assert sk.contains_hashes(kept).all(), spec.sketch
+        # deleted keys answer like absent keys: FPR-bounded, not certain
+        assert int(sk.contains_hashes(gone).sum()) <= 25, spec.sketch

@@ -846,3 +846,95 @@ def test_icws_weighted_minhash_estimates_weighted_jaccard():
     wz = np.concatenate([wa, [0.0]])
     kz = np.concatenate([keys, [np.uint64(123)]])
     assert np.array_equal(s1, icws_signature(kz, wz, 64, seed=3))
+
+
+def _h64(keys):
+    import numpy as np
+
+    from ip_filter_spark.sketches.hashing import fnv1a64, sha256_bytes
+
+    digs = np.frombuffer(
+        b"".join(sha256_bytes(str(k).encode()) for k in keys), dtype=np.uint8
+    ).reshape(len(keys), 32)
+    return fnv1a64(digs)
+
+
+def test_cuckoo_membership_deletion_and_fpr():
+    import numpy as np
+
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.cuckoo import CuckooFilter
+
+    present = _h64([f"in-{i}" for i in range(5000)])
+    absent = _h64([f"out-{i}" for i in range(20000)])
+    cf = CuckooFilter(n=6000).update_hashes(present)
+    # structural: zero false negatives
+    assert cf.contains_hashes(present).all()
+    # FPR within the 2b/2^f bound (deterministic seeds; 3x slack + additive)
+    fp = int(cf.contains_hashes(absent).sum())
+    assert fp <= 3 * cf.fpr_bound() * len(absent) + 10
+    # delete half the inserted keys: remaining still contained, deleted mostly gone
+    cf.delete_hashes(present[:2500])
+    assert cf.contains_hashes(present[2500:]).all()
+    ghosts = int(cf.contains_hashes(present[:2500]).sum())
+    assert ghosts <= 3 * cf.fpr_bound() * 2500 + 10
+    # deleting a never-inserted key raises instead of corrupting
+    with pytest.raises(ValueError):
+        CuckooFilter(n=64).update_hashes(_h64(["a"])).delete_hashes(_h64(["zz"]))
+    # blob roundtrip preserves every answer bit
+    rt = from_bytes(cf.to_bytes())
+    assert (rt.contains_hashes(absent) == cf.contains_hashes(absent)).all()
+    assert (rt.contains_hashes(present) == cf.contains_hashes(present)).all()
+    assert rt.n_items == cf.n_items
+
+
+def test_cuckoo_merge_preserves_no_false_negatives():
+    import numpy as np
+
+    from ip_filter_spark.sketches.cuckoo import CuckooFilter
+
+    keys = _h64([f"k{i}" for i in range(8000)])
+    parts = [CuckooFilter(n=9000) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_hashes(keys[i::4])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.contains_hashes(keys).all()
+    assert merged.n_items == 8000
+    # multiset deletion survives the merge path
+    merged.delete_hashes(keys)
+    absent = _h64([f"probe{i}" for i in range(10000)])
+    assert int(merged.contains_hashes(absent).sum()) <= 3 * merged.fpr_bound() * 10000 + 10
+
+
+def test_cuckoo_overflow_path_keeps_one_sided_guarantee():
+    from ip_filter_spark.sketches import from_bytes
+    from ip_filter_spark.sketches.cuckoo import CuckooFilter
+
+    # force a tiny table (nb*b slots << keys): kicks exhaust, overflow absorbs
+    keys = _h64([f"x{i}" for i in range(600)])
+    cf = CuckooFilter(n=64, max_kicks=20).update_hashes(keys)
+    assert len(cf.overflow) > 0
+    assert cf.contains_hashes(keys).all()
+    rt = from_bytes(cf.to_bytes())
+    assert rt.contains_hashes(keys).all()
+    # overflow entries are deletable too
+    cf.delete_hashes(keys)
+    assert cf.n_items == 0
+
+
+def test_cuckoo_insert_after_delete_keeps_survivors():
+    """Regression: deletion leaves holes mid-bucket; later placements must
+    fill actual empty slots, never overwrite live fingerprints."""
+    from ip_filter_spark.sketches.cuckoo import CuckooFilter
+
+    a = _h64([f"a{i}" for i in range(3000)])
+    b = _h64([f"b{i}" for i in range(3000)])
+    cf = CuckooFilter(n=7000).update_hashes(a)
+    cf.delete_hashes(a[::3])
+    cf.update_hashes(b)  # placements into a hole-riddled table
+    survivors = np.concatenate([a[1::3], a[2::3]])
+    assert cf.contains_hashes(survivors).all()
+    assert cf.contains_hashes(b).all()
+    assert cf.n_items == 5000
