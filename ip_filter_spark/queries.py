@@ -4819,6 +4819,86 @@ FROM documents GROUP BY lang
 """
 
 
+def hash_split_docs(spark, sf_dir):
+    """Deterministic train/val/test split — the first operator of every
+    training-data pipeline. Assignment must be a pure function of
+    CONTENT (never row order, partitioning, or cluster size) so reruns,
+    backfills and incremental ingests route each document identically
+    and held-out sets stay held out across corpus rebuilds: bucket =
+    first 8 hex chars of sha256(text) mod 100 → <80 train, <90 val,
+    else test. Pure JVM expressions (sha2 + conv), embarrassingly
+    parallel — the only shuffle is the tiny stats groupBy. Gated
+    full-value per (split, lang): doc count, char sum, distinct
+    sources."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+HASH_SPLIT_SQL = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM (SELECT lang, source, n_chars,
+             CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) % 100 AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing — the training-data op after tokenize:
+    concatenate documents into fixed-token-budget packs so no GPU batch
+    pads. Deterministic contiguous packing in doc_id order: global
+    running token total via ``distributed_prefix_sum`` (two-phase scan
+    with boundary literals — NOT the single-partition global window,
+    which is a driver-wall at scale; this gate is the operator's
+    second consumer beside the cumulative-new-users gate), then
+    pack_id = cum_exclusive div BUDGET. A document never splits, so a
+    pack exceeds the budget by less than its own largest member —
+    gated per pack as ``within_slack`` alongside full-value doc and
+    token counts; the oracle replays the identical window algebra."""
+    budget = 2048
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""))
+    base = d.select("doc_id", n_tok.cast("long").alias("n_tok"))
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    cum = distributed_prefix_sum(base, "doc_id", "n_tok", out_col="cum")
+    packed = cum.withColumn("pack_id", F.expr(f"(cum - n_tok) div {budget}"))
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        (F.sum("n_tok") < budget + F.max("n_tok")).alias("within_slack"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_excl FROM t
+)
+SELECT CAST(cum_excl // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       (SUM(n_tok) < 2048 + MAX(n_tok)) AS within_slack
+FROM c GROUP BY 1
+"""
+
+
 def full_outer_user_reconcile(spark, sf_dir):
     """FULL OUTER reconciliation — the one join type no other gate
     exercises: per-user click stats vs purchase stats, keeping users who
@@ -7606,6 +7686,8 @@ QUERIES = {
     "daily_anomalies_events": daily_anomalies_events,
     "chunk_docs_for_rag": chunk_docs_for_rag,
     "bpe_token_stats_docs": bpe_token_stats_docs,
+    "hash_split_docs": hash_split_docs,
+    "pack_sequences_docs": pack_sequences_docs,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
     "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -7783,6 +7865,8 @@ ORACLES = {
     "daily_anomalies_events": DAILY_ANOMALIES_SQL,
     "chunk_docs_for_rag": CHUNK_DOCS_SQL,
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
+    "hash_split_docs": HASH_SPLIT_SQL,
+    "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "grouping_sets_order_stats": GROUPING_SETS_SQL,
