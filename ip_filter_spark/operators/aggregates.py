@@ -56,7 +56,7 @@ def salted_group_stats(
 
 def distributed_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str] | tuple[str, ...],
     value_col: str,
     out_col: str = "cum",
     num_buckets: int | None = None,
@@ -85,17 +85,25 @@ def distributed_prefix_sum(
     num_buckets-row offset window. Quantile boundaries keep buckets
     balanced, so no task sees more than ~|df|/num_buckets rows.
 
-    ``order_col`` must be globally unique (ties would make any engine's
-    running sum ill-defined — same contract as SQL ``SUM() OVER (ORDER
-    BY ...)`` reproducibility).
+    ``order_col`` may be one column name or a list: the COMBINATION must
+    be globally unique (ties would make any engine's running sum
+    ill-defined — same contract as SQL ``SUM() OVER (ORDER BY ...)``
+    reproducibility). With a composite key, quantile boundaries come
+    from the FIRST column only — rows tying on it always land in the
+    same bucket (assignment reads just that value), so the within-bucket
+    window ordering by the full composite still yields the exact global
+    order without needing a single sortable surrogate (which would risk
+    overflow when packing wide columns into one BIGINT).
     """
     from pyspark.sql import Window
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    lead = order_cols[0]
     spark = df.sparkSession
     n = int(num_buckets or spark.sparkContext.defaultParallelism)
     qs = [i / n for i in range(1, n)]
     bounds = (
-        df.select(F.percentile_approx(order_col, qs, 10_000).alias("b")).first()["b"]
+        df.select(F.percentile_approx(lead, qs, 10_000).alias("b")).first()["b"]
         if n > 1
         else []
     )
@@ -104,7 +112,7 @@ def distributed_prefix_sum(
     uniq = sorted(set(bounds or []))
     if uniq:
         barr = F.array(*[F.lit(b) for b in uniq])
-        bucket = F.size(F.filter(barr, lambda b: b < F.col(order_col)))
+        bucket = F.size(F.filter(barr, lambda b: b < F.col(lead)))
     else:
         bucket = F.lit(0)
     t = df.withColumn("__bucket", bucket)
@@ -116,11 +124,58 @@ def distributed_prefix_sum(
     )
     w_local = (
         Window.partitionBy("__bucket")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         t.join(F.broadcast(offsets), "__bucket")
         .withColumn(out_col, F.sum(F.col(value_col)).over(w_local) + F.col("__offset"))
         .drop("__bucket", "__offset")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str | list[str] | tuple[str, ...],
+    k: int,
+    out_col: str = "tile",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """ANSI ``NTILE(k)`` without the single-partition global window.
+
+    Spark's own ``ntile`` over ``Window.orderBy(...)`` with no
+    partitionBy funnels every row through ONE task — the same driver
+    wall ``distributed_prefix_sum`` exists to avoid. This computes the
+    identical tile assignment distributed: the global 1-based rank is a
+    prefix sum of ones (two-phase scan, parallel in num_buckets), and
+    the tile follows from (rank, n) alone via NTILE's exact size
+    discipline — with q = n div k and rem = n mod k, tiles 1..rem hold
+    q+1 rows and the rest hold q:
+
+        rank <= rem*(q+1):  tile = (rank-1) div (q+1) + 1
+        else:               tile = rem + 1 + (rank - rem*(q+1) - 1) div q
+
+    The else-branch's q is never 0 when reached (n < k puts every row
+    under the cutoff). Same contract as the prefix sum: the order-column
+    combination must be globally unique, i.e. the caller supplies the
+    deterministic tie-break NTILE reproducibility needs anyway.
+    """
+    ranked = distributed_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        order_col,
+        "__one",
+        out_col="__rank",
+        num_buckets=num_buckets,
+    ).drop("__one")
+    n_row = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    tile = F.expr(
+        f"CASE WHEN __rank <= (__n % {k}) * (__n div {k} + 1) "
+        f"THEN (__rank - 1) div (__n div {k} + 1) + 1 "
+        f"ELSE (__n % {k}) + 1 + "
+        f"(__rank - (__n % {k}) * (__n div {k} + 1) - 1) div (__n div {k}) END"
+    )
+    return (
+        ranked.crossJoin(n_row)
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__rank", "__n")
     )

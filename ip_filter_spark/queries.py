@@ -7618,6 +7618,178 @@ FROM events, m GROUP BY event_type
 """
 
 
+def densify_daily_counts_events(spark, sf_dir):
+    """Calendar gap-filling (time-series densification) — the reporting
+    op every dashboard needs: a day with zero events must appear as an
+    explicit zero row, and any trailing-window aggregate computed over
+    the SPARSE series is silently wrong wherever gaps exist (6 physical
+    predecessor rows are not 6 calendar days). Dense calendar = distinct
+    types × explode(sequence(lo, hi)) — both sides post-aggregation
+    tiny, so the cross join and the left join back onto the daily
+    series broadcast; the heavy input is touched once by the groupBy.
+    Over the dense series ROWS BETWEEN 6 PRECEDING equals the 7-day
+    trailing calendar sum, exactly (BIGINT counts)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    dense = cal.join(F.broadcast(daily), ["event_type", "day"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return dense.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.sum("n").over(w).cast("long").alias("trailing_7d"),
+    )
+
+
+DENSIFY_DAILY_SQL = """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+cal AS (SELECT t.event_type, CAST(gs.g AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                            INTERVAL 1 DAY)) AS g FROM b) gs),
+dense AS (SELECT c.event_type, c.day, COALESCE(d.n, 0) AS n
+          FROM cal c LEFT JOIN daily d USING (event_type, day))
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_7d
+FROM dense
+"""
+
+
+def rfm_segments_orders(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic marketing-analytics cube — with every
+    NTILE computed by ``distributed_ntile``: ANSI NTILE's exact
+    first-tiles-larger size discipline derived from a two-phase
+    distributed rank, never Spark's single-partition global window
+    (three of those here would funnel the customer roster through one
+    task three times). The oracle uses DuckDB's NATIVE NTILE, so the
+    gate proves the distributed formula ≡ the ANSI function row for
+    row. Money is exact cents (round-then-cast, engine-matched);
+    tie-breaks on o_custkey make each ordering total, which NTILE
+    reproducibility requires in any engine."""
+    from ip_filter_spark.operators.aggregates import distributed_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    ref = F.broadcast(o.agg(F.max(F.to_date("o_orderdate")).alias("refd")))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .crossJoin(ref)
+        .withColumn("rec_days", F.datediff("refd", "last_d"))
+        .withColumn("neg_freq", -F.col("freq"))
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    c = distributed_ntile(c, ["rec_days", "o_custkey"], 4, out_col="r")
+    c = distributed_ntile(c, ["neg_freq", "o_custkey"], 4, out_col="f")
+    c = distributed_ntile(c, ["neg_cents", "o_custkey"], 4, out_col="m")
+    return c.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS refd FROM orders),
+c AS (SELECT o_custkey,
+        date_diff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT refd FROM ref))
+          AS rec_days,
+        COUNT(*) AS freq,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+s AS (SELECT cents,
+        NTILE(4) OVER (ORDER BY rec_days, o_custkey) AS r,
+        NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+      FROM c)
+SELECT r, f, m, COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def bitmap_activity_users(spark, sf_dir):
+    """Bitmap-index rollup — per-user day-of-month activity as one
+    BIGINT bitmask folded with the ``bit_or`` aggregate (the roaring/
+    bitmap-index pattern: set membership over a small ordinal domain
+    becomes bitwise OR, associative + commutative so map-side partials
+    and any merge tree give the identical mask), then ``bit_count``
+    popcount buckets users by active-day count. Pure JVM integer ops,
+    one shuffle on user_id; the mask SUM is an exact full-value
+    checksum of every user's exact bitmap."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)")
+        ).alias("mask")
+    )
+    return m.groupBy(F.bit_count("mask").alias("n_active_days")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("mask").alias("mask_sum"),
+    )
+
+
+BITMAP_ACTIVITY_SQL = """
+WITH m AS (SELECT user_id,
+             bit_or(1::BIGINT << (CAST(strftime(ts, '%d') AS INT) - 1)) AS mask
+           FROM events GROUP BY user_id)
+SELECT CAST(bit_count(mask) AS INT) AS n_active_days, COUNT(*) AS n_users,
+       CAST(SUM(mask) AS BIGINT) AS mask_sum
+FROM m GROUP BY 1
+"""
+
+
+def collapse_consecutive_events(spark, sf_dir):
+    """Consecutive-duplicate collapse — the ordered-stream compaction
+    op (CDC echo suppression, sensor debounce): within each user's
+    timeline drop every event whose type equals the immediately
+    preceding one, keeping only state CHANGES. LAG over (user, ts,
+    event_id) — partitioned by user, so the window is parallel, no
+    global sort; (ts, event_id) makes the order total and both engines
+    see the identical predecessor. Gated per event_type with an exact
+    event_id checksum over the kept rows, so one mis-kept row anywhere
+    flips the gate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+COLLAPSE_CONSECUTIVE_SQL = """
+WITH o AS (SELECT event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events)
+SELECT event_type, COUNT(*) AS n_kept, CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM o WHERE prev IS NULL OR prev <> event_type GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7688,6 +7860,10 @@ QUERIES = {
     "bpe_token_stats_docs": bpe_token_stats_docs,
     "hash_split_docs": hash_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
+    "densify_daily_counts_events": densify_daily_counts_events,
+    "rfm_segments_orders": rfm_segments_orders,
+    "bitmap_activity_users": bitmap_activity_users,
+    "collapse_consecutive_events": collapse_consecutive_events,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
     "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -7867,6 +8043,10 @@ ORACLES = {
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
     "hash_split_docs": HASH_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
+    "densify_daily_counts_events": DENSIFY_DAILY_SQL,
+    "rfm_segments_orders": RFM_SEGMENTS_SQL,
+    "bitmap_activity_users": BITMAP_ACTIVITY_SQL,
+    "collapse_consecutive_events": COLLAPSE_CONSECUTIVE_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "grouping_sets_order_stats": GROUPING_SETS_SQL,

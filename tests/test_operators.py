@@ -390,6 +390,57 @@ def test_distributed_prefix_sum_single_bucket_and_ties_contract(spark):
     assert got == [(1, 10), (2, 30), (3, 60)]
 
 
+def test_distributed_prefix_sum_composite_key_with_lead_ties(spark):
+    """Composite order key: ties on the lead column (the only one
+    quantile boundaries see) are broken by the second column; the
+    result must equal the global-window cumsum over the same composite
+    ordering regardless of bucketing."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    rnd = random.Random(11)
+    rows = [(rnd.randrange(40), i, rnd.choice([1, 2, 5])) for i in rnd.sample(range(100000), 3000)]
+    df = spark.createDataFrame(rows, "g long, k long, v long").repartition(16)
+
+    got = {
+        (r.g, r.k): r.cum
+        for r in distributed_prefix_sum(df, ["g", "k"], "v", num_buckets=8).collect()
+    }
+    w = Window.orderBy("g", "k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {(r.g, r.k): r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_ntile_matches_native_ntile(spark):
+    """distributed_ntile's rank-formula tiles == Spark's own NTILE over
+    the single-partition global window, for remainder-bearing and
+    remainder-free (n, k) combinations including n < k, on composite
+    orderings with lead-column ties."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ip_filter_spark.operators.aggregates import distributed_ntile
+
+    rnd = random.Random(7)
+    for n, k in [(3, 4), (4, 4), (10, 4), (103, 7), (500, 16)]:
+        rows = [(rnd.randrange(12), i) for i in rnd.sample(range(100000), n)]
+        df = spark.createDataFrame(rows, "g long, k2 long").repartition(8)
+        got = {
+            (r.g, r.k2): r.tile
+            for r in distributed_ntile(df, ["g", "k2"], k, num_buckets=4).collect()
+        }
+        w = Window.orderBy("g", "k2")
+        want = {
+            (r.g, r.k2): r.tile
+            for r in df.withColumn("tile", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, (n, k)
+
+
 def test_connected_components_local_path_matches_distributed(spark):
     """The size-adaptive driver-side union-find returns the exact same
     (node, component) labeling as the distributed propagation, on a
