@@ -74,12 +74,16 @@ def _ship_package(spark: SparkSession) -> None:
         for f in files
         if f.endswith(".py")
     ):
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+        # per-process tmp name: concurrent sessions (multi-executor bench
+        # harnesses) may rebuild simultaneously, and a shared ".tmp" lets
+        # one process's os.replace steal another's staging file
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _, files in os.walk(pkg_dir):
                 for f in sorted(files):
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
-        os.replace(zip_path + ".tmp", zip_path)
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)

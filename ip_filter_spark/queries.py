@@ -7790,6 +7790,171 @@ FROM o WHERE prev IS NULL OR prev <> event_type GROUP BY 1
 """
 
 
+def pareto_abc_customers(spark, sf_dir):
+    """ABC / Pareto (80-15-5) classification — the inventory-analytics
+    staple: customers ranked by revenue, class A while the running
+    revenue share stays ≤ 80%, B ≤ 95%, else C. The running share is a
+    global cumulative sum in (revenue DESC, custkey) order — computed
+    with ``distributed_prefix_sum`` on the composite key (its third
+    consumer), never the single-partition global window; class
+    boundaries compare exact BIGINTs (cum·100 vs total·80) so no float
+    share ever decides a class. The oracle replays the identical window
+    algebra with native SUM() OVER."""
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    cum = distributed_prefix_sum(c, ["neg_cents", "o_custkey"], "cents", out_col="cum")
+    total = F.broadcast(c.agg(F.sum("cents").alias("total")))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(total)
+        .withColumn("abc", cls)
+        .groupBy("abc")
+        .agg(F.count("*").alias("n_customers"), F.sum("cents").alias("class_cents"))
+    )
+
+
+PARETO_ABC_SQL = """
+WITH c AS (SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+cum AS (SELECT cents,
+          SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum,
+          SUM(cents) OVER () AS total
+        FROM c)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc,
+       COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM cum GROUP BY 1
+"""
+
+
+def vocab_coverage_docs(spark, sf_dir):
+    """Tokenizer-vocabulary coverage — the fixed-vocab OOV audit every
+    training pipeline runs before committing to a tokenizer: build the
+    top-12 corpus vocabulary (count DESC, term ASC — a deterministic
+    total order, selected with orderBy+limit which Spark plans as
+    TakeOrderedAndProject: per-partition top-k heaps, no global
+    sort), broadcast it against the exploded token stream, report per
+    lang the exact in-vocab vs total token counts and distinct OOV
+    types. The corpus is scanned once for counting and once for
+    coverage; the vocabulary side is O(k) everywhere. k=12 of the
+    synthetic corpus's 31-term vocabulary keeps the OOV branch
+    non-vacuous at every sf (a real run would use 30k-250k)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens_expr("text")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(12)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    cov = tok.join(F.broadcast(vocab), "term", "left")
+    return cov.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).alias("in_vocab_tokens"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("term"))
+        ).alias("n_oov_types"),
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents),
+vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1)
+          ORDER BY cnt DESC, term LIMIT 12)
+SELECT lang, COUNT(*) AS total_tokens,
+       CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS in_vocab_tokens,
+       COUNT(DISTINCT CASE WHEN v.term IS NULL THEN tok.term END) AS n_oov_types
+FROM tok LEFT JOIN vocab v USING (term) GROUP BY lang
+"""
+
+
+def benford_first_digit_orders(spark, sf_dir):
+    """Benford first-significant-digit audit — the data-quality /
+    fraud-screening profile: distribution of the leading digit of each
+    order's exact cent value. The digit comes from the BIGINT's decimal
+    string (first char), so both engines extract it from the identical
+    integer — no float log10 tricks; the per-digit cent sum is the
+    full-value checksum."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"))
+        .withColumn("digit", F.substring(F.col("cents").cast("string"), 1, 1))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents_sum"))
+    )
+
+
+BENFORD_SQL = """
+SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+         AS digit,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM orders GROUP BY 1
+"""
+
+
+def jaccard_type_overlap_events(spark, sf_dir):
+    """Pairwise audience overlap — exact Jaccard numerators/denominators
+    between event types over their user sets (the segment-overlap
+    matrix product teams read daily). Distinct (user, type) once — ONE
+    shuffle on user_id — then a self-join per user pairs the ≤T types a
+    user touches (T = type-domain size, so per-user work is T², not
+    corpus-sized), and |A∪B| follows from the inclusion-exclusion
+    identity with broadcast per-type totals rather than a second pass.
+    Integers only; the float ratio is left to the reader."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a", "type_b", "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+
+
+JACCARD_TYPE_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1),
+inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+          WHERE a.event_type < b.event_type GROUP BY 1, 2)
+SELECT type_a, type_b, n_inter,
+       sa.n_users + sb.n_users - n_inter AS n_union
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7864,6 +8029,10 @@ QUERIES = {
     "rfm_segments_orders": rfm_segments_orders,
     "bitmap_activity_users": bitmap_activity_users,
     "collapse_consecutive_events": collapse_consecutive_events,
+    "pareto_abc_customers": pareto_abc_customers,
+    "vocab_coverage_docs": vocab_coverage_docs,
+    "benford_first_digit_orders": benford_first_digit_orders,
+    "jaccard_type_overlap_events": jaccard_type_overlap_events,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
     "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -8047,6 +8216,10 @@ ORACLES = {
     "rfm_segments_orders": RFM_SEGMENTS_SQL,
     "bitmap_activity_users": BITMAP_ACTIVITY_SQL,
     "collapse_consecutive_events": COLLAPSE_CONSECUTIVE_SQL,
+    "pareto_abc_customers": PARETO_ABC_SQL,
+    "vocab_coverage_docs": VOCAB_COVERAGE_SQL,
+    "benford_first_digit_orders": BENFORD_SQL,
+    "jaccard_type_overlap_events": JACCARD_TYPE_OVERLAP_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "grouping_sets_order_stats": GROUPING_SETS_SQL,
