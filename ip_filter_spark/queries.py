@@ -7955,6 +7955,218 @@ JOIN sizes sb ON sb.event_type = type_b
 """
 
 
+def embedding_centroids_by_label(spark, sf_dir):
+    """Per-class embedding centroid accumulation — the training
+    primitive under every IVF/k-means build (`similarity.IVFIndex`
+    computes exactly these sums each Lloyd pass): posexplode the vector
+    column and fold per (label, dimension). Gated EXACTLY by scaling
+    each float by 2^20 first — a power-of-two multiply is lossless in
+    binary floating point, floor is unambiguous across engines, and the
+    BIGINT sums are then order-independent (no float fold-order ulps
+    anywhere). One explode scan, one shuffle on (label, pos); at 100 TB
+    this is the column-parallel shape — 64·|labels| cells regardless of
+    corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    scaled = F.floor(F.col("val").cast("double") * 1048576).cast("long")
+    return x.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(scaled).alias("scaled_sum"),
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH x AS (SELECT label, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+SELECT label, pos, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+         AS scaled_sum
+FROM x GROUP BY 1, 2
+"""
+
+
+def table_diff_events(spark, sf_dir):
+    """Table reconciliation (anti-entropy diff) — the migration/backfill
+    audit run before cutting over a pipeline: FULL OUTER join two table
+    versions on the key and classify every key as only_left /
+    only_right / changed / same, rolled up to counts + exact id
+    checksums. The 'right' version is derived deterministically from the
+    left (drop id%101, perturb value where id%97, append id%103 clones
+    under shifted ids) so the gate plants a known nonzero row set in all
+    four classes at every sf. Values compare as exact cents; one
+    shuffle per side on the key. At 100 TB the same plan runs with the
+    right side as the migrated table and bucketed layouts make the join
+    Exchange-free."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = l.where(F.col("event_id") % 101 != 0).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 97 == 0, F.col("cents") + 100).otherwise(
+            F.col("cents")
+        ),
+    ).unionAll(
+        l.where(F.col("event_id") % 103 == 0).withColumn(
+            "event_id", F.col("event_id") + 1000000000
+        )
+    )
+    j = l.alias("l").join(
+        r.alias("r"), F.col("l.event_id") == F.col("r.event_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("r.event_id").isNull(), "only_left")
+        .when(F.col("l.event_id").isNull(), "only_right")
+        .when(
+            (F.col("l.cents") != F.col("r.cents"))
+            | (F.col("l.user_id") != F.col("r.user_id"))
+            | (F.col("l.event_type") != F.col("r.event_type")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("l.event_id"), F.col("r.event_id")).alias("id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("id_checksum"))
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH l AS (SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 97 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM l WHERE event_id % 101 <> 0
+      UNION ALL
+      SELECT event_id + 1000000000, user_id, event_type, cents
+      FROM l WHERE event_id % 103 = 0),
+j AS (SELECT COALESCE(l.event_id, r.event_id) AS id,
+        CASE WHEN r.event_id IS NULL THEN 'only_left'
+             WHEN l.event_id IS NULL THEN 'only_right'
+             WHEN l.cents <> r.cents OR l.user_id <> r.user_id
+                  OR l.event_type <> r.event_type THEN 'changed'
+             ELSE 'same' END AS status
+      FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+SELECT status, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_checksum
+FROM j GROUP BY 1
+"""
+
+
+def keyset_pagination_events(spark, sf_dir):
+    """Deep pagination without OFFSET — page 3 (rows 41-60) of the
+    event log ordered by (ts, event_id). OFFSET is the API-pagination
+    scale trap: every page re-sorts and skips 40+k rows through one
+    task. The engine-side form is two TakeOrderedAndProject heaps
+    (per-partition top-k, tiny driver merge — never a global sort) and
+    an exact multiset difference: page = top60 exceptAll top40. The
+    oracle IS the OFFSET form, so the gate proves heap-difference ≡
+    LIMIT 20 OFFSET 40 row for row; (ts, event_id) is a total order so
+    both are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type"]
+    top60 = ev.orderBy("ts", "event_id").limit(60).select(*cols)
+    top40 = ev.orderBy("ts", "event_id").limit(40).select(*cols)
+    return top60.exceptAll(top40)
+
+
+KEYSET_PAGINATION_SQL = """
+SELECT event_id, user_id, event_type FROM events
+ORDER BY ts, event_id LIMIT 20 OFFSET 40
+"""
+
+
+def stream_collapse_equivalence(spark, sf_dir):
+    """Streaming consecutive-duplicate collapse under the hard gate: a
+    4-slice time-partitioned replay (day-boundary cuts, so every batch
+    strictly follows the last — no global row_number needed to slice)
+    feeds ``streaming/collapse_stream.py`` — one O(1) state row per
+    user (the single previous event LAG would have seen), vectorized
+    shift-compare per batch via ``applyInPandasWithState``. The union
+    of per-batch kept rows must equal the batch LAG answer row for row:
+    same per-type count + exact event_id checksum oracle as
+    ``collapse_consecutive_events``, plus the operator's own in_order
+    high-water flag (a disorder fails loudly) and a ≥2-real-micro-batch
+    witness. Output rides per-batch idempotent parquet stores
+    (overwrite on batch_id), never a driver collect."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from ip_filter_spark.streaming.collapse_stream import stream_collapse_consecutive
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    work = _stream_scratch("collapse", sf_dir)
+    try:
+        src = f"{work}/src"
+        slice_col = (F.dayofmonth(F.timestamp_micros(F.col("ts_us"))) - 1).cast("int") / 8
+        evs = ev.withColumn("slc", F.floor(slice_col).cast("int"))
+        for i in range(4):
+            evs.where(F.col("slc") == i).drop("slc").coalesce(1).write.parquet(
+                f"{src}/s{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/s*")
+        )
+        out = stream_collapse_consecutive(stream)
+
+        def handle_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{work}/out/batch_id={int(batch_id)}")
+
+        q = (
+            out.writeStream.foreachBatch(handle_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow collapse stream did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    emitted = spark.read.parquet(f"{work}/out")
+    nb = F.broadcast(emitted.agg(F.countDistinct("batch_id").alias("nb")))
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("event_id").alias("id_checksum"),
+            F.min("in_order").alias("all_in_order"),
+        )
+        .crossJoin(nb)
+        .select(
+            "event_type",
+            "n_kept",
+            "id_checksum",
+            "all_in_order",
+            (F.col("nb") >= 2).alias("multi_batch"),
+        )
+    )
+
+
+STREAM_COLLAPSE_SQL = """
+WITH o AS (SELECT event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events)
+SELECT event_type, COUNT(*) AS n_kept, CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       TRUE AS all_in_order, TRUE AS multi_batch
+FROM o WHERE prev IS NULL OR prev <> event_type GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8033,6 +8245,10 @@ QUERIES = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "benford_first_digit_orders": benford_first_digit_orders,
     "jaccard_type_overlap_events": jaccard_type_overlap_events,
+    "embedding_centroids_by_label": embedding_centroids_by_label,
+    "table_diff_events": table_diff_events,
+    "keyset_pagination_events": keyset_pagination_events,
+    "stream_collapse_equivalence": stream_collapse_equivalence,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
     "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -8220,6 +8436,10 @@ ORACLES = {
     "vocab_coverage_docs": VOCAB_COVERAGE_SQL,
     "benford_first_digit_orders": BENFORD_SQL,
     "jaccard_type_overlap_events": JACCARD_TYPE_OVERLAP_SQL,
+    "embedding_centroids_by_label": EMBEDDING_CENTROIDS_SQL,
+    "table_diff_events": TABLE_DIFF_SQL,
+    "keyset_pagination_events": KEYSET_PAGINATION_SQL,
+    "stream_collapse_equivalence": STREAM_COLLAPSE_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "grouping_sets_order_stats": GROUPING_SETS_SQL,

@@ -417,3 +417,69 @@ def test_stream_dgim_matches_batch_and_flags_order(spark, tmp_path):
 
     disordered = run("desc", "rev").set_index("key")
     assert not bool(disordered.loc["a"]["in_order"])
+
+
+def test_stream_collapse_matches_batch_and_flags_order(spark, tmp_path):
+    """Streaming consecutive-dup collapse: the union of per-batch kept
+    rows equals the batch LAG answer row for row when the replay is
+    time-partitioned, state carries the boundary row across micro-batches
+    (a duplicate straddling two batches IS suppressed), and a replay that
+    violates time order flips in_order instead of failing silently."""
+    import pandas as pd
+
+    from ip_filter_spark.streaming.collapse_stream import (
+        stream_collapse_consecutive,
+    )
+
+    # user 1: a a | a b b  (batch boundary after row 2 — the batch-3 'a'
+    # must be suppressed by carried state); user 2: x | x y x
+    rows = [
+        (1, 100, "a", 10),
+        (1, 200, "a", 11),
+        (2, 150, "x", 20),
+        (1, 300, "a", 12),
+        (1, 400, "b", 13),
+        (1, 500, "b", 14),
+        (2, 250, "x", 21),
+        (2, 350, "y", 22),
+        (2, 450, "x", 23),
+    ]
+    cols = ["user_id", "ts_us", "event_type", "event_id"]
+
+    def run(data, name):
+        src = str(tmp_path / f"src_{name}")
+        half = 3 if name == "ord" else len(data) // 2
+        for i, chunk in enumerate((data[:half], data[half:])):
+            spark.createDataFrame(pd.DataFrame(chunk, columns=cols)).coalesce(
+                1
+            ).write.parquet(f"{src}/s{i}")
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_type string, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/s*")
+        )
+        out = stream_collapse_consecutive(stream)
+        sink = str(tmp_path / f"out_{name}")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, i: b.write.mode("overwrite").parquet(f"{sink}/b={int(i)}")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(sink).toPandas()
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[3]))
+    emitted = run(ordered, "ord")
+    assert bool(emitted["in_order"].all())
+    # batch LAG answer: keep rows where type changed per user
+    kept_ids = sorted(emitted["event_id"].tolist())
+    assert kept_ids == [10, 13, 20, 22, 23]
+
+    disordered = run(list(reversed(ordered)), "rev")
+    assert not bool(disordered["in_order"].all())
