@@ -343,13 +343,24 @@ def _tree_cpu() -> tuple[float, float]:
     return u, s
 
 
+PROBE_STEP = int(os.environ.get("SPARK_GRAFT_PROBE_STEP", "2"))
+
+
 def _probe_files(corpus_dir: str) -> list[str]:
-    """The probe jobs' 1/8 sample of the staged corpus files — ONE
-    definition shared by the engine build, the Form A executors, and the
-    Form B levels, so every probe measurement covers the same row set."""
+    """The probe jobs' 1/PROBE_STEP sample of the staged corpus files —
+    ONE definition shared by the engine build, the Form A executors, and
+    the Form B levels, so every probe measurement covers the same row
+    set. Default 1/2 (19.2M probes): rounds ≤3 sampled 1/8 (4.8M), which
+    left the 4-executor rep wall at ~1.4 s where the fixed per-job cost
+    (scheduling, Arrow worker dispatch, blob transfer ~0.5 s) consumed a
+    third of the measurement and capped the observable ratio near 0.6
+    regardless of engine scaling; a real probe deployment amortizes that
+    cost over billions of rows, so the longer wall is the faithful
+    steady-state shape. The distinct-path set is identical at any step
+    (the staged corpus is 64x-replicated paths)."""
     import glob
 
-    return sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::8]
+    return sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet")))[::PROBE_STEP]
 
 
 def _spin(cores) -> list:
@@ -511,10 +522,12 @@ def run_scaling_level(cpus: int, job: str, corpus_dir: str, reps: int = 3, waves
     parts = cpus * waves
     if job == "probe":
         # LPM probe scaling: the corpus is 64x-replicated rows with the
-        # SAME 600k distinct paths, so probe 1/8 of the files (4.8M
-        # probes — rep wall stays tens of seconds at local[4]) and build
-        # the engine once, untimed (a deployment builds once and probes
-        # forever; the build job has its own scaling evidence above)
+        # SAME 600k distinct paths, so probe a 1/PROBE_STEP file sample
+        # (default 1/2 = 19.2M probes — rep wall ~20 s at local[4], ~5 s
+        # at local[16], long enough that fixed per-job dispatch cost is
+        # <10% at the big level) and build the engine once, untimed (a
+        # deployment builds once and probes forever; the build job has
+        # its own scaling evidence above)
         from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
 
         probe_src = spark.read.parquet(*_probe_files(corpus_dir)).select("path").coalesce(parts)
@@ -910,7 +923,9 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
     # every executor) and persist the blob for the executor JVMs — keyed
     # by the staged-corpus dir so a run at a different sf cannot silently
     # reuse a stale engine built over a different route table
-    engine_path = os.path.join("/tmp", f"probe_engine_{os.path.basename(corpus_dir)}.bin")
+    engine_path = os.path.join(
+        "/tmp", f"probe_engine_{os.path.basename(corpus_dir)}_s{PROBE_STEP}.bin"
+    )
     if not os.path.exists(engine_path):
         from ip_filter_spark.operators.lpm import PathLPM, derive_prefix_table
 
@@ -979,7 +994,7 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH", "scaling_runs.jsonl"), "a") as fh:
         fh.write(json.dumps({
-            "ts": int(time.time()), "kind": "probe",
+            "ts": int(time.time()), "kind": "probe", "step": PROBE_STEP,
             "eff_multi_median": round(eff_multi, 4),
             "eff_multi_paired": round(eff_paired, 4),
             "pair_ratios": pair_ratios,
@@ -995,6 +1010,11 @@ def run_probe_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "scaling_runs.jsonl")) as fh:
             hist = [json.loads(ln) for ln in fh if '"probe"' in ln]
+        # compare like with like: runs at THIS probe-sample size only
+        # (pre-r4 runs at step=8 measured 1.4 s walls dominated by fixed
+        # job cost — a different experiment); fall back to all if none
+        same = [h for h in hist if h.get("step", 8) == PROBE_STEP]
+        hist = same or hist
         hist_a = [h["eff_multi_paired"] for h in hist]
         hist_b = [
             statistics.median(h["single_jvm_rps"][str(hi)])

@@ -655,3 +655,63 @@ class IVFPQIndex:
             F.broadcast(cands.withColumnRenamed("id", self.id_col)), self.id_col, "leftsemi"
         )
         return cosine_topk(cand_vecs, query_vec, k, self.id_col, vec_col)
+
+
+def exact_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 14,
+) -> DataFrame:
+    """Exact Gram matrix G = X^T X over an embedding column — the
+    second-moment primitive under feature whitening / PCA / covariance
+    (``frequent_directions`` is its sketched form; this is the exact
+    companion at fixed dimension D, where the full D x D fits anywhere).
+
+    Each value is first quantized to ``floor(v * 2**scale_bits)`` — a
+    power-of-two multiply is exact in binary floating point and floor is
+    unambiguous, so the per-cell BIGINT sums are order-independent: no
+    float fold-order anywhere, any engine computing the same quantized
+    products gets bit-identical cells. With |v| <= 4 and D = 64 the
+    scaled product is < 2**(2*(scale_bits+2)); at scale_bits=14 that is
+    2**32 per row pair-term, leaving 2**31 rows of headroom in int64.
+
+    Shape at 100 TB: one ``mapInArrow``-style pass computes a per-batch
+    numpy ``Xs.T @ Xs`` (vectorized, D^2 ints per BATCH regardless of
+    batch rows), partitions emit D*(D+1)/2 upper-triangle cells, and one
+    tiny groupBy over <= D^2 keys folds them — the classic map-side
+    matrix accumulation: shuffle volume is O(partitions * D^2), never
+    O(rows)."""
+    out_schema = StructType(
+        [
+            StructField("pos_i", IntegerType(), False),
+            StructField("pos_j", IntegerType(), False),
+            StructField("scaled_sum", LongType(), False),
+        ]
+    )
+    scale = float(2**scale_bits)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xs = np.floor(X * scale).astype(np.int64)
+            G = Xs.T @ Xs
+            acc = G if acc is None else acc + G
+        if acc is None:
+            return
+        D = acc.shape[0]
+        iu, ju = np.triu_indices(D)
+        yield pd.DataFrame(
+            {
+                "pos_i": iu.astype(np.int32),
+                "pos_j": ju.astype(np.int32),
+                "scaled_sum": acc[iu, ju],
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(fold, schema=out_schema)
+    return partials.groupBy("pos_i", "pos_j").agg(
+        F.sum("scaled_sum").alias("scaled_sum")
+    )

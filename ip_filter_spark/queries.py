@@ -8167,6 +8167,308 @@ FROM o WHERE prev IS NULL OR prev <> event_type GROUP BY 1
 """
 
 
+
+def gram_matrix_exact_emb(spark, sf_dir):
+    """Exact Gram matrix X^T X over the embedding corpus — the
+    second-moment / covariance primitive under whitening and PCA, and
+    the exact companion to ``fd_embedding_gram``'s sketch. Values are
+    quantized by a lossless power-of-two scale (floor(v * 2^14)), so
+    every cell is an order-independent BIGINT sum: both engines compute
+    bit-identical integers, no float fold-order anywhere. Spark shape is
+    the map-side matrix accumulation (per-batch numpy Xs.T @ Xs inside
+    mapInPandas, D^2 ints per partition, one tiny groupBy over <= D^2
+    keys) — shuffle volume O(partitions * D^2), never O(rows); the
+    oracle replays the same quantized products via a positional
+    self-join."""
+    from ip_filter_spark.operators.similarity import exact_gram
+
+    e = _t(spark, sf_dir, "embeddings")
+    return exact_gram(e, "embedding", scale_bits=14)
+
+
+GRAM_MATRIX_SQL = """
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384) AS BIGINT)
+                    AS s
+           FROM embeddings)
+SELECT CAST(a.pos AS INTEGER) AS pos_i, CAST(b.pos AS INTEGER) AS pos_j,
+       CAST(SUM(a.s * b.s) AS BIGINT) AS scaled_sum
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
+def max_concurrent_events(spark, sf_dir):
+    """Global maximum concurrency of 30-minute event intervals — the
+    sweep-line classic (peak concurrent sessions / connections / jobs):
+    +1 at open, -1 at close, maximum of the GLOBAL running sum in
+    (time, delta, id) order with closes sorting before opens at equal
+    time (half-open [t, t+30m) semantics). The running sum is
+    ``distributed_prefix_sum`` (its fourth consumer) — a two-phase scan
+    with literal quantile boundaries, NOT the single-partition global
+    window ``SUM() OVER (ORDER BY ...)`` that funnels every sweep point
+    through one task; the oracle IS that native window form."""
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", _epoch_us("ts").alias("t_us")
+    )
+    opens = ev.select(
+        F.col("t_us").alias("sweep_us"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        (F.col("t_us") + 1_800_000_000).alias("sweep_us"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    cum = distributed_prefix_sum(
+        opens.unionAll(closes), ["sweep_us", "delta", "event_id"], "delta",
+        out_col="cum",
+    )
+    return cum.agg(
+        F.max("cum").cast("long").alias("max_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+MAX_CONCURRENT_SQL = """
+WITH iv AS (SELECT event_id, epoch_us(ts) AS o, epoch_us(ts) + 1800000000 AS c
+            FROM events),
+sw AS (SELECT o AS t, 1 AS d, event_id FROM iv
+       UNION ALL SELECT c, -1, event_id FROM iv),
+r AS (SELECT SUM(d) OVER (ORDER BY t, d, event_id) AS cum FROM sw)
+SELECT CAST(MAX(cum) AS BIGINT) AS max_concurrent,
+       CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals
+FROM r
+"""
+
+
+def contingency_type_parity_events(spark, sf_dir):
+    """Chi-square contingency sufficient statistics for independence of
+    event_type x user-parity — the feature-selection / drift-detection
+    primitive. Every gated value is an exact integer: per-cell observed
+    count, row/column marginals, grand total, and the chi numerator root
+    diff_num = O*N - row_total*col_total (the quantity whose square over
+    N*E is the cell's chi-square term) — BIGINT-exact, so the gate needs
+    no float tolerance. One scan builds the cells; marginals are
+    broadcast back (cells <= |types| x 2 rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("parity")
+    )
+    cells = ev.groupBy("event_type", "parity").agg(F.count("*").alias("observed"))
+    rows_t = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    cols_t = cells.groupBy("parity").agg(F.sum("observed").alias("col_total"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    return (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "parity")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "parity",
+            "observed",
+            "row_total",
+            "col_total",
+            "n",
+            (
+                F.col("observed") * F.col("n")
+                - F.col("row_total") * F.col("col_total")
+            ).alias("diff_num"),
+        )
+    )
+
+
+CONTINGENCY_SQL = """
+WITH cells AS (SELECT event_type, user_id % 2 AS parity, COUNT(*) AS observed
+               FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(observed) AS row_total FROM cells GROUP BY 1),
+ct AS (SELECT parity, SUM(observed) AS col_total FROM cells GROUP BY 1),
+tot AS (SELECT SUM(observed) AS n FROM cells)
+SELECT c.event_type, c.parity, c.observed,
+       CAST(rt.row_total AS BIGINT) AS row_total,
+       CAST(ct.col_total AS BIGINT) AS col_total,
+       CAST(tot.n AS BIGINT) AS n,
+       CAST(c.observed * tot.n - rt.row_total * ct.col_total AS BIGINT)
+         AS diff_num
+FROM cells c JOIN rt USING (event_type) JOIN ct USING (parity) CROSS JOIN tot
+"""
+
+
+def merkle_diff_events(spark, sf_dir):
+    """Merkle range checksums for anti-entropy — how replicated stores
+    LOCATE divergent key ranges without comparing rows: both table
+    versions fold to per-bucket (count, XOR-of-row-fingerprint) at two
+    granularities (8 coarse, 64 fine buckets by key range); unequal
+    coarse buckets point to the fine buckets to walk, and only THOSE
+    keys ever need row-level diffing (``table_diff_events`` is that
+    row-level step). XOR is order-independent and overflow-free, and the
+    fingerprint is built from bounded residues so both engines compute
+    identical BIGINTs. The right version drops id%101 keys and perturbs
+    id%97 values (same derivation as table_diff_events), planting known
+    unequal buckets at every sf. Shuffle is O(buckets), never O(rows
+    moved to a comparator)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    right = ev.where(F.col("event_id") % 101 != 0).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 97 == 0, F.col("cents") + 100).otherwise(
+            F.col("cents")
+        ),
+    )
+    fp = (F.col("event_id") % 100003) * (F.col("user_id") % 997 + 1) + (
+        F.col("cents") % 100003
+    )
+
+    def side(df, nb, lvl, tag):
+        return df.groupBy(
+            F.lit(lvl).cast("int").alias("level"),
+            (F.col("event_id") % nb).alias("bucket"),
+        ).agg(F.count("*").alias(f"n_{tag}"), F.bit_xor(fp).alias(f"h_{tag}"))
+
+    levels = []
+    for lvl, nb in ((0, 8), (1, 64)):
+        j = side(ev, nb, lvl, "left").join(
+            side(right, nb, lvl, "right"), ["level", "bucket"], "full_outer"
+        )
+        levels.append(j)
+    out = levels[0].unionByName(levels[1])
+    nl, hl = F.coalesce("n_left", F.lit(0)), F.coalesce("h_left", F.lit(0))
+    nr, hr = F.coalesce("n_right", F.lit(0)), F.coalesce("h_right", F.lit(0))
+    return out.select(
+        "level",
+        "bucket",
+        nl.alias("n_left"),
+        hl.alias("h_left"),
+        nr.alias("n_right"),
+        hr.alias("h_right"),
+        ((nl == nr) & (hl == hr)).alias("equal"),
+    )
+
+
+MERKLE_DIFF_SQL = """
+WITH l AS (SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT event_id, user_id,
+             CASE WHEN event_id % 97 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM l WHERE event_id % 101 <> 0),
+lf AS (SELECT *, (event_id % 100003) * (user_id % 997 + 1) + cents % 100003
+         AS fp FROM l),
+rf AS (SELECT *, (event_id % 100003) * (user_id % 997 + 1) + cents % 100003
+         AS fp FROM r),
+la AS (SELECT CAST(0 AS INTEGER) AS level, event_id % 8 AS bucket,
+         COUNT(*) AS n_left, bit_xor(fp) AS h_left FROM lf GROUP BY 2
+       UNION ALL
+       SELECT CAST(1 AS INTEGER), event_id % 64, COUNT(*), bit_xor(fp)
+       FROM lf GROUP BY 2),
+ra AS (SELECT CAST(0 AS INTEGER) AS level, event_id % 8 AS bucket,
+         COUNT(*) AS n_right, bit_xor(fp) AS h_right FROM rf GROUP BY 2
+       UNION ALL
+       SELECT CAST(1 AS INTEGER), event_id % 64, COUNT(*), bit_xor(fp)
+       FROM rf GROUP BY 2)
+SELECT COALESCE(la.level, ra.level) AS level,
+       COALESCE(la.bucket, ra.bucket) AS bucket,
+       COALESCE(n_left, 0) AS n_left, COALESCE(h_left, 0) AS h_left,
+       COALESCE(n_right, 0) AS n_right, COALESCE(h_right, 0) AS h_right,
+       (COALESCE(n_left, 0) = COALESCE(n_right, 0)
+        AND COALESCE(h_left, 0) = COALESCE(h_right, 0)) AS equal
+FROM la FULL OUTER JOIN ra ON la.level = ra.level AND la.bucket = ra.bucket
+"""
+
+
+
+def trimmed_mean_orders(spark, sf_dir):
+    """Global 5%-trimmed statistics of order value — the robust-mean
+    primitive (drop the k smallest and k largest, k = floor(0.05 n),
+    then aggregate the middle). Needs every row's GLOBAL rank, which is
+    ``distributed_prefix_sum`` counting 1s in (cents, o_orderkey) order
+    (its fifth consumer) — never the single-partition ROW_NUMBER()
+    OVER (ORDER BY ...) the oracle uses. All gated values are exact
+    BIGINTs (kept count, kept cent sum, the trim bound k), so the
+    trimmed mean is recoverable to full precision as sum/n by any
+    consumer without a float ever deciding the gate."""
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = distributed_prefix_sum(
+        o.withColumn("one", F.lit(1)),
+        ["cents", "o_orderkey"],
+        "one",
+        out_col="rnk",
+    )
+    n = ranked.count()
+    k = n * 5 // 100
+    kept = ranked.where((F.col("rnk") > k) & (F.col("rnk") <= n - k))
+    return kept.agg(
+        F.count("*").alias("kept_n"),
+        F.sum("cents").alias("kept_cents"),
+        F.lit(k).cast("long").alias("trim_k"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+TRIMMED_MEAN_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+             AS cents FROM orders),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM o)
+SELECT COUNT(*) AS kept_n, CAST(SUM(cents) AS BIGINT) AS kept_cents,
+       CAST(MIN(n) * 5 // 100 AS BIGINT) AS trim_k,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM r WHERE rnk > n * 5 // 100 AND rnk <= n - n * 5 // 100
+"""
+
+
+def argmax_daily_event_users(spark, sf_dir):
+    """Per-(user, day) argmax — WHICH event carried the day's peak value
+    (last-touch/peak-touch attribution at row grain). Engine shape is
+    ``max(struct(cents, -event_id))``: an associative+commutative
+    aggregate with map-side partials and NO per-group sort — at 100 TB
+    this is one combine-enabled shuffle, where the window form
+    (ROW_NUMBER ... ORDER BY value DESC) the oracle uses must fully sort
+    every group. Ties on cents break to the SMALLEST event_id via the
+    negated id in the struct, making the argmax total and both engines
+    deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    best = ev.groupBy("user_id", "day").agg(
+        F.max(F.struct(F.col("cents"), (-F.col("event_id")).alias("neg_id")))
+        .alias("b"),
+        F.count("*").alias("n_events"),
+    )
+    return best.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (-F.col("b.neg_id")).alias("best_event_id"),
+        F.col("b.cents").alias("best_cents"),
+        "n_events",
+    )
+
+
+ARGMAX_DAILY_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+             ORDER BY cents DESC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, day) AS n_events
+      FROM e)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, event_id AS best_event_id,
+       cents AS best_cents, CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8249,6 +8551,12 @@ QUERIES = {
     "table_diff_events": table_diff_events,
     "keyset_pagination_events": keyset_pagination_events,
     "stream_collapse_equivalence": stream_collapse_equivalence,
+    "gram_matrix_exact_emb": gram_matrix_exact_emb,
+    "max_concurrent_events": max_concurrent_events,
+    "contingency_type_parity_events": contingency_type_parity_events,
+    "merkle_diff_events": merkle_diff_events,
+    "trimmed_mean_orders": trimmed_mean_orders,
+    "argmax_daily_event_users": argmax_daily_event_users,
     "full_outer_user_reconcile": full_outer_user_reconcile,
     "histogram_equi_width_events": histogram_equi_width_events,
     "grouping_sets_order_stats": grouping_sets_order_stats,
@@ -8440,6 +8748,12 @@ ORACLES = {
     "table_diff_events": TABLE_DIFF_SQL,
     "keyset_pagination_events": KEYSET_PAGINATION_SQL,
     "stream_collapse_equivalence": STREAM_COLLAPSE_SQL,
+    "gram_matrix_exact_emb": GRAM_MATRIX_SQL,
+    "max_concurrent_events": MAX_CONCURRENT_SQL,
+    "contingency_type_parity_events": CONTINGENCY_SQL,
+    "merkle_diff_events": MERKLE_DIFF_SQL,
+    "trimmed_mean_orders": TRIMMED_MEAN_SQL,
+    "argmax_daily_event_users": ARGMAX_DAILY_SQL,
     "full_outer_user_reconcile": FULL_OUTER_SQL,
     "histogram_equi_width_events": HISTOGRAM_EQUI_WIDTH_SQL,
     "grouping_sets_order_stats": GROUPING_SETS_SQL,
