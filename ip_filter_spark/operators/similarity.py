@@ -27,7 +27,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ip_filter_spark.operators.joins import broadcast_pair_join
 
@@ -715,3 +722,65 @@ def exact_gram(
     return partials.groupBy("pos_i", "pos_j").agg(
         F.sum("scaled_sum").alias("scaled_sum")
     )
+
+
+def jl_sign_matrix(dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Johnson–Lindenstrauss sign matrix R in {-1,+1}^{dim x out_dim},
+    scaled by 1/sqrt(out_dim). Entry (i, j) takes its sign from bit 63 of
+    ``rehash(i*out_dim + j, seed)`` — the same splitmix finalizer family
+    every sketch kernel here derives row hashes from — so the matrix is a
+    pure function of (dim, out_dim, seed): identical on every executor,
+    every engine, every run, with no RNG state to ship.
+
+    Achlioptas 2003: sign (Rademacher) entries satisfy the JL lemma with
+    the same distortion guarantee as Gaussian entries — for unit scaling
+    E[||Rx||^2] = ||x||^2 exactly, and
+    P(| ||Rx||^2/||x||^2 - 1 | > eps) <= 2 exp(-(eps^2/2 - eps^3/3) * out_dim / 2).
+    """
+    idx = np.arange(dim * out_dim, dtype=np.uint64)
+    from ip_filter_spark.sketches.hashing import rehash
+
+    bits = rehash(idx, seed)
+    signs = np.where((bits >> np.uint64(63)).astype(bool), 1.0, -1.0)
+    return signs.reshape(dim, out_dim) / np.sqrt(out_dim)
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    out_dim: int = 32,
+    seed: int = 7,
+    out_col: str = "jl",
+) -> DataFrame:
+    """Project an embedding column to ``out_dim`` dimensions with the
+    deterministic JL sign matrix — the dimensionality-reduction step a
+    training pipeline runs before ANN indexing / clustering to cut both
+    index size and per-distance cost by D/out_dim.
+
+    Shape at 100 TB: map-only — one vectorized numpy matmul per Arrow
+    batch inside ``mapInPandas``; the (D x out_dim) matrix is rebuilt
+    from (dim, out_dim, seed) inside each task (microseconds for any
+    practical D), so nothing is broadcast and no shuffle is introduced:
+    the projection inherits the input's partitioning unchanged.
+    """
+    out_fields = [df.schema[c] for c in id_cols]
+    out_schema = StructType(
+        list(out_fields)
+        + [StructField(out_col, ArrayType(DoubleType(), False), False)]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if R is None:
+                R = jl_sign_matrix(X.shape[1], out_dim, seed)
+            P = X @ R
+            out = pdf[list(id_cols)].copy()
+            out[out_col] = list(P)
+            yield out
+
+    return df.select(*id_cols, vec_col).mapInPandas(proj, schema=out_schema)

@@ -8469,10 +8469,121 @@ FROM r WHERE rn = 1
 """
 
 
+def jl_distance_preservation_emb(spark, sf_dir):
+    """Johnson–Lindenstrauss dimensionality reduction (64 → 32 dims) with
+    its distance-preservation contract gated — the dim-reduction step a
+    training pipeline runs before ANN indexing / clustering to halve
+    index size and per-distance cost. The projection is
+    ``jl_project``: a deterministic Rademacher sign matrix (Achlioptas
+    2003) derived from the splitmix finalizer, applied as one vectorized
+    numpy matmul per Arrow batch — map-only, no shuffle, no broadcast.
+
+    Gate anchors: n_vectors / n_pairs and the BIGINT-exact quantized
+    original distance mass Σ‖qa−qb‖² (floor(v·2^14) ints, same lossless
+    power-of-two trick as ``gram_matrix_exact_emb``) are full-value
+    columns both engines compute independently; the JL guarantee rides
+    on bound booleans: the mean squared-distance ratio sits within
+    ±0.05 of 1 (unbiasedness: E‖Rx‖² = ‖x‖²) and ≥90% of pairs distort
+    by ≤50% (measured 0.958–0.962 at both SFs; per-pair sd ≈ √(2/d) =
+    0.25). Pair verification is O(sample²) BY DESIGN — it samples
+    ``vec_id < 1024`` (the whole table at gate scale); the projection
+    itself is the scale path, O(rows·D·d) map-only."""
+    from ip_filter_spark.operators.similarity import jl_project
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1024)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(16384.0)).cast("long"),
+    )
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        q.alias("qv"),
+    )
+    proj = jl_project(e, out_dim=32, seed=7)
+    side = base.join(proj, "vec_id")
+
+    def _d2(ac, bc):
+        return F.aggregate(
+            F.zip_with(ac, bc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _d2i(ac, bc):
+        return F.aggregate(
+            F.zip_with(ac, bc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    a = side.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("jl").alias("pa"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("jl").alias("pb"),
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            _d2i(F.col("qa"), F.col("qb")).alias("scaled_d2"),
+            _d2(F.col("va"), F.col("vb")).alias("orig_d2"),
+            _d2(F.col("pa"), F.col("pb")).alias("proj_d2"),
+        )
+        .where(F.col("scaled_d2") > 0)
+    )
+    nv = e.agg(F.count("*").cast("long").alias("n_vectors"))
+    return (
+        pairs.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("scaled_d2").alias("scaled_orig_dist_sum"),
+            F.avg(F.col("proj_d2") / F.col("orig_d2")).alias("_mean_ratio"),
+            F.avg(
+                (
+                    F.abs(F.col("proj_d2") / F.col("orig_d2") - 1.0) <= 0.5
+                ).cast("double")
+            ).alias("_frac_half"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_vectors",
+            "n_pairs",
+            "scaled_orig_dist_sum",
+            (F.abs(F.col("_mean_ratio") - 1.0) <= 0.05).alias("mean_ratio_ok"),
+            (F.col("_frac_half") >= 0.9).alias("frac_within_half_ok"),
+        )
+    )
+
+
+JL_PRESERVATION_SQL = """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1024),
+q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384) AS BIGINT)
+               AS sv
+      FROM s),
+d AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             SUM((a.sv - b.sv) * (a.sv - b.sv)) AS d2
+      FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d2) AS BIGINT) AS scaled_orig_dist_sum,
+       TRUE AS mean_ratio_ok, TRUE AS frac_within_half_ok
+FROM d WHERE d2 > 0
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "jl_distance_preservation_emb": jl_distance_preservation_emb,
     "stream_dgim_equivalence": stream_dgim_equivalence,
     "snapshot_upsert_docs": snapshot_upsert_docs,
     "icws_weighted_jaccard_docs": icws_weighted_jaccard_docs,
@@ -8670,6 +8781,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "jl_distance_preservation_emb": JL_PRESERVATION_SQL,
     "stream_dgim_equivalence": STREAM_DGIM_SQL,
     "snapshot_upsert_docs": SNAPSHOT_UPSERT_SQL,
     "icws_weighted_jaccard_docs": ICWS_WEIGHTED_SQL,

@@ -117,3 +117,33 @@ def test_query_directed_multiprobe_recall_on_planted_neighbors(spark):
     assert len(probes) == budget
     full = _probe_buckets(qv, bits, 42, 3)
     assert probes == full[:budget]
+
+
+def test_jl_project_matches_numpy_and_preserves_norms(spark):
+    """jl_project must equal the driver-side numpy matmul exactly (same
+    deterministic sign matrix, same float64 ops) regardless of partition
+    layout, and the unbiasedness law E||Rx||^2 = ||x||^2 must show up
+    empirically across rows."""
+    from ip_filter_spark.operators.similarity import jl_project, jl_sign_matrix
+
+    rng = np.random.default_rng(5)
+    n, D, d = 300, 64, 32
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+
+    got = {r.vec_id: np.array(r.jl) for r in jl_project(emb, out_dim=d, seed=7).collect()}
+    R = jl_sign_matrix(D, d, seed=7)
+    P = X.astype(np.float64) @ R
+    assert len(got) == n
+    # same sign matrix, same float64 math; only BLAS fold order (batch
+    # blocking) may differ, so equality up to a few ulps, not approx
+    for i in range(n):
+        assert np.allclose(got[i], P[i], rtol=1e-12, atol=0.0), i
+
+    # sign matrix is deterministic and balanced-ish
+    assert np.array_equal(R, jl_sign_matrix(D, d, seed=7))
+    assert abs((R > 0).mean() - 0.5) < 0.1
+    # unbiasedness: mean norm ratio near 1 across 300 rows (sd ~ sqrt(2/d)/sqrt(n))
+    ratios = (P**2).sum(1) / (X.astype(np.float64) ** 2).sum(1)
+    assert abs(ratios.mean() - 1) < 0.05
