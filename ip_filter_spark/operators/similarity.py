@@ -784,3 +784,36 @@ def jl_project(
             yield out
 
     return df.select(*id_cols, vec_col).mapInPandas(proj, schema=out_schema)
+
+
+def pca_from_gram(
+    gram_df: DataFrame, dim: int, scale_bits: int = 14
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Principal components from an ``exact_gram`` result: collect the
+    <= D(D+1)/2 BIGINT upper-triangle cells (bounded by the embedding
+    DIMENSION, never by row count — the only driver-side step), descale
+    by 2^-2*scale_bits, mirror to the full symmetric matrix, and
+    eigendecompose with ``numpy.linalg.eigh``.
+
+    Returns (eigvals descending, eigvecs column-per-component matching
+    that order, scaled_trace) where scaled_trace is the exact BIGINT
+    sum of diagonal cells — the cross-engine anchor (trace(G) =
+    sum of squared quantized values, order-independent integer).
+
+    At 100 TB the heavy part is the Gram itself (map-side X^T X,
+    O(partitions * D^2) shuffle — see ``exact_gram``); this finisher is
+    O(D^3) on < 1 MB of data.
+    """
+    rows = gram_df.collect()
+    G = np.zeros((dim, dim), dtype=np.float64)
+    scaled_trace = 0
+    inv = 1.0 / float(2 ** (2 * scale_bits))
+    for r in rows:
+        v = r["scaled_sum"]
+        G[r["pos_i"], r["pos_j"]] = v * inv
+        G[r["pos_j"], r["pos_i"]] = v * inv
+        if r["pos_i"] == r["pos_j"]:
+            scaled_trace += int(v)
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order], scaled_trace

@@ -8579,10 +8579,139 @@ FROM d WHERE d2 > 0
 """
 
 
+def decayed_type_counts_events(spark, sf_dir):
+    """Time-decayed heavy hitters with EXACT integer arithmetic — the
+    recency-weighted leaderboard (trending topics / hot keys) that rand
+    or float-decay implementations can only approximate reproducibly.
+    The decay is a power of two per whole day of age relative to the
+    corpus max timestamp: weight(age_days) = 2^(H-1-age_days), H = 35 —
+    so every weight is a BIGINT, the per-type decayed mass is an
+    order-independent integer SUM, and both engines agree bit-for-bit
+    (no float decay, no fold-order). age_days comes from integer
+    microsecond division (DIV / //), so day boundaries can't ever
+    round differently across engines.
+
+    Shape at 100 TB: one scan + one groupBy over |event_type| keys —
+    partial aggregation map-side, O(types) shuffle. Headroom: weights
+    <= 2^(H-1); int64 overflows past ~2^63/2^34 = 2^29 rows per type at
+    H = 35 — for larger corpora either raise the day granularity, lower
+    H (older rows saturate to weight 0), or widen to DECIMAL(38,0); the
+    gate documents the bound rather than silently wrapping."""
+    H = 35
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _epoch_us("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("us_max"))
+    # floor() pins the out-of-horizon semantics: age_days >= H gives a
+    # fractional 2^negative that must become weight 0 in BOTH engines
+    # (DuckDB CAST alone would round-half-even, Spark's would truncate)
+    w = F.floor(
+        F.pow(
+            F.lit(2.0),
+            (F.lit(H - 1) - F.expr("(us_max - us) div 86400000000")).cast(
+                "double"
+            ),
+        )
+    ).cast("long")
+    per_type = (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn("w", w)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("w").alias("decayed_mass"),
+        )
+    )
+    win = Window.orderBy(F.col("decayed_mass").desc(), F.col("event_type"))
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "decayed_mass",
+        F.row_number().over(win).cast("int").alias("rank"),
+    )
+
+
+DECAYED_COUNTS_SQL = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+m AS (SELECT MAX(us) AS us_max FROM e),
+w AS (SELECT event_type,
+             CAST(floor(power(2, 34 - ((m.us_max - e.us) // 86400000000)))
+                  AS BIGINT) AS w
+      FROM e, m),
+t AS (SELECT event_type, COUNT(*) AS n_events, SUM(w) AS decayed_mass
+      FROM w GROUP BY 1)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(decayed_mass AS BIGINT) AS decayed_mass,
+       CAST(ROW_NUMBER() OVER (ORDER BY decayed_mass DESC, event_type) AS INT)
+         AS rank
+FROM t
+"""
+
+
+def pca_explained_variance_emb(spark, sf_dir):
+    """PCA over the embedding corpus via the distributed exact Gram —
+    the whitening / dimensionality-analysis primitive: eigendecompose
+    G = X^T X and report how much variance the top components carry.
+    The heavy pass is ``exact_gram`` (map-side X^T X, O(partitions·D²)
+    shuffle, never O(rows)); the finisher collects <= D(D+1)/2 BIGINT
+    cells and runs numpy ``eigh`` on the driver — O(D³) on < 1 MB, the
+    same driver-bounded pattern as ``fd_embedding_gram``'s spectral
+    check.
+
+    Cross-engine anchor: ``scaled_trace`` — the exact integer
+    Σ floor(v·2^14)² both engines sum independently (trace(G) is
+    order-independent BIGINT arithmetic). The spectral facts ride on
+    bound booleans evaluated on the driver's eigenvalues: PSD-ness
+    (min eig >= -1e-9·trace), Σeig = trace to 1e-9 relative, top-1
+    share >= 1/D (pigeonhole — always true of a trace-normalized PSD
+    spectrum), and explained-variance shares non-increasing."""
+    from ip_filter_spark.operators.similarity import exact_gram, pca_from_gram
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    vals, _vecs, scaled_trace = pca_from_gram(
+        exact_gram(e, "embedding", scale_bits=14), dim, scale_bits=14
+    )
+    trace = float(vals.sum())
+    shares = vals / trace if trace > 0 else vals
+    descaled = scaled_trace / float(2**28)
+    return spark.createDataFrame(
+        [
+            (
+                int(scaled_trace),
+                int(dim),
+                bool(vals.min() >= -1e-9 * trace),
+                bool(abs(trace - descaled) <= 1e-9 * descaled),
+                bool(shares[0] >= 1.0 / dim),
+                bool(np.all(np.diff(shares) <= 1e-12)),
+                bool(0.0 < float(shares[:8].sum()) <= 1.0 + 1e-12),
+            )
+        ],
+        "scaled_trace long, n_components int, psd_ok boolean, "
+        "trace_matches boolean, top1_ge_uniform boolean, "
+        "shares_non_increasing boolean, top8_share_in_unit boolean",
+    )
+
+
+PCA_EVR_SQL = """
+WITH q AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384)
+                    AS BIGINT) AS s
+           FROM embeddings)
+SELECT CAST(SUM(s * s) AS BIGINT) AS scaled_trace,
+       (SELECT CAST(MAX(len(embedding)) AS INT) FROM embeddings)
+         AS n_components,
+       TRUE AS psd_ok, TRUE AS trace_matches, TRUE AS top1_ge_uniform,
+       TRUE AS shares_non_increasing, TRUE AS top8_share_in_unit
+FROM q
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "pca_explained_variance_emb": pca_explained_variance_emb,
+    "decayed_type_counts_events": decayed_type_counts_events,
     "jl_distance_preservation_emb": jl_distance_preservation_emb,
     "stream_dgim_equivalence": stream_dgim_equivalence,
     "snapshot_upsert_docs": snapshot_upsert_docs,
@@ -8781,6 +8910,8 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "pca_explained_variance_emb": PCA_EVR_SQL,
+    "decayed_type_counts_events": DECAYED_COUNTS_SQL,
     "jl_distance_preservation_emb": JL_PRESERVATION_SQL,
     "stream_dgim_equivalence": STREAM_DGIM_SQL,
     "snapshot_upsert_docs": SNAPSHOT_UPSERT_SQL,

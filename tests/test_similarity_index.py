@@ -147,3 +147,27 @@ def test_jl_project_matches_numpy_and_preserves_norms(spark):
     # unbiasedness: mean norm ratio near 1 across 300 rows (sd ~ sqrt(2/d)/sqrt(n))
     ratios = (P**2).sum(1) / (X.astype(np.float64) ** 2).sum(1)
     assert abs(ratios.mean() - 1) < 0.05
+
+
+def test_pca_from_gram_matches_direct_eigh(spark):
+    """pca_from_gram over the distributed exact Gram must reproduce the
+    spectrum of the directly-computed quantized Gram, and the BIGINT
+    trace anchor must equal the numpy integer trace exactly."""
+    from ip_filter_spark.operators.similarity import exact_gram, pca_from_gram
+
+    rng = np.random.default_rng(3)
+    n, D = 200, 16
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+
+    vals, vecs, scaled_trace = pca_from_gram(exact_gram(emb, "embedding", scale_bits=14), D, scale_bits=14)
+
+    Xs = np.floor(X.astype(np.float64) * 2**14).astype(np.int64)
+    G = (Xs.T @ Xs).astype(np.float64) / 2**28
+    ref = np.linalg.eigvalsh(G)[::-1]
+    assert scaled_trace == int(np.trace(Xs.T @ Xs))
+    assert np.allclose(vals, ref, rtol=1e-9, atol=1e-9)
+    assert vals[0] >= vals[-1] >= -1e-9 * vals.sum()
+    # components reconstruct the Gram: V diag(vals) V^T == G
+    assert np.allclose(vecs @ np.diag(vals) @ vecs.T, G, atol=1e-8)
