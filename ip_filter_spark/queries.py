@@ -8706,10 +8706,82 @@ FROM q
 """
 
 
+def ks_statistic_events(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events — the
+    distribution-drift / A-B-shift detector — in EXACT integer
+    arithmetic: with cumulative counts C1, C2 and sizes n1, n2, the KS
+    distance is max|C1/n1 − C2/n2| = max|C1·n2 − C2·n1| / (n1·n2), and
+    the numerator is a BIGINT both engines compute bit-identically
+    (values quantized to cents first; no float ECDFs anywhere). The
+    gate also pins WHERE the max is attained (smallest cents at ties).
+
+    Shape at 100 TB: one scan groups to the distinct-cents grid
+    (bounded by the price grid, not row count), the two ECDFs are
+    ``distributed_prefix_sum`` runs over that grid (no single-partition
+    global window), and the argmax is a 1-row TakeOrdered. Overflow
+    bound: C·n <= n1·n2 needs n1, n2 below ~3·10⁹ in int64 — past that,
+    widen to DECIMAL(38,0) or compute per-stratum."""
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("d2"),
+    )
+    c = distributed_prefix_sum(g, "cents", "d1", out_col="c1")
+    c = distributed_prefix_sum(c, "cents", "d2", out_col="c2")
+    n = g.agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    scored = c.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+        ).alias("ks_num"),
+        "cents",
+    )
+    return (
+        scored.orderBy(F.col("ks_num").desc(), F.col("cents"))
+        .limit(1)
+        .select("n1", "n2", "ks_num", F.col("cents").alias("at_cents"))
+    )
+
+
+KS_STATISTIC_SQL = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (SELECT cents,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d2
+      FROM e GROUP BY 1),
+c AS (SELECT cents, SUM(d1) OVER (ORDER BY cents) AS c1,
+             SUM(d2) OVER (ORDER BY cents) AS c2
+      FROM g),
+t AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM g)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+       CAST(ABS(c.c1 * t.n2 - c.c2 * t.n1) AS BIGINT) AS ks_num,
+       c.cents AS at_cents
+FROM c, t
+ORDER BY ks_num DESC, at_cents
+LIMIT 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "ks_statistic_events": ks_statistic_events,
     "pca_explained_variance_emb": pca_explained_variance_emb,
     "decayed_type_counts_events": decayed_type_counts_events,
     "jl_distance_preservation_emb": jl_distance_preservation_emb,
@@ -8910,6 +8982,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "ks_statistic_events": KS_STATISTIC_SQL,
     "pca_explained_variance_emb": PCA_EVR_SQL,
     "decayed_type_counts_events": DECAYED_COUNTS_SQL,
     "jl_distance_preservation_emb": JL_PRESERVATION_SQL,
