@@ -8777,10 +8777,89 @@ LIMIT 1
 """
 
 
+def incremental_sketch_update_docs(spark, sf_dir):
+    """Incremental sketch maintenance over the snapshot source — the
+    nightly-delta shape at 10^12 files: commit the corpus as two
+    manifest-backed snapshots, build HLL + Bloom over snapshot 1, then
+    fold in ONLY the O(delta) incremental (s1, s2] scan and demand the
+    result be BYTE-IDENTICAL to a full rebuild over the current
+    snapshot. That's merge associativity (pytest-proven per sketch)
+    applied to the maintenance loop the reference leaves as future work
+    (it rebuilds from a full scan every run,
+    /root/reference/prototype/ipfilter.py:124-143): sketch(base) ⊕
+    sketch(delta) ≡ sketch(base ∪ delta), so a checkpointed blob plus a
+    delta read replaces a corpus re-scan. Keys are the engine's
+    sha256(text) digests (the reference's per-row hashing invariant).
+
+    Cross-engine anchors: total docs and exact distinct texts (the HLL's
+    ground truth); the byte-equality and the published error bound ride
+    booleans."""
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    specs = [
+        SketchSpec("hll", {"p": 14}),
+        SketchSpec("bloom", {"fpp": 1e-4, "n": 100_000}),
+    ]
+    key = F.col("text")
+    work = tempfile.mkdtemp(prefix="ifs_incr_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        s1 = table.append(docs.where(F.col("doc_id") % 2 == 0))
+        s2 = table.append(docs.where(F.col("doc_id") % 2 == 1))
+        base = build_and_merge(table.read(spark, s1), specs, key=key)
+        delta = build_and_merge(table.incremental(spark, s1, s2), specs, key=key)
+        full = build_and_merge(table.read(spark), specs, key=key)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    folded = {k: base[k].merge(delta[k]) for k in base}
+    hll_key, bloom_key = specs[0].key(), specs[1].key()
+    hll_same = folded[hll_key].to_bytes() == full[hll_key].to_bytes()
+    bloom_same = folded[bloom_key].to_bytes() == full[bloom_key].to_bytes()
+
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("distinct_texts"),
+    ).first()
+    est = folded[hll_key].estimate()
+    bound = folded[hll_key].rel_error_bound()
+    within = abs(est - stats["distinct_texts"]) <= bound * stats["distinct_texts"]
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_docs"]),
+                int(stats["distinct_texts"]),
+                bool(hll_same),
+                bool(bloom_same),
+                bool(within),
+            )
+        ],
+        "n_docs long, distinct_texts long, hll_incremental_byte_identical "
+        "boolean, bloom_incremental_byte_identical boolean, "
+        "hll_within_bound boolean",
+    )
+
+
+INCREMENTAL_SKETCH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+       TRUE AS hll_incremental_byte_identical,
+       TRUE AS bloom_incremental_byte_identical,
+       TRUE AS hll_within_bound
+FROM documents
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "incremental_sketch_update_docs": incremental_sketch_update_docs,
     "ks_statistic_events": ks_statistic_events,
     "pca_explained_variance_emb": pca_explained_variance_emb,
     "decayed_type_counts_events": decayed_type_counts_events,
@@ -8982,6 +9061,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "incremental_sketch_update_docs": INCREMENTAL_SKETCH_SQL,
     "ks_statistic_events": KS_STATISTIC_SQL,
     "pca_explained_variance_emb": PCA_EVR_SQL,
     "decayed_type_counts_events": DECAYED_COUNTS_SQL,
