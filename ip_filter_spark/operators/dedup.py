@@ -156,15 +156,24 @@ def minhash_lsh_pairs(
     agreement fraction) is replicated verbatim by the DuckDB oracle
     (queries.minhash_lsh_sql)."""
     assert num_perm % bands == 0
-    r = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_fn, seed).cache()
+    return _banded_pairs(sig, num_perm, bands, threshold, max_bucket)
 
-    # candidate pairs in ONE shuffle: group band rows into buckets,
-    # drop singletons (can't pair) and cap hot buckets (boilerplate —
-    # bounded blow-up, not silent: the cap is an explicit parameter),
-    # then emit in-bucket pairs JVM-side from the sorted id list.
-    # Round 1 did count-groupBy + prune-join + self-join — three
-    # shuffles over the 16x-exploded band table; this is one.
+
+def _banded_pairs(
+    sig: DataFrame, n_components: int, bands: int, threshold: float, max_bucket: int
+) -> DataFrame:
+    """Shared LSH tail over any (id, sig: array<long>[n_components])
+    signature table: polynomial band keys → capped in-bucket pairs →
+    broadcast-pair agreement-fraction verify ≥ threshold.
+
+    Candidate pairs in ONE shuffle: group band rows into buckets, drop
+    singletons (can't pair) and cap hot buckets (boilerplate — bounded
+    blow-up, not silent: the cap is an explicit parameter), then emit
+    in-bucket pairs JVM-side from the sorted id list. Round 1 did
+    count-groupBy + prune-join + self-join — three shuffles over the
+    16x-exploded band table; this is one."""
+    r = n_components // bands
     band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
     banded = sig.select("id", F.posexplode(band_keys).alias("band", "key"))
     buckets = (
@@ -193,7 +202,7 @@ def minhash_lsh_pairs(
                     F.lit(0),
                     lambda acc, x: acc + x,
                 )
-                / F.lit(num_perm),
+                / F.lit(n_components),
                 6,
             ),
         )
@@ -201,6 +210,92 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "est_jaccard")
     )
     return verified
+
+
+_OPH_BIG = 1 << 40  # densification min-encode base; dominates v + j*C (v < P/k)
+_OPH_C = 1_000_003  # per-rotation de-correlation offset
+
+
+def oph_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    shingle_n: int = 3,
+    hash_fn: str = "sha",
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signatures (Li, Owen & Zhang,
+    NIPS'12) with rotation densification (Shrivastava & Li, ICML'14).
+
+    ONE base hash per shingle instead of ``minhash_signatures``'s
+    num_perm affine maps: bucket = h mod k, in-bucket value v = h div k,
+    component i = min v over the doc's shingles landing in bucket i.
+    Empty buckets borrow from the nearest FILLED bucket to the right
+    (circular), adding C per rotation step so borrowed bins don't
+    collapse to identical values; the densified estimator is unbiased
+    with variance comparable to k independent permutations (the papers'
+    result) at ~k× less build-side arithmetic — at 10^12 documents the
+    signature build dominates dedup cost, so this is the scale path.
+    Same plan shape as ``minhash_signatures``: one explode + one groupBy
+    with map-side partial min; densification is pure array expressions
+    (no UDF, no extra shuffle).
+
+    Densification uses a min-encode that the DuckDB oracle replicates
+    verbatim (queries.oph_minhash_sql): over filled rotation offsets j,
+    ``min(j*BIG + v_j + j*C) % BIG`` equals v at the smallest filled j
+    plus j*C — integer-exact in both engines since BIG = 2^40 dominates
+    v + j*C (v < P/k < 2^31).
+
+    Returns (id, sig: array<long>[k], n_filled: int)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    ).select("id", shingle_hash31(F.col("sh"), hash_fn).alias("h"))
+    bucketed = ex.select(
+        "id", (F.col("h") % F.lit(k)).alias("b"), F.expr(f"h div {k}").alias("v")
+    )
+    aggs = [F.min(F.when(F.col("b") == i, F.col("v"))).alias(f"s{i}") for i in range(k)]
+    raw = bucketed.groupBy("id").agg(*aggs)
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    vcol = F.col("vals")
+    dens = F.transform(
+        idx,
+        lambda i: F.array_min(
+            F.transform(
+                F.filter(idx, lambda j: F.element_at(vcol, ((i + j) % k) + 1).isNotNull()),
+                lambda j: j.cast("long") * F.lit(_OPH_BIG)
+                + F.element_at(vcol, ((i + j) % k) + 1)
+                + j.cast("long") * F.lit(_OPH_C),
+            )
+        )
+        % F.lit(_OPH_BIG),
+    )
+    n_filled = F.size(F.filter(vcol, lambda x: x.isNotNull()))
+    return raw.select(
+        "id", F.array(*[f"s{i}" for i in range(k)]).alias("vals")
+    ).select("id", dens.alias("sig"), n_filled.alias("n_filled"))
+
+
+def oph_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    hash_fn: str = "sha",
+) -> DataFrame:
+    """Near-dup candidate pairs from OPH signatures — the same banded
+    LSH tail as ``minhash_lsh_pairs`` (shared ``_banded_pairs``) with
+    the k-hash signature build replaced by the one-hash-per-shingle OPH
+    build. est_jaccard is the densified-signature agreement fraction;
+    with k a power of two the fraction is exact in binary, so the
+    cross-engine ROUND(…, 6) comparison is exact."""
+    assert k % bands == 0
+    sig = oph_signatures(df, id_col, text_col, k, shingle_n, hash_fn).select("id", "sig").cache()
+    return _banded_pairs(sig, k, bands, threshold, max_bucket)
 
 
 def _bit_mask(j: int):

@@ -8855,10 +8855,289 @@ FROM documents
 """
 
 
+def oph_minhash_sql(
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> str:
+    """Full DuckDB replica of oph_minhash_pairs(hash_fn='sha'): same
+    shingles, same sha-derived base hash, bucket = h mod k / value =
+    h div k, the same min-encode rotation densification (integer-exact
+    in both engines), same polynomial band keys, bucket cap and
+    agreement fraction. The oracle checks the ALGORITHM end to end."""
+    from ip_filter_spark.operators.dedup import _BAND_K, _OPH_BIG, _OPH_C, MINHASH_P
+
+    P = MINHASH_P
+    r = k // bands
+    vals_list = ", ".join(f"MIN(CASE WHEN b = {i} THEN v END)" for i in range(k))
+
+    def key_expr(b: int) -> str:
+        acc = str(b + 1)
+        for j in range(r):
+            acc = f"(({acc}) * {_BAND_K} + sig[{b * r + j + 1}]) % {P}"
+        return acc
+
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, {key_expr(b)} AS key FROM dens" for b in range(bands)
+    )
+    return f"""
+WITH shg AS (
+  SELECT DISTINCT doc_id AS id, unnest({_sql_shingles(shingle_n)}) AS sh FROM documents),
+h AS (SELECT id, CAST('0x' || substr(sha256(sh), 1, 15) AS BIGINT) % {P} AS h FROM shg),
+m AS (SELECT id, h % {k} AS b, MIN(h // {k}) AS v FROM h GROUP BY id, h % {k}),
+vals AS (SELECT id, [{vals_list}] AS vals FROM m GROUP BY id),
+dens AS (SELECT id, list_transform(range(0, {k}), i ->
+    list_min(list_transform(
+      list_filter(range(0, {k}), j -> vals[((i + j) % {k}) + 1] IS NOT NULL),
+      j -> j * {_OPH_BIG} + vals[((i + j) % {k}) + 1] + j * {_OPH_C})) % {_OPH_BIG}) AS sig
+  FROM vals),
+banded AS (
+{banded}),
+ok AS (SELECT band, key FROM banded GROUP BY band, key
+       HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN ok USING (band, key)
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+est AS (
+  SELECT id_a, id_b,
+         ROUND(list_sum(list_transform(range(1, {k + 1}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {float(k)}, 6) AS est_jaccard
+  FROM cand JOIN dens sa ON sa.id = cand.id_a JOIN dens sb ON sb.id = cand.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def oph_minhash_pairs_docs(spark, sf_dir):
+    """Near-dup pairs via One-Permutation-Hashing MinHash — the
+    one-hash-per-shingle signature build (Li/Owen/Zhang NIPS'12 +
+    Shrivastava/Li ICML'14 rotation densification). minhash_pairs_docs
+    spends num_perm affine maps per shingle; OPH spends ONE mod+div —
+    at 10^12 documents the signature build dominates dedup cost, so
+    this is the scale path, and the LSH tail (bands, caps, broadcast
+    verify) is shared code. FULL algorithm-replica oracle: DuckDB
+    recomputes shingles → base hash → bucket mins → min-encode
+    densification → band keys → capped pairs → agreement fraction,
+    integer-exact at every step."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.dedup import oph_minhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return oph_minhash_pairs(d, "doc_id", "text", k=64, bands=16, threshold=0.5)
+
+
+def hll_intersection_users(spark, sf_dir):
+    """|click ∩ purchase| distinct users via HLL inclusion–exclusion:
+    two independently-built mergeable sketches plus their LOSSLESS blob
+    union (register-wise max), intersection = est(A) + est(B) − est(A∪B).
+    This is the composable form KMV set algebra can't reach once
+    capacity truncates (kmv_user_overlap asserts its domain fits k; HLL
+    IE has no such cliff — it trades the cliff for an additive error).
+    The IE estimate inherits at most the summed absolute errors of its
+    three terms, so the gate pins |est − exact∩| ≤ rb·(|A| + |B| +
+    |A∪B|) with rb the published 1.04/√m bound, alongside the exact
+    counts as cross-engine anchors (measured slack ≤ 0.15·bound at
+    sf0.001–0.1)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("hll", {"p": 14})
+    sk = {}
+    for et in ("click", "purchase"):
+        sk[et] = build_and_merge(
+            ev.where(F.col("event_type") == et), [spec], key=F.col("user_id").cast("string")
+        )[spec.key()]
+    union = sk["click"].merge(sk["purchase"])
+    est_i = sk["click"].estimate() + sk["purchase"].estimate() - union.estimate()
+
+    flags = ev.where(F.col("event_type").isin("click", "purchase")).groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_b"),
+    )
+    ex = flags.agg(
+        F.sum("has_a").cast("long").alias("a"),
+        F.sum("has_b").cast("long").alias("b"),
+        F.count("*").cast("long").alias("u"),
+        F.sum(F.col("has_a") * F.col("has_b")).cast("long").alias("i"),
+    ).first()
+    rb = sk["click"].rel_error_bound()
+    within = abs(est_i - ex["i"]) <= rb * (ex["a"] + ex["b"] + ex["u"])
+    return spark.createDataFrame(
+        [(int(ex["a"]), int(ex["b"]), int(ex["i"]), bool(within))],
+        "click_users long, purchase_users long, overlap_users long, within_ie_bound boolean",
+    )
+
+
+HLL_INTERSECTION_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_b
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY user_id)
+SELECT CAST(SUM(has_a) AS BIGINT) AS click_users,
+       CAST(SUM(has_b) AS BIGINT) AS purchase_users,
+       CAST(SUM(has_a * has_b) AS BIGINT) AS overlap_users,
+       TRUE AS within_ie_bound
+FROM flags
+"""
+
+
+_MIXTURE_WEIGHTS = {"en": 3, "fr": 2, "es": 2}  # others default to 1
+
+
+def mixture_resample_docs(spark, sf_dir):
+    """Deterministic resampling to a TARGET LANGUAGE MIXTURE (the
+    training-mix targeting step: fix the en:fr:es:zh:de ratio at
+    3:2:2:1:1): per-lang budget t_l = w_l · min_l⌊n_l / w_l⌋ — the
+    largest sample achieving the exact ratio without upsampling — and
+    the t_l kept docs are the smallest sha256(doc_id) per lang
+    (identity-hash order: engine/rerun/cluster-size reproducible, and
+    growing a group only moves its boundary). Generalizes
+    balanced_sample from equal counts to arbitrary ratios. FULL-VALUE
+    per-lang verification: budget, kept count, and integer checksums
+    (Σ doc_id, Σ n_chars) of the kept subset vs DuckDB computing the
+    identical ranks."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.sources.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_resample(d, "lang", "doc_id", _MIXTURE_WEIGHTS)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("budget").cast("long").alias("target_n"),
+            F.count("*").cast("long").alias("kept_n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(f"WHEN '{g}' THEN {w}" for g, w in _MIXTURE_WEIGHTS.items())
+    return f"""
+WITH w AS (
+  SELECT lang, COUNT(*) AS n, CASE lang {cases} ELSE 1 END AS wt
+  FROM documents GROUP BY lang),
+budget AS (
+  SELECT lang, wt * (SELECT MIN(n // wt) FROM w) AS t FROM w),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents)
+SELECT r.lang,
+       CAST(MIN(b.t) AS BIGINT) AS target_n,
+       CAST(COUNT(*) AS BIGINT) AS kept_n,
+       CAST(SUM(r.doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(r.n_chars) AS BIGINT) AS chars_sum
+FROM ranked r JOIN budget b ON r.lang = b.lang
+WHERE r.rk <= b.t
+GROUP BY r.lang
+"""
+
+
+def stream_late_data_drop(spark, sf_dir):
+    """Watermark LATE-DATA semantics under the hard gate: rows arriving
+    after the watermark passed their window must be DROPPED, exactly and
+    deterministically. Replay: the on-time split (event_id % 3 != 0)
+    arrives first, then TWO sentinel rows far in the future, each its
+    own micro-batch — the first advances the watermark past every real
+    window's end (watermarks apply one batch late), the second runs
+    with that watermark so every on-time window is finalized and
+    EVICTED — then the late split (event_id % 3 == 0) arrives entirely
+    below the watermark and must be dropped (observed:
+    numRowsDroppedByWatermark = the late count). The streamed
+    per-(hour, type) aggregate must equal the batch aggregate over the
+    ON-TIME SPLIT ONLY (full-value oracle). This is the eviction half
+    of the watermark contract; stream_windowed_counts pins the
+    emission half."""
+    _ensure_shipped(spark)
+    import shutil
+    import time
+
+    from ip_filter_spark.streaming import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = _stream_scratch("late", sf_dir)
+    try:
+        src = f"{work}/src"
+        on_time = ev.where(F.col("event_id") % 3 != 0).drop("event_id")
+        late = ev.where(F.col("event_id") % 3 == 0).drop("event_id")
+        on_time.repartition(4).write.parquet(src)
+
+        def _sentinel(extra_s: int):
+            # watermark once applied = sentinel - delay = mx + extra_s,
+            # beyond every real window end (<= mx + 1h)
+            return spark.createDataFrame(
+                [("__sentinel__", 0.0)], "event_type string, value double"
+            ).select(
+                (F.lit(mx) + F.expr(f"INTERVAL {delay_s + extra_s} SECONDS")).alias("ts"),
+                "event_type",
+                "value",
+            )
+
+        time.sleep(1.1)  # mtime order = micro-batch order
+        _sentinel(7200).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        _sentinel(7300).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        late.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        counts = windowed_event_counts(
+            stream, ts_col="ts", key_col="event_type", window="1 hour",
+            watermark=f"{delay_s} seconds",
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start(f"{work}/out", format="parquet")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow late-data stream did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .where(F.col("event_type") != "__sentinel__")
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "total_value")
+    )
+
+
+STREAM_LATE_DROP_SQL = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_id % 3 <> 0
+GROUP BY window_start, event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "oph_minhash_pairs_docs": oph_minhash_pairs_docs,
+    "hll_intersection_users": hll_intersection_users,
+    "mixture_resample_docs": mixture_resample_docs,
+    "stream_late_data_drop": stream_late_data_drop,
     "incremental_sketch_update_docs": incremental_sketch_update_docs,
     "ks_statistic_events": ks_statistic_events,
     "pca_explained_variance_emb": pca_explained_variance_emb,
@@ -9061,6 +9340,10 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "oph_minhash_pairs_docs": oph_minhash_sql(k=64, bands=16, threshold=0.5),
+    "hll_intersection_users": HLL_INTERSECTION_SQL,
+    "mixture_resample_docs": _mixture_sql(),
+    "stream_late_data_drop": STREAM_LATE_DROP_SQL,
     "incremental_sketch_update_docs": INCREMENTAL_SKETCH_SQL,
     "ks_statistic_events": KS_STATISTIC_SQL,
     "pca_explained_variance_emb": PCA_EVR_SQL,

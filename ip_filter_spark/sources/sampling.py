@@ -102,6 +102,54 @@ def deterministic_group_sample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict,
+    default_weight: int = 1,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic downsample to a TARGET MIXTURE: given integer
+    mixture weights w_g, keep t_g = w_g · m rows per group where
+    m = min_g ⌊n_g / w_g⌋ — the largest sample achieving the exact
+    target ratio without upsampling any group. Kept rows are the t_g
+    smallest sha256(id) per group (identity-hash order, the same family
+    as ``deterministic_group_sample``: reproducible across engines,
+    reruns, partitionings and cluster sizes; growing a group only moves
+    its boundary). The training-mix targeting step — generalizes
+    ``balanced_sample`` from equal per-group counts to arbitrary ratios
+    (e.g. en:fr:es:zh:de at 3:2:2:1:1).
+
+    Plan shape: one tiny count aggregate (|groups| rows to the driver)
+    fixes the budgets, then one window over (group, hash order) with the
+    budget joined in broadcast. The rank filter is per-group-variable so
+    WindowGroupLimit can't prune it map-side; for few giant groups use
+    ``balanced_sample``'s two-phase bucket-histogram form per group —
+    here budgets are data-dependent and the window form keeps the whole
+    operator SQL-replicable for the gate.
+
+    Output: the kept rows plus ``rank_col`` (1..t_g) and ``budget``
+    (t_g) columns."""
+    from pyspark.sql import Window
+
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    assert counts, "mixture_resample: empty input"
+    wt = {g: int(weights.get(g, default_weight)) for g in counts}
+    m = min(n // wt[g] for g, n in counts.items())
+    budgets = [(g, wt[g] * m) for g in counts]
+    budget_df = df.sparkSession.createDataFrame(
+        budgets, f"{group_col} string, budget long"
+    )
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+    w = Window.partitionBy(group_col).orderBy(h)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .join(F.broadcast(budget_df), group_col)
+        .where(F.col(rank_col) <= F.col("budget"))
+    )
+
+
 def balanced_sample(
     df: DataFrame,
     group_col: str,

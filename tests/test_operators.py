@@ -21,6 +21,8 @@ from ip_filter_spark.operators import (
     extract_features,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    oph_minhash_pairs,
+    oph_signatures,
     rhp_bucketed_topk,
     sketch_quantiles,
     simhash_pairs,
@@ -99,6 +101,35 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
     exact = {(r.id_a, r.id_b): r.jaccard for r in
              ngram_jaccard_pairs(sample, "id", "text", threshold=0.01).collect()}
     sd = np.sqrt(0.25 / 128)
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) <= 4 * sd + 0.05, (pair, e, exact[pair])
+
+
+def test_oph_minhash_finds_near_dups(spark):
+    df = _near_dup_corpus(spark)
+    pairs = oph_minhash_pairs(df, "id", "text", k=64, bands=32, threshold=0.35).collect()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert got.get((1, 4)) == 1.0  # exact dup: identical signatures
+    assert all({a, b} != {3, 5} for a, b in got)  # unrelated docs not paired
+
+
+def test_oph_signatures_densified_and_track_jaccard(spark, docs):
+    """Densification law: every signature is TOTAL (no nulls — empty
+    buckets borrowed), length k, 1 <= n_filled <= k; and the densified
+    estimator tracks exact Jaccard within the k-perm tolerance (the
+    papers' variance-equivalence, checked empirically)."""
+    sample = docs.limit(60).selectExpr("doc_id as id", "text")
+    rows = oph_signatures(sample, "id", "text", k=64).collect()
+    assert rows and all(
+        len(r.sig) == 64 and all(v is not None for v in r.sig) and 1 <= r.n_filled <= 64
+        for r in rows
+    )
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in
+           oph_minhash_pairs(sample, "id", "text", k=64, bands=32, threshold=0.2).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(sample, "id", "text", threshold=0.01).collect()}
+    sd = np.sqrt(0.25 / 64)
     for pair, e in est.items():
         if pair in exact:
             assert abs(e - exact[pair]) <= 4 * sd + 0.05, (pair, e, exact[pair])

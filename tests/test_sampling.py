@@ -46,3 +46,30 @@ def test_weighted_reservoir_sample(spark):
     assert heavy > 3 * light, (heavy, light)  # weight-proportional pull
     # and no duplicates within one draw (without replacement)
     assert len(set(a)) == len(a)
+
+
+def test_mixture_resample_exact_ratio_and_determinism(spark, sf_dir):
+    """Mixture law: kept counts are EXACTLY w_g * m with one shared m
+    (the largest no-upsample mixture), the kept set is invariant to
+    input partitioning, and every group's budget never exceeds its
+    size."""
+    from ip_filter_spark.sources.sampling import mixture_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 3, "fr": 2, "es": 2}
+    kept = mixture_resample(docs, "lang", "doc_id", weights)
+    counts = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    m = min(sizes[g] // weights.get(g, 1) for g in sizes)
+    assert m >= 1
+    for g, n in counts.items():
+        assert n == weights.get(g, 1) * m, (g, n, m)
+        assert n <= sizes[g]
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_resample(docs.repartition(7), "lang", "doc_id", weights)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b  # identity-hash order: partitioning-invariant
