@@ -223,6 +223,80 @@ def _assign_cids(vec_series, C: np.ndarray) -> np.ndarray:
     return np.argmax(M @ C.T, axis=1).astype(np.int32)
 
 
+def lloyd_kmeans(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 16, iters: int = 4
+) -> tuple[np.ndarray, list[float], int]:
+    """Classic Lloyd k-means (squared Euclidean) with per-iteration
+    distributed inertia — the clustering primitive for semantic-dedup /
+    corpus-bucketing pipelines (IVFIndex.train_kmeans is its spherical
+    twin for the ANN quantizer).
+
+    Seeding is deterministic: the k rows with smallest xxhash64(id) —
+    identity-hash order, invariant to partitioning and cluster size.
+    Each iteration is ONE mapInPandas pass emitting per-partition
+    (cid, Σvec, count, cost) partials — O(P·k·D) to the driver, never
+    O(rows); the new centroids AND the inertia of the assignment just
+    made come from the same pass (no separate cost job).  Distances use
+    the ‖x‖² − 2xᵀc + ‖c‖² expansion (no n×k×D intermediate).
+
+    Lloyd's descent guarantee: inertia is non-increasing per iteration
+    in exact arithmetic (the assign step can't increase cost given
+    centroids; the update step can't given assignments) — callers
+    checking it should allow ~1e-9 relative tolerance for float
+    partial-sum fold-order noise.
+
+    Returns (centroids float64[k, D], per-iteration costs, n_rows)."""
+    src = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = src.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(k).collect()
+    C = np.vstack([np.asarray(r.v, dtype=np.float64) for r in seeds])
+    dim = C.shape[1]
+    sc = emb.sparkSession.sparkContext
+    costs: list[float] = []
+    n_rows = 0
+    for _ in range(iters):
+        bc = sc.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl = bc.value
+            c_sq = (Cl * Cl).sum(axis=1)
+            sums = np.zeros((len(Cl), dim), dtype=np.float64)
+            cnts = np.zeros(len(Cl), dtype=np.int64)
+            cost = 0.0
+            for b in batches:
+                if not len(b):
+                    continue
+                M = np.vstack(b["v"].to_numpy()).astype(np.float64)
+                d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cl.T) + c_sq[None, :]
+                cid = np.argmin(d2, axis=1)
+                cost += float(np.maximum(d2[np.arange(len(M)), cid], 0.0).sum())
+                np.add.at(sums, cid, M)
+                np.add.at(cnts, cid, 1)
+            c_col = np.zeros(len(Cl))
+            c_col[0] = cost  # partition cost rides the cid-0 row only
+            yield pd.DataFrame(
+                {"cid": np.arange(len(Cl)), "s": list(sums), "n": cnts, "c": c_col}
+            )
+
+        agg = src.select("v").mapInPandas(
+            partials, schema="cid int, s array<double>, n long, c double"
+        ).collect()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        cost = 0.0
+        for r in agg:
+            sums[r.cid] += np.asarray(r.s)
+            cnts[r.cid] += r.n
+            cost += r.c
+        nz = cnts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / cnts[nz, None]
+        costs.append(cost)
+        n_rows = int(cnts.sum())
+    return C, costs, n_rows
+
+
 class IVFIndex:
     """Inverted-file ANN: a k-means coarse quantizer (``nlist``
     centroids) partitions the corpus by nearest-centroid id; a query

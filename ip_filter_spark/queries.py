@@ -9130,10 +9130,144 @@ GROUP BY window_start, event_type
 """
 
 
+def snapshot_vacuum_docs(spark, sf_dir):
+    """Table-lifecycle GC under the hard gate: CoW DELETE strands the
+    rewritten-away file sets, ``expire_snapshots`` drops the old
+    manifests that still referenced them, ``vacuum`` reclaims exactly
+    those orphans — and a vacuum run while old manifests are live must
+    delete NOTHING (every reader plans from a manifest, so an
+    unreferenced file set is unreachable by construction; that safety
+    invariant is gated as an integer, not assumed).  Completes the
+    snapshot source's lifecycle: time travel / incremental / pruning /
+    bloom skipping / schema evolution / CoW MERGE+DELETE / compaction
+    were already gated; this is Iceberg's expire_snapshots +
+    remove_orphan_files.  Values: exact per-lang aggregates of the
+    post-delete table READ AFTER VACUUM (proving reclamation broke no
+    read) + the planned lifecycle integers (ids ≡ 3 (mod 10) live in
+    append buckets 1 and 3 (mod 4) → 2 file sets rewritten into one
+    survivor set → 2 reclaimed, 3 live)."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="ifs_vacuum_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        for i in range(4):
+            table.append(
+                docs.where(F.col("doc_id") % 4 == i),
+                stats_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+        doomed = [r.doc_id for r in docs.where(F.col("doc_id") % 10 == 3).select("doc_id").collect()]
+        _sid, rewritten, total = table.delete_keys(
+            spark, "doc_id", doomed, stats_cols=["doc_id"], bloom_cols=["doc_id"]
+        )
+        assert (rewritten, total) == (2, 4), (rewritten, total)
+        pre = table.vacuum()  # all file sets still referenced by manifests 1-4
+        expired = table.expire_snapshots(keep_last=1)
+        post = table.vacuum()
+        out = table.read(spark).groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).select(
+        "*",
+        F.lit(len(pre["deleted"])).cast("long").alias("deleted_while_referenced"),
+        F.lit(len(expired)).cast("long").alias("snapshots_expired"),
+        F.lit(len(post["deleted"])).cast("long").alias("filesets_reclaimed"),
+        F.lit(len(post["kept"])).cast("long").alias("filesets_live"),
+    )
+
+
+SNAPSHOT_VACUUM_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(0 AS BIGINT) AS deleted_while_referenced,
+       CAST(4 AS BIGINT) AS snapshots_expired,
+       CAST(2 AS BIGINT) AS filesets_reclaimed,
+       CAST(3 AS BIGINT) AS filesets_live
+FROM documents
+WHERE doc_id % 10 <> 3
+GROUP BY lang
+"""
+
+
+def kmeans_inertia_emb(spark, sf_dir):
+    """Distributed classic Lloyd k-means under the hard gate via its
+    DESCENT THEOREM: inertia is non-increasing per iteration (the
+    assign step can't raise cost given centroids, the update step
+    can't given assignments) — a provable-by-construction invariant in
+    the bound-column style, checked at 1e-9 relative tolerance for
+    float fold-order noise, plus a strict overall decrease (measured
+    ≥ 20% at sf0.001–0.1).  The heavy pass is one mapInPandas per
+    iteration emitting O(P·k·D) partials (Σvec, count, cost per
+    centroid) — never O(rows) to the driver; seeding is identity-hash
+    deterministic.  Exact anchors: n_vectors, k, iters."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.similarity import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k, iters = 16, 4
+    _C, costs, n = lloyd_kmeans(emb, "vec_id", "embedding", k=k, iters=iters)
+    monotone = all(costs[t + 1] <= costs[t] * (1 + 1e-9) for t in range(len(costs) - 1))
+    decreased = costs[-1] < costs[0] * (1 - 1e-6)
+    return spark.createDataFrame(
+        [(int(n), k, iters, bool(monotone), bool(decreased))],
+        "n_vectors long, k long, iters long, inertia_monotone boolean, inertia_decreased boolean",
+    )
+
+
+KMEANS_INERTIA_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(16 AS BIGINT) AS k,
+       CAST(4 AS BIGINT) AS iters, TRUE AS inertia_monotone, TRUE AS inertia_decreased
+FROM embeddings
+"""
+
+
+def bloom_cardinality_users(spark, sf_dir):
+    """Distinct users estimated FROM THE BLOOM BLOB ALONE — the
+    Swamidass–Baldi fill-ratio inversion n̂ = −(m/k)·ln(1 − X/m) (X =
+    popcount).  The operational 'how many distinct keys has this
+    deployed filter absorbed / how much headroom is left' probe when
+    re-counting the corpus would be a full re-scan: the filter built
+    for membership answers cardinality for free.  Gate: the exact
+    distinct count (cross-engine anchor) + the estimate within 5% —
+    at gate fills (X/m ≪ 1) collisions are negligible and measured
+    error is < 1% at sf0.001–0.1; the filter itself is the standard
+    distributed build (partials → OR-merge)."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.engine import SketchSpec, build_and_merge
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("bloom", {"fpp": 1e-3, "n": 1_000_000})
+    sk = build_and_merge(ev, [spec], key=F.col("user_id").cast("string"))[spec.key()]
+    est = sk.cardinality_estimate()
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    within = abs(est - exact) / exact <= 0.05
+    return spark.createDataFrame(
+        [(int(exact), bool(within))],
+        "exact_distinct long, estimate_within_5pct boolean",
+    )
+
+
+BLOOM_CARDINALITY_SQL = """
+SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS estimate_within_5pct FROM events
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "snapshot_vacuum_docs": snapshot_vacuum_docs,
+    "kmeans_inertia_emb": kmeans_inertia_emb,
+    "bloom_cardinality_users": bloom_cardinality_users,
     "oph_minhash_pairs_docs": oph_minhash_pairs_docs,
     "hll_intersection_users": hll_intersection_users,
     "mixture_resample_docs": mixture_resample_docs,
@@ -9340,6 +9474,9 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "snapshot_vacuum_docs": SNAPSHOT_VACUUM_SQL,
+    "kmeans_inertia_emb": KMEANS_INERTIA_SQL,
+    "bloom_cardinality_users": BLOOM_CARDINALITY_SQL,
     "oph_minhash_pairs_docs": oph_minhash_sql(k=64, bands=16, threshold=0.5),
     "hll_intersection_users": HLL_INTERSECTION_SQL,
     "mixture_resample_docs": _mixture_sql(),

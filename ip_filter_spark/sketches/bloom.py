@@ -143,6 +143,19 @@ class BloomFilter(Sketch):
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).sum()) / float(self.m)
 
+    def cardinality_estimate(self) -> float:
+        """Distinct insertions estimated FROM THE BIT ARRAY ALONE —
+        Swamidass & Baldi (J. Chem. Inf. Model. 2007):
+        n̂ = −(m/k)·ln(1 − X/m) with X the popcount.  The operational
+        'how full is this deployed filter' probe when re-counting the
+        corpus would be a full re-scan; exact as X/m → 0, and still
+        within a few percent near design fill.  Returns +inf for a
+        saturated array (every bit set carries no information)."""
+        x = float(np.unpackbits(self.bits).sum())
+        if x >= self.m:
+            return float("inf")
+        return -(self.m / self.k) * float(np.log1p(-x / self.m))
+
     def _params(self) -> dict[str, Any]:
         return {"fpp": self.fpp, "k": self.k, "m": self.m, "expected_n": self.expected_n}
 

@@ -463,3 +463,45 @@ class SnapshotTable:
             added = m["added_files"] + added
             sid = m["parent"]
         return self._scan(spark, added)
+
+    # ------------------------------------------------------------ lifecycle
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop old snapshot manifests, keeping the newest ``keep_last``
+        (Iceberg's expire_snapshots): time travel to expired ids stops
+        working; their data files become candidates for ``vacuum`` if no
+        live manifest still lists them.  Metadata-only — no data I/O.
+        Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (a table keeps its head)")
+        expired = self.snapshots()[:-keep_last]
+        for sid in expired:
+            os.remove(self._manifest_path(sid))
+        return expired
+
+    def vacuum(self) -> dict:
+        """Delete data file sets referenced by NO live manifest — the
+        storage-reclamation half of the table lifecycle (Iceberg's
+        expire_snapshots GC / remove_orphan_files).  CoW rewrites
+        (``merge_upsert`` / ``delete_keys``) and ``expire_snapshots``
+        strand file sets that only old manifests referenced; since every
+        reader plans from a manifest (never a directory listing), an
+        unreferenced file set is unreachable by construction and its
+        deletion can never break a read — the invariant the gate pins.
+        Driver-side metadata walk, O(files) names; the deletes are file
+        system operations on whole file sets.
+        Returns {"deleted": [...], "kept": [...]} (relative paths)."""
+        import shutil
+
+        live: set[str] = set()
+        for sid in self.snapshots():
+            live.update(self._read_manifest(sid)["files"])
+        data_dir = os.path.join(self.table_dir, "data")
+        deleted, kept = [], []
+        for name in sorted(os.listdir(data_dir)):
+            rel = f"data/{name}"
+            if rel in live:
+                kept.append(rel)
+            else:
+                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+                deleted.append(rel)
+        return {"deleted": deleted, "kept": kept}

@@ -1573,3 +1573,86 @@ def test_snapshot_copy_on_write_upsert_and_delete(spark, tmp_path):
     sid3, rewritten3, _ = t.delete_keys(spark, "k", [9999])
     assert rewritten3 == 0
     assert t.read(spark, sid=sid3).count() == 39
+
+
+def test_snapshot_expire_and_vacuum_lifecycle(spark, tmp_path):
+    """Lifecycle GC laws: vacuum deletes NOTHING while any live manifest
+    references a file set; after expire_snapshots only the head's files
+    survive a vacuum; reads after vacuum are unchanged; time travel to
+    expired snapshots is gone; keep_last < 1 raises."""
+    import os
+
+    import pytest as _pytest
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 10).withColumnRenamed("id", "k"))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "k"))
+    t.delete_keys(spark, "k", [3, 13])  # rewrites both file sets into one survivor
+
+    # every file set is still referenced by manifests 1-2 -> vacuum is a no-op
+    pre = t.vacuum()
+    assert pre["deleted"] == [] and len(pre["kept"]) == 3
+    assert t.read(spark).count() == 18
+
+    with _pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+    assert t.expire_snapshots(keep_last=1) == [1, 2]
+    assert t.snapshots() == [3]
+
+    post = t.vacuum()
+    assert len(post["deleted"]) == 2 and len(post["kept"]) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(20) if k not in (3, 13)
+    ]
+    # the reclaimed directories are really gone
+    data = os.listdir(str(tmp_path / "tbl" / "data"))
+    assert len(data) == 1
+
+
+def test_lloyd_kmeans_recovers_planted_clusters(spark):
+    """Lloyd laws on planted data: per-iteration inertia is monotone
+    non-increasing, the final centroids sit on the planted means, and
+    n_rows is exact."""
+    import numpy as np
+
+    from ip_filter_spark.operators.similarity import lloyd_kmeans
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.5, size=2)
+        rows.append((i, [float(v[0]), float(v[1])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C, costs, n = lloyd_kmeans(df, "vec_id", "embedding", k=3, iters=5)
+    assert n == 300
+    assert all(costs[t + 1] <= costs[t] * (1 + 1e-9) for t in range(4)), costs
+    assert costs[-1] < costs[0]
+    # each planted center has a learned centroid within 3 sd of the mean
+    for c in centers:
+        assert min(np.linalg.norm(C - c, axis=1)) < 0.5, (C, c)
+
+
+def test_bloom_cardinality_estimate_accuracy():
+    """Swamidass-Baldi inversion: <1% error at low fill, a few % at
+    design fill, +inf when saturated."""
+    import numpy as np
+
+    from ip_filter_spark.sketches.bloom import BloomFilter
+
+    def build(n, expected, seed=0):
+        bf = BloomFilter(fpp=1e-3, n=expected)
+        rng = np.random.default_rng(seed)
+        bf.insert_hashes(rng.integers(0, 2**64, size=n, dtype=np.uint64))
+        return bf
+
+    low = build(500, 100_000)  # fill << 1
+    assert abs(low.cardinality_estimate() - 500) / 500 < 0.01
+    design = build(100_000, 100_000)  # design fill (~0.5 of bits)
+    assert abs(design.cardinality_estimate() - 100_000) / 100_000 < 0.03
+    sat = build(100, 100_000)
+    sat.bits[:] = 0xFF
+    assert sat.cardinality_estimate() == float("inf")
