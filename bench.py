@@ -201,10 +201,32 @@ def bench_dedup_minhash(spark, sf_dir: str) -> dict:
     return {"sec": dt, "rows": n_rows, "pairs": n, "rows_per_sec": n_rows / dt}
 
 
+def bench_dedup_oph(spark, sf_dir: str) -> dict:
+    """Same corpus, same LSH tail, OPH signature build (one hash per
+    shingle instead of 64 affine maps) — the head-to-head that
+    quantifies the signature-build saving the OPH papers promise."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.corpus import synthesize_corpus
+
+    n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    corpus = synthesize_corpus(spark, n_rows, n_repos=max(100, n_rows // 600), seed=5, dup_fraction=0.05)
+    corpus = corpus.withColumn("id", F.xxhash64("repo", "path", "content")).cache()
+    corpus.count()
+    t0 = time.perf_counter()
+    from ip_filter_spark.operators.dedup import oph_minhash_pairs
+
+    n = oph_minhash_pairs(corpus, "id", "content", k=64, bands=16, threshold=0.8).count()
+    dt = time.perf_counter() - t0
+    corpus.unpersist()
+    return {"sec": dt, "rows": n_rows, "pairs": n, "rows_per_sec": n_rows / dt}
+
+
 WORKLOADS = {
     "sketch_build_all": lambda spark, sf_dir: bench_sketch_build(spark, sf_dir),
     "lpm_build_probe": bench_lpm,
     "dedup_minhash": bench_dedup_minhash,
+    "dedup_oph": bench_dedup_oph,
     "q1_pricing_summary": _timed_query("q1_pricing_summary"),
     "q3_shipping_priority": _timed_query("q3_shipping_priority"),
     "q5_nation_revenue": _timed_query("q5_nation_revenue"),

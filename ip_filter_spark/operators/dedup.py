@@ -240,13 +240,23 @@ def oph_signatures(
     with map-side partial min; densification is pure array expressions
     (no UDF, no extra shuffle).
 
-    Densification uses a min-encode that the DuckDB oracle replicates
-    verbatim (queries.oph_minhash_sql): over filled rotation offsets j,
-    ``min(j*BIG + v_j + j*C) % BIG`` equals v at the smallest filled j
-    plus j*C — integer-exact in both engines since BIG = 2^40 dominates
-    v + j*C (v < P/k < 2^31).
+    The rotation picks, for position i, the value at the FIRST filled
+    bucket at or after i (circular) plus (distance)·C.  The DuckDB
+    oracle (queries.oph_minhash_sql) expresses that as a min-encode —
+    ``min over j of (j*BIG + v_j + j*C) % BIG`` — in list lambdas;
+    Spark-side it's a vectorized numpy suffix-scan over the doubled
+    bucket matrix (one ``np.minimum.accumulate`` per Arrow batch,
+    O(rows·k)): the two forms compute identical integers (BIG = 2^40
+    dominates v + j*C since v < P/k < 2^31, so the encode's argmin IS
+    the nearest filled bucket).  The O(k²)-per-doc JVM lambda form
+    measured 44 s over 600k short docs (avg 23/64 buckets filled — the
+    regime densification exists for); the numpy scan is ~1000× fewer
+    operations and rides the same Arrow path as the LPM probe kernel.
 
     Returns (id, sig: array<long>[k], n_filled: int)."""
+    import numpy as np
+    import pandas as pd
+
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
@@ -256,24 +266,34 @@ def oph_signatures(
     )
     aggs = [F.min(F.when(F.col("b") == i, F.col("v"))).alias(f"s{i}") for i in range(k)]
     raw = bucketed.groupBy("id").agg(*aggs)
-    idx = F.sequence(F.lit(0), F.lit(k - 1))
-    vcol = F.col("vals")
-    dens = F.transform(
-        idx,
-        lambda i: F.array_min(
-            F.transform(
-                F.filter(idx, lambda j: F.element_at(vcol, ((i + j) % k) + 1).isNotNull()),
-                lambda j: j.cast("long") * F.lit(_OPH_BIG)
-                + F.element_at(vcol, ((i + j) % k) + 1)
-                + j.cast("long") * F.lit(_OPH_C),
+
+    def densify(batches):
+        pos_base = np.arange(2 * k)
+        offs = np.arange(k)
+        for b in batches:
+            n = len(b)
+            if not n:
+                continue
+            V = np.zeros((n, k), dtype=np.int64)
+            M = np.zeros((n, k), dtype=bool)
+            for i in range(k):
+                col = b[f"s{i}"].to_numpy(dtype="float64", na_value=np.nan)
+                mask = ~np.isnan(col)
+                M[:, i] = mask
+                V[mask, i] = col[mask].astype(np.int64)  # v < P/k << 2^53: exact
+            nf = M.sum(axis=1)
+            assert nf.min() >= 1, "doc with zero shingles cannot occur (shingles_expr is total)"
+            # circular next-filled-at-or-after via suffix min on the doubled matrix
+            Md = np.concatenate([M, M], axis=1)
+            pos = np.where(Md, pos_base[None, :], 2 * k)
+            nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1][:, :k]
+            j = nxt - offs[None, :]
+            sig = np.take_along_axis(np.concatenate([V, V], axis=1), nxt, axis=1) + j * _OPH_C
+            yield pd.DataFrame(
+                {"id": b["id"], "sig": list(sig), "n_filled": nf.astype(np.int32)}
             )
-        )
-        % F.lit(_OPH_BIG),
-    )
-    n_filled = F.size(F.filter(vcol, lambda x: x.isNotNull()))
-    return raw.select(
-        "id", F.array(*[f"s{i}" for i in range(k)]).alias("vals")
-    ).select("id", dens.alias("sig"), n_filled.alias("n_filled"))
+
+    return raw.mapInPandas(densify, schema="id long, sig array<long>, n_filled int")
 
 
 def oph_minhash_pairs(

@@ -589,3 +589,21 @@ def test_balanced_sample_avoids_full_corpus_window(spark):
     if "Window" in plan:
         window_tail = plan[plan.index("Window"):]
         assert "BroadcastHashJoin" in window_tail, plan
+
+
+def test_oph_signature_build_single_shuffle_then_arrow(spark, sf_dir):
+    """OPH signatures must plan exactly ONE Exchange (the per-doc bucket
+    min groupBy, with map-side partial aggregation) feeding the Arrow
+    densify stage — the whole point of OPH is a build no heavier than
+    one combine-enabled shuffle."""
+    import re
+
+    from ip_filter_spark.operators.dedup import oph_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text")
+    )
+    df = oph_signatures(docs, "id", "text", k=16)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" in plan and "partial_min" in plan.lower() or "partial" in plan, plan
