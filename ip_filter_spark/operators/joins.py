@@ -107,11 +107,14 @@ def asof_join(
     right_time: str,
     right_values: Sequence[str],
     matched_time_col: str = "matched_t",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the same key and the greatest ``right_time`` <= ``left_time``
-    (inclusive). Left rows with no earlier right row get nulls — i.e.
-    ``ASOF LEFT JOIN`` semantics.
+    """As-of join: for each left row, attach the right row with the same
+    key and — ``direction='backward'`` (default) — the greatest
+    ``right_time`` <= ``left_time``, or — ``direction='forward'`` — the
+    smallest ``right_time`` >= ``left_time`` (both inclusive; pandas
+    merge_asof's direction semantics). Left rows with no matching right
+    row get nulls — i.e. ``ASOF LEFT JOIN`` semantics.
 
     Spark lacks a native as-of join; the naive form (non-equi join +
     window max) shuffles |L|·|matching R| intermediate rows. This is the
@@ -123,8 +126,11 @@ def asof_join(
     partitioned as-of can move — and the whole operator is three Window
     expressions over one Exchange, no UDF.
 
-    Right rows sort BEFORE left rows at equal time (tag 0 < 1), making
-    the match inclusive. ``right`` must be unique per (key, time) —
+    Right rows sort on the MATCHING side of left rows at equal time
+    (backward: right tag 0 < left 1; forward: left 0 < right 1), making
+    the match inclusive either way; forward carries payloads with a
+    ``first(ignorenulls)`` over the mirrored (currentRow,
+    unboundedFollowing) frame. ``right`` must be unique per (key, time) —
     pre-aggregate with max_by/groupBy otherwise (duplicate right rows at
     one (key, time) would make "the" matched row ill-defined in any
     engine; DuckDB's ASOF JOIN has the same requirement). ``right_values``
@@ -137,33 +143,39 @@ def asof_join(
     time bucket) with per-bucket seed rows) bound per-task runs when
     single keys are enormous; not needed at this corpus's shape.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
+    l_tag, r_tag = (0, 1) if fwd else (1, 0)
     lt = F.col(left_time).cast("timestamp").cast("long")
     rt = F.col(right_time).cast("timestamp").cast("long")
     nul = [F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values]
 
     l_tagged = left.select(
-        F.col(left_on).alias("__k"), lt.alias("__t"), F.lit(1).alias("__tag"), "*", *nul,
+        F.col(left_on).alias("__k"), lt.alias("__t"), F.lit(l_tag).alias("__tag"), "*", *nul,
         F.lit(None).cast("long").alias("__rt"),
     )
     left_cols = [c for c in left.columns]
     r_tagged = right.select(
-        F.col(right_on).alias("__k"), rt.alias("__t"), F.lit(0).alias("__tag"),
+        F.col(right_on).alias("__k"), rt.alias("__t"), F.lit(r_tag).alias("__tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *right_values, rt.alias("__rt"),
     )
     both = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values]
+    base = Window.partitionBy("__k").orderBy("__t", "__tag")
+    if fwd:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    carried = [pick(c).over(w).alias(c) for c in right_values]
     out = both.select(
         "__tag", *left_cols,
-        F.last("__rt", ignorenulls=True).over(w).alias(matched_time_col), *carried
+        pick("__rt").over(w).alias(matched_time_col), *carried
     )
-    return out.where(F.col("__tag") == 1).drop("__tag")
+    return out.where(F.col("__tag") == l_tag).drop("__tag")
 
 
 def range_join(

@@ -9261,10 +9261,133 @@ SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS estimate_within_5pct F
 """
 
 
+def asof_forward_join_events_orders(spark, sf_dir):
+    """FORWARD as-of join: each event matched to the user's NEXT order
+    at or after the event (pandas merge_asof ``direction='forward'``) —
+    the 'time to next conversion' attribution shape. Same union-scan
+    operator as the backward gate (|L|+|R| shuffle rows, one Exchange,
+    no join node) with the mirrored (currentRow, unboundedFollowing)
+    frame and ``first(ignorenulls)`` carry. Oracle: DuckDB's native
+    ASOF accepts the <= inequality and picks the smallest matching
+    right time."""
+    from ip_filter_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    j = asof_join(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"], matched_time_col="order_t",
+        direction="forward",
+    )
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    return j.select(
+        "event_id", "user_id", ts_s.alias("ts_s"), "o_orderkey", "o_totalprice",
+        (F.col("order_t") - ts_s).alias("lead_s"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH r AS (
+  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ot,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate),
+l AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events)
+SELECT l.event_id, l.user_id, l.t AS ts_s, r.o_orderkey, r.o_totalprice,
+       r.ot - l.t AS lead_s
+FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.t <= r.ot
+"""
+
+
+def stream_restart_exactly_once(spark, sf_dir):
+    """Checkpoint RECOVERY exactly-once under the hard gate: the same
+    windowed aggregation runs as TWO separate availableNow queries over
+    one checkpoint. Run 1 ingests the even split (the watermark stays
+    below every real window, so nothing emits — all state is pending in
+    the state store when the query terminates). Run 2 starts from the
+    checkpoint, plans ONLY the files appended since (source offsets
+    recovered), merges the odd split into the RECOVERED state and
+    flushes on the sentinel's watermark advance. The output must equal
+    the batch aggregate over ALL events, full-value: lost state
+    undercounts, re-read sources double-count — either flips the hash.
+    This is the restart half of exactly-once; stream_sketch_equivalence
+    pins the idempotent-sink half."""
+    _ensure_shipped(spark)
+    import shutil
+    import time
+
+    from ip_filter_spark.streaming import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = _stream_scratch("restart", sf_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/src")
+        )
+        counts = windowed_event_counts(
+            stream, ts_col="ts", key_col="event_type", window="1 hour",
+            watermark=f"{delay_s} seconds",
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start(f"{work}/out", format="parquet")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow restart stream did not finish in 300 s")
+
+    try:
+        src = f"{work}/src"
+        ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(2).write.parquet(src)
+        run_once()  # phase 1: state builds, nothing emits
+        time.sleep(1.1)  # mtime order = micro-batch order for run 2
+        ev.where(F.col("event_id") % 2 == 1).drop("event_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+        sent = spark.createDataFrame(
+            [("__sentinel__", 0.0)], "event_type string, value double"
+        ).select(
+            (F.lit(mx) + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")).alias("ts"),
+            "event_type",
+            "value",
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+        run_once()  # phase 2: recover state + offsets, fold the odd split, flush
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .where(F.col("event_type") != "__sentinel__")
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "total_value")
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "asof_forward_join_events_orders": asof_forward_join_events_orders,
+    "stream_restart_exactly_once": stream_restart_exactly_once,
     "snapshot_vacuum_docs": snapshot_vacuum_docs,
     "kmeans_inertia_emb": kmeans_inertia_emb,
     "bloom_cardinality_users": bloom_cardinality_users,
@@ -9474,6 +9597,8 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "asof_forward_join_events_orders": ASOF_FORWARD_SQL,
+    "stream_restart_exactly_once": STREAM_WINDOWED_SQL,
     "snapshot_vacuum_docs": SNAPSHOT_VACUUM_SQL,
     "kmeans_inertia_emb": KMEANS_INERTIA_SQL,
     "bloom_cardinality_users": BLOOM_CARDINALITY_SQL,

@@ -291,3 +291,31 @@ def test_funnel_milestones_semantics(spark):
         3: (None, None, None),
         4: (T(1), T(2), T(4)),
     }
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of laws: smallest right time >= left time, INCLUSIVE
+    equal-time match, nulls when no later right row, bad direction
+    raises."""
+    import pytest as _pytest
+
+    from ip_filter_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:10"), (2, "k", "2024-01-01 00:00:20"),
+         (3, "k", "2024-01-01 00:00:35"), (4, "x", "2024-01-01 00:00:10")],
+        "event_id long, k string, ts string",
+    )
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:20", 100.0), ("k", "2024-01-01 00:00:30", 200.0)],
+        "k string, rt string, price double",
+    )
+    out = {r.event_id: r.price for r in asof_join(
+        left, right, "k", "k", "ts", "rt", ["price"], direction="forward"
+    ).collect()}
+    assert out[1] == 100.0   # next right at 00:20
+    assert out[2] == 100.0   # equal time matches (inclusive)
+    assert out[3] is None    # nothing at or after 00:35
+    assert out[4] is None    # key with no right rows
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "k", "ts", "rt", ["price"], direction="nearest")
