@@ -9382,10 +9382,157 @@ def stream_restart_exactly_once(spark, sf_dir):
     )
 
 
+def snapshot_mor_delete_docs(spark, sf_dir):
+    """MERGE-ON-READ row-level deletes (Iceberg v2 equality deletes)
+    under the hard gate — the O(delta) write-amplification regime CoW
+    can't offer: the doomed keys land in ONE tiny delete file, zero
+    data files rewritten; reads apply the delete as a broadcast
+    anti-join.  Gated lifecycle: time travel to the pre-delete snapshot
+    still counts every row; CoW ops REFUSE over pending delete files
+    (mis-composition is an error, not a silent wrong answer);
+    compaction folds the deletes into the data (2 touched file sets →
+    one survivor) and the post-compaction read equals the MoR read
+    row-for-row; after expiry, vacuum reclaims the 2 stranded data sets
+    + the delete file = 3.  Values: per-lang aggregates of the MoR
+    read, exact vs DuckDB."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix="ifs_mor_")
+    try:
+        table = SnapshotTable(os.path.join(work, "docs_table"))
+        for i in range(4):
+            table.append(
+                docs.where(F.col("doc_id") % 4 == i),
+                stats_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+        doomed = [r.doc_id for r in docs.where(F.col("doc_id") % 10 == 3).select("doc_id").collect()]
+        _sid, n_del = table.delete_keys_mor(spark, "doc_id", doomed)
+        pre_rows = table.read(spark, sid=4).count()  # pre-delete snapshot unaffected
+        out = table.read(spark).groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        mor_rows = out.collect()
+        refused = False
+        try:
+            table.merge_upsert(spark, docs.limit(1), "doc_id")
+        except ValueError:
+            refused = True
+        _csid, rewritten, total = table.compact_deletes(
+            spark, stats_cols=["doc_id"], bloom_cols=["doc_id"]
+        )
+        assert (rewritten, total) == (2, 4), (rewritten, total)
+        post_rows = table.read(spark).groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).collect()
+        post_equal = sorted(map(tuple, mor_rows)) == sorted(map(tuple, post_rows))
+        expired = table.expire_snapshots(keep_last=1)
+        rec = table.vacuum()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(mor_rows, out.schema).select(
+        "*",
+        F.lit(pre_rows).cast("long").alias("pre_delete_rows"),
+        F.lit(n_del).cast("long").alias("n_delete_keys"),
+        F.lit(rewritten).cast("long").alias("compact_rewritten"),
+        F.lit(total).cast("long").alias("compact_total"),
+        F.lit(refused).alias("cow_refused_while_pending"),
+        F.lit(post_equal).alias("post_compact_equals_mor"),
+        F.lit(len(expired)).cast("long").alias("snapshots_expired"),
+        F.lit(len(rec["deleted"])).cast("long").alias("filesets_reclaimed"),
+        F.lit(len(rec["kept"])).cast("long").alias("filesets_live"),
+    )
+
+
+SNAPSHOT_MOR_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT COUNT(*) FROM documents) AS pre_delete_rows,
+       (SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id % 10 = 3) AS n_delete_keys,
+       CAST(2 AS BIGINT) AS compact_rewritten,
+       CAST(4 AS BIGINT) AS compact_total,
+       TRUE AS cow_refused_while_pending,
+       TRUE AS post_compact_equals_mor,
+       CAST(5 AS BIGINT) AS snapshots_expired,
+       CAST(3 AS BIGINT) AS filesets_reclaimed,
+       CAST(3 AS BIGINT) AS filesets_live
+FROM documents
+WHERE doc_id % 10 <> 3
+GROUP BY lang
+"""
+
+
+def python_datasource_splitmix(spark, sf_dir):
+    """The Spark 4 PYTHON DATASOURCE API under the hard gate
+    (sources/pyds.py::SplitmixDataSource): the engine's splitmix64 hash
+    kernel registered as ``spark.read.format('ifs_splitmix')`` — driver
+    plans InputPartitions, each task emits its range as Arrow batches.
+    n is data-scaled (the events row count) so the gate is non-trivial
+    at every sf.  Values are order-independent exact reductions over
+    the full stream (count, bit_xor, min, max, Σi) — any wrong,
+    missing, duplicated or partition-shifted hash flips the xor; the
+    DuckDB oracle recomputes the identical uint64 stream with HUGEINT
+    split-multiply modular arithmetic, bit-exact."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.sources.pyds import SplitmixDataSource
+
+    try:
+        spark.dataSource.register(SplitmixDataSource)
+    except Exception:
+        pass  # already registered in this session
+    n = _t(spark, sf_dir, "events").count()
+    df = (
+        spark.read.format("ifs_splitmix")
+        .option("n", n).option("seed", 7).option("partitions", 16)
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor("h").alias("xor_h"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.sum("i").cast("long").alias("sum_i"),
+    )
+
+
+def _splitmix_sql(seed: int = 7) -> str:
+    two64 = 1 << 64
+
+    def mulmod(x: str, m: int) -> str:
+        return (
+            f"CAST(((CAST(({x}) & 4294967295 AS HUGEINT) * {m}) + "
+            f"((CAST(({x}) >> 32 AS HUGEINT) * {m}) % 4294967296) * 4294967296) "
+            f"% {two64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH t AS (SELECT CAST(ROW_NUMBER() OVER () - 1 AS UBIGINT) AS i FROM events),
+s1 AS (SELECT i, CAST((CAST(i AS HUGEINT) + {(seed * 0x9E3779B97F4A7C15) % two64})
+                      % {two64} AS UBIGINT) AS z FROM t),
+s2 AS (SELECT i, {mulmod("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z FROM s1),
+s3 AS (SELECT i, {mulmod("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z FROM s2),
+h AS (SELECT i, CAST(CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+                          THEN CAST(xor(z, z >> 31) AS HUGEINT) - {two64}
+                          ELSE CAST(xor(z, z >> 31) AS HUGEINT) END AS BIGINT) AS h
+      FROM s3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(h) AS xor_h,
+       MIN(h) AS min_h, MAX(h) AS max_h, CAST(SUM(i) AS BIGINT) AS sum_i
+FROM h
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "python_datasource_splitmix": python_datasource_splitmix,
+    "snapshot_mor_delete_docs": snapshot_mor_delete_docs,
     "asof_forward_join_events_orders": asof_forward_join_events_orders,
     "stream_restart_exactly_once": stream_restart_exactly_once,
     "snapshot_vacuum_docs": snapshot_vacuum_docs,
@@ -9597,6 +9744,8 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "python_datasource_splitmix": _splitmix_sql(),
+    "snapshot_mor_delete_docs": SNAPSHOT_MOR_SQL,
     "asof_forward_join_events_orders": ASOF_FORWARD_SQL,
     "stream_restart_exactly_once": STREAM_WINDOWED_SQL,
     "snapshot_vacuum_docs": SNAPSHOT_VACUUM_SQL,

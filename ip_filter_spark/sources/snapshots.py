@@ -152,6 +152,7 @@ class SnapshotTable:
                 "added_files": [rel],
                 "file_stats": {**prev_stats, **({rel: stats} if stats else {})},
                 "file_blooms": {**prev_blooms, **({rel: blooms} if blooms else {})},
+                "delete_files": parent_manifest.get("delete_files", []),
                 "rows": rows,
             }
         )
@@ -288,6 +289,112 @@ class SnapshotTable:
                 updates = updates.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
         return self._rewrite(spark, updates.select(template.columns), key_col, insert=False, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
 
+    def delete_keys_mor(self, spark: SparkSession, key_col: str, keys: list) -> tuple[int, int]:
+        """MERGE-ON-READ row-level DELETE (Iceberg v2 equality deletes):
+        the doomed keys land in a tiny delete file under ``deletes/``
+        and the new manifest lists it — ZERO data files rewritten
+        (write amplification O(delta), the reason MoR exists: CoW
+        rewrites whole file sets for a handful of doomed rows).  Every
+        read of this or any later snapshot applies the delete as a
+        broadcast anti-join at scan time; snapshots committed BEFORE
+        the delete keep reading the rows (each manifest carries its own
+        delete-file list).  ``compact_deletes`` folds pending delete
+        files back into the data (MoR's maintenance half); CoW ops
+        refuse to run over pending delete files rather than silently
+        mis-compose.  Returns (new sid, n_delete_keys)."""
+        parent = self.current_snapshot()
+        if parent == 0:
+            raise ValueError("merge-on-read delete needs an existing snapshot")
+        m = self._read_manifest(parent)
+        template = self._scan(spark, m["files"]).limit(0)
+        from pyspark.sql.types import StructField, StructType
+
+        keys_df = spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([StructField(key_col, template.schema[key_col].dataType)]),
+        ).distinct()
+        rel = f"deletes/{parent + 1}-{uuid.uuid4().hex[:8]}.parquet"
+        keys_df.write.mode("errorifexists").parquet(os.path.join(self.table_dir, rel))
+        sid = parent + 1
+        self._commit(
+            {
+                "sid": sid,
+                "parent": parent,
+                "files": m["files"],
+                "added_files": [],
+                "file_stats": m.get("file_stats", {}),
+                "file_blooms": m.get("file_blooms", {}),
+                "delete_files": m.get("delete_files", []) + [{"path": rel, "key_col": key_col}],
+                "rows": m["rows"],
+            }
+        )
+        return sid, len(keys)
+
+    def compact_deletes(
+        self,
+        spark: SparkSession,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 1e-8,
+    ) -> tuple[int, int, int]:
+        """Fold pending MoR delete files into the data (Iceberg's
+        rewrite_data_files over deletes): a CoW rewrite of ONLY the file
+        sets that may hold a doomed key, committing a manifest with the
+        delete-file list cleared — reads stop paying the anti-join, and
+        the stranded data + delete files become ``vacuum`` candidates
+        after ``expire_snapshots``.  No-op (returns current sid, 0,
+        total) when nothing is pending.  Returns (sid,
+        files_rewritten, files_total_before)."""
+        m = self._read_manifest(self.current_snapshot())
+        dels = m.get("delete_files", [])
+        if not dels:
+            return m["sid"], 0, len(m["files"])
+        by_col: dict[str, list[str]] = {}
+        for d in dels:
+            by_col.setdefault(d["key_col"], []).append(d["path"])
+        if len(by_col) != 1:
+            raise ValueError("compact_deletes supports one delete key column per run")
+        key_col, paths = next(iter(by_col.items()))
+        keys_df = spark.read.parquet(
+            *[os.path.join(self.table_dir, p) for p in paths]
+        ).select(key_col).distinct()
+        template = self._scan(spark, m["files"]).limit(0)
+        from pyspark.sql import functions as F
+
+        updates = keys_df
+        for c in template.columns:
+            if c != key_col:
+                updates = updates.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
+        return self._rewrite(
+            spark,
+            updates.select(template.columns),
+            key_col,
+            insert=False,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            bloom_fpp=bloom_fpp,
+            _compacting_deletes=True,
+        )
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+        """Anti-join the manifest's pending delete files into a scan —
+        the MoR read path.  Delete sets are O(delta) so they broadcast;
+        a no-delete manifest returns the scan unchanged."""
+        dels = m.get("delete_files", [])
+        if not dels:
+            return df
+        from pyspark.sql import functions as F
+
+        by_col: dict[str, list[str]] = {}
+        for d in dels:
+            by_col.setdefault(d["key_col"], []).append(d["path"])
+        for key_col, paths in by_col.items():
+            keys = spark.read.parquet(
+                *[os.path.join(self.table_dir, p) for p in paths]
+            ).select(key_col).distinct()
+            df = df.join(F.broadcast(keys), key_col, "left_anti")
+        return df
+
     def _rewrite(
         self,
         spark: SparkSession,
@@ -297,12 +404,17 @@ class SnapshotTable:
         stats_cols: list[str] | None,
         bloom_cols: list[str] | None,
         bloom_fpp: float,
+        _compacting_deletes: bool = False,
     ) -> tuple[int, int, int]:
         parent = self.current_snapshot()
         if parent == 0:
             raise ValueError("copy-on-write needs an existing snapshot; use append() first")
         sid = parent + 1
         m = self._read_manifest(parent)
+        if m.get("delete_files") and not _compacting_deletes:
+            raise ValueError(
+                "pending merge-on-read delete files; run compact_deletes() before CoW ops"
+            )
         key_rows = [r[0] for r in updates.select(key_col).distinct().collect()]
         touched = self._plan_touched(key_col, key_rows, m)
         new_files = [f for f in m["files"] if f not in set(touched)]
@@ -340,6 +452,9 @@ class SnapshotTable:
                 "added_files": added,
                 "file_stats": file_stats,
                 "file_blooms": file_blooms,
+                # CoW output never carries delete files: a plain rewrite had
+                # none pending (it refuses otherwise); compaction folds them in
+                "delete_files": [],
                 "rows": rewritten_rows,
             }
         )
@@ -363,9 +478,13 @@ class SnapshotTable:
         """Scan snapshot ``sid`` (default: current).  Time travel is just
         planning over an older manifest's file list.  ``merge_schema``
         plans the union schema across file sets (add-column evolution:
-        files written before a column existed read as NULL)."""
+        files written before a column existed read as NULL).  Pending
+        merge-on-read delete files apply as broadcast anti-joins — each
+        manifest carries its own delete list, so time travel to a
+        pre-delete snapshot still reads the rows."""
         sid = self.current_snapshot() if sid is None else sid
-        return self._scan(spark, self._read_manifest(sid)["files"], merge_schema)
+        m = self._read_manifest(sid)
+        return self._apply_deletes(spark, self._scan(spark, m["files"], merge_schema), m)
 
     def plan_pruned(self, col: str, lo, hi, sid: int | None = None) -> tuple[list[str], int]:
         """Manifest-only planning for ``col BETWEEN lo AND hi``: returns
@@ -392,9 +511,10 @@ class SnapshotTable:
         never a filter).  Returns (df, files_planned, files_total)."""
         from pyspark.sql import functions as F
 
+        sid = self.current_snapshot() if sid is None else sid
         kept, total = self.plan_pruned(col, lo, hi, sid)
         df = self._scan(spark, kept).where(F.col(col).between(lo, hi))
-        return df, len(kept), total
+        return self._apply_deletes(spark, df, self._read_manifest(sid)), len(kept), total
 
     def plan_point(self, col: str, value, sid: int | None = None) -> tuple[list[str], int]:
         """Manifest-only planning for ``col = value``: keep a file when
@@ -445,10 +565,11 @@ class SnapshotTable:
 
         sid = self.current_snapshot() if sid is None else sid
         kept, total = self.plan_point(col, value, sid)
+        m = self._read_manifest(sid)
         if not kept:
-            first = self._read_manifest(sid)["files"][:1]
-            return self._scan(spark, first).where(F.lit(False)), 0, total
-        return self._scan(spark, kept).where(F.col(col) == F.lit(value)), len(kept), total
+            return self._scan(spark, m["files"][:1]).where(F.lit(False)), 0, total
+        df = self._scan(spark, kept).where(F.col(col) == F.lit(value))
+        return self._apply_deletes(spark, df, m), len(kept), total
 
     def incremental(self, spark: SparkSession, from_sid: int, to_sid: int) -> DataFrame:
         """Scan only files appended in snapshots (from_sid, to_sid] —
@@ -494,14 +615,19 @@ class SnapshotTable:
 
         live: set[str] = set()
         for sid in self.snapshots():
-            live.update(self._read_manifest(sid)["files"])
-        data_dir = os.path.join(self.table_dir, "data")
+            m = self._read_manifest(sid)
+            live.update(m["files"])
+            live.update(d["path"] for d in m.get("delete_files", []))
         deleted, kept = [], []
-        for name in sorted(os.listdir(data_dir)):
-            rel = f"data/{name}"
-            if rel in live:
-                kept.append(rel)
-            else:
-                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
-                deleted.append(rel)
+        for sub in ("data", "deletes"):
+            subdir = os.path.join(self.table_dir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for name in sorted(os.listdir(subdir)):
+                rel = f"{sub}/{name}"
+                if rel in live:
+                    kept.append(rel)
+                else:
+                    shutil.rmtree(os.path.join(subdir, name), ignore_errors=True)
+                    deleted.append(rel)
         return {"deleted": deleted, "kept": kept}

@@ -1656,3 +1656,79 @@ def test_bloom_cardinality_estimate_accuracy():
     sat = build(100, 100_000)
     sat.bits[:] = 0xFF
     assert sat.cardinality_estimate() == float("inf")
+
+
+def test_snapshot_mor_delete_read_paths_and_compaction(spark, tmp_path):
+    """MoR laws: delete file writes rewrite ZERO data files; read,
+    read_pruned and read_point all apply pending deletes; time travel
+    to pre-delete snapshots does not; CoW ops refuse while deletes are
+    pending; compaction folds deletes away and is a no-op when nothing
+    is pending; vacuum reclaims stranded delete files after expiry."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    t.append(df.where("k < 10"), stats_cols=["k"], bloom_cols=["k"])
+    t.append(df.where("k >= 10"), stats_cols=["k"], bloom_cols=["k"])
+
+    sid, n = t.delete_keys_mor(spark, "k", [3, 13])
+    assert n == 2 and len(t._read_manifest(sid)["files"]) == 2  # zero rewrites
+    assert sorted(r.k for r in t.read(spark).collect()) == [k for k in range(20) if k not in (3, 13)]
+    assert t.read(spark, sid=2).count() == 20  # time travel: pre-delete rows intact
+
+    pruned, _, _ = t.read_pruned(spark, "k", 0, 5)
+    assert sorted(r.k for r in pruned.collect()) == [0, 1, 2, 4, 5]
+    pt, planned, _ = t.read_point(spark, "k", 13)
+    assert pt.count() == 0 and planned >= 1  # bloom plans the file, the delete hides the row
+
+    with _pytest.raises(ValueError):
+        t.merge_upsert(spark, df.where("k = 0"), "k")
+
+    # second delete file on the same column composes
+    t.delete_keys_mor(spark, "k", [7])
+    assert t.read(spark).count() == 17
+
+    csid, rewritten, total = t.compact_deletes(spark, stats_cols=["k"], bloom_cols=["k"])
+    assert rewritten == 2 and total == 2
+    assert t._read_manifest(csid).get("delete_files") == []
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(20) if k not in (3, 7, 13)
+    ]
+    assert t.compact_deletes(spark) == (csid, 0, 1)  # no-op when nothing pending
+
+    t.expire_snapshots(keep_last=1)
+    rec = t.vacuum()
+    assert sum(1 for p in rec["deleted"] if p.startswith("deletes/")) == 2
+    assert sum(1 for p in rec["deleted"] if p.startswith("data/")) == 2
+    assert t.read(spark).count() == 17
+
+
+def test_python_datasource_splitmix_partitions_and_values(spark):
+    """Python DataSource laws: the registered format plans the requested
+    InputPartitions, the stream equals the numpy rehash kernel exactly,
+    and uneven n/partitions splits lose no rows."""
+    import numpy as np
+
+    from ip_filter_spark.sketches.hashing import rehash
+    from ip_filter_spark.sources.pyds import SplitmixDataSource
+
+    try:
+        spark.dataSource.register(SplitmixDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("ifs_splitmix")
+        .option("n", 1003).option("seed", 11).option("partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 1003
+    got = {r.i: r.h for r in rows}
+    want = rehash(np.arange(1003, dtype=np.uint64), 11).view(np.int64)
+    assert all(got[i] == want[i] for i in range(1003))
