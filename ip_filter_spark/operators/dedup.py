@@ -126,13 +126,28 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"s{p}" for p in range(num_perm)]).alias("sig"))
 
 
-def band_key_expr(sig_col, band: int, r: int):
-    """Polynomial fold of signature slice [band*r, band*r + r) mod P —
-    SQL-expressible band bucket key (round 1 used xxhash64, which DuckDB
-    can't compute)."""
+def band_key_expr(sig_col, band: int, r: int, stride: int | None = None):
+    """Polynomial fold of r signature components mod P — SQL-expressible
+    band bucket key (round 1 used xxhash64, which DuckDB can't compute).
+
+    Component selection: the classic consecutive slice
+    [band*r, band*r + r) by default, or the INTERLEAVED set
+    {band, band + stride, band + 2·stride, …} when ``stride`` is given.
+    For independent components (classic MinHash) the two are
+    equivalent; for OPH's rotation-densified signatures consecutive
+    slices are poison — a run of empty buckets borrows from the SAME
+    filled bucket, so adjacent components are perfectly correlated and
+    a consecutive band collides with probability ~J instead of J^r
+    (measured on the 600k bench corpus: max bucket 1277 and 1.86M rows
+    over the cap consecutive, vs max 6 strided)."""
+    comps = (
+        [band + j * stride for j in range(r)]
+        if stride is not None
+        else [band * r + j for j in range(r)]
+    )
     acc = F.lit(band + 1).cast("long")
-    for j in range(r):
-        acc = (acc * F.lit(_BAND_K) + F.element_at(sig_col, band * r + j + 1)) % F.lit(MINHASH_P)
+    for c in comps:
+        acc = (acc * F.lit(_BAND_K) + F.element_at(sig_col, c + 1)) % F.lit(MINHASH_P)
     return acc
 
 
@@ -161,7 +176,12 @@ def minhash_lsh_pairs(
 
 
 def _banded_pairs(
-    sig: DataFrame, n_components: int, bands: int, threshold: float, max_bucket: int
+    sig: DataFrame,
+    n_components: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+    stride: int | None = None,
 ) -> DataFrame:
     """Shared LSH tail over any (id, sig: array<long>[n_components])
     signature table: polynomial band keys → capped in-bucket pairs →
@@ -174,7 +194,7 @@ def _banded_pairs(
     count-groupBy + prune-join + self-join — three shuffles over the
     16x-exploded band table; this is one."""
     r = n_components // bands
-    band_keys = F.array(*[band_key_expr(F.col("sig"), b, r) for b in range(bands)])
+    band_keys = F.array(*[band_key_expr(F.col("sig"), b, r, stride) for b in range(bands)])
     banded = sig.select("id", F.posexplode(band_keys).alias("band", "key"))
     buckets = (
         banded.groupBy("band", "key")
@@ -310,12 +330,16 @@ def oph_minhash_pairs(
     """Near-dup candidate pairs from OPH signatures — the same banded
     LSH tail as ``minhash_lsh_pairs`` (shared ``_banded_pairs``) with
     the k-hash signature build replaced by the one-hash-per-shingle OPH
-    build. est_jaccard is the densified-signature agreement fraction;
-    with k a power of two the fraction is exact in binary, so the
-    cross-engine ROUND(…, 6) comparison is exact."""
+    build, and INTERLEAVED band components (stride = bands): rotation
+    densification makes adjacent components correlated (a run of empty
+    buckets borrows from one source), so consecutive slices would
+    collide at ~J instead of J^r and blow the buckets up — see
+    band_key_expr. est_jaccard is the densified-signature agreement
+    fraction; with k a power of two the fraction is exact in binary, so
+    the cross-engine ROUND(…, 6) comparison is exact."""
     assert k % bands == 0
     sig = oph_signatures(df, id_col, text_col, k, shingle_n, hash_fn).select("id", "sig").cache()
-    return _banded_pairs(sig, k, bands, threshold, max_bucket)
+    return _banded_pairs(sig, k, bands, threshold, max_bucket, stride=bands)
 
 
 def _bit_mask(j: int):

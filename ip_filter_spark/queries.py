@@ -8874,9 +8874,12 @@ def oph_minhash_sql(
     vals_list = ", ".join(f"MIN(CASE WHEN b = {i} THEN v END)" for i in range(k))
 
     def key_expr(b: int) -> str:
+        # interleaved components (stride = bands): rotation densification
+        # correlates ADJACENT components, so consecutive slices collide at
+        # ~J instead of J^r — see operators/dedup.band_key_expr
         acc = str(b + 1)
         for j in range(r):
-            acc = f"(({acc}) * {_BAND_K} + sig[{b * r + j + 1}]) % {P}"
+            acc = f"(({acc}) * {_BAND_K} + sig[{b + j * bands + 1}]) % {P}"
         return acc
 
     banded = "\n  UNION ALL\n".join(
