@@ -9530,10 +9530,160 @@ FROM h
 """
 
 
+def stream_static_enrich(spark, sf_dir):
+    """STREAM-STATIC join under the hard gate — the remaining join
+    regime (stream-stream interval join and streaming CDC are already
+    gated): a replayed event stream enriched against the static
+    customer dimension by a broadcast hash join INSIDE the streaming
+    query (the dimension is read once per micro-batch plan, never
+    shuffled, no state store involved — stream-static inner joins are
+    stateless by definition).  Output rides per-micro-batch parquet
+    appends; FULL-VALUE oracle is the plain batch join aggregated per
+    (customer segment, event type) with exact decimal sums."""
+    _ensure_shipped(spark)
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    work = _stream_scratch("enrich", sf_dir)
+    try:
+        src = f"{work}/src"
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        # stateless per-batch projection; the bounded aggregation happens
+        # over the sink afterwards, so the stream itself stays append-only
+        enriched = stream.join(F.broadcast(cust), "user_id", "inner").select(
+            "event_id", "user_id", "c_mktsegment", "event_type", "value"
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start(f"{work}/out", format="parquet")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream-static join did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/src", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+       CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+def dynamic_partition_overwrite_events(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE only the partitions
+    the batch touches — the nightly-restatement primitive for a
+    date-partitioned lake table): events written partitioned by day,
+    then ONE day's rows are restated (value doubled) with
+    ``partitionOverwriteMode=dynamic`` — every other day's files must
+    survive UNTOUCHED (gated: file inventory outside the restated
+    partition identical before/after, restated partition rewritten),
+    and a static-mode overwrite of the same frame would have dropped
+    them.  Values: per-day aggregates of the post-restatement table,
+    exact vs DuckDB applying the restatement logically."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").cast("string").alias("day"), "value"
+    )
+    target_day = ev.agg(F.min("day")).first()[0]
+    work = tempfile.mkdtemp(prefix="ifs_dpo_")
+    path = os.path.join(work, "events_by_day")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        ev.write.partitionBy("day").parquet(path)
+
+        def inventory():
+            out = {}
+            for d in os.listdir(path):
+                if d.startswith("day="):
+                    files = sorted(
+                        fn for fn in os.listdir(os.path.join(path, d))
+                        if fn.endswith(".parquet")
+                    )
+                    out[d] = files
+            return out
+
+        before = inventory()
+        restated = (
+            spark.read.parquet(path)
+            .where(F.col("day") == target_day)
+            .withColumn("value", F.col("value") * 2)
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restated.select("event_id", "value", "day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(path)
+        after = inventory()
+        untouched = {d: f for d, f in before.items() if d != f"day={target_day}"}
+        others_survived = all(after.get(d) == f for d, f in untouched.items())
+        target_rewritten = after.get(f"day={target_day}") != before.get(f"day={target_day}")
+        out = (
+            spark.read.parquet(path)
+            .groupBy("day")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema).select(
+        "*",
+        F.lit(others_survived).alias("other_partitions_untouched"),
+        F.lit(target_rewritten).alias("target_partition_rewritten"),
+    )
+
+
+DYNAMIC_PARTITION_OVERWRITE_SQL = """
+SELECT CAST(ts AS DATE)::VARCHAR AS day, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                          THEN value * 2 ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       TRUE AS other_partitions_untouched,
+       TRUE AS target_partition_rewritten
+FROM events
+GROUP BY day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "stream_static_enrich": stream_static_enrich,
+    "dynamic_partition_overwrite_events": dynamic_partition_overwrite_events,
     "python_datasource_splitmix": python_datasource_splitmix,
     "snapshot_mor_delete_docs": snapshot_mor_delete_docs,
     "asof_forward_join_events_orders": asof_forward_join_events_orders,
@@ -9747,6 +9897,8 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "dynamic_partition_overwrite_events": DYNAMIC_PARTITION_OVERWRITE_SQL,
     "python_datasource_splitmix": _splitmix_sql(),
     "snapshot_mor_delete_docs": SNAPSHOT_MOR_SQL,
     "asof_forward_join_events_orders": ASOF_FORWARD_SQL,
