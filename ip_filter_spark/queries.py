@@ -9678,10 +9678,78 @@ GROUP BY day
 """
 
 
+def training_prep_pipeline_docs(spark, sf_dir):
+    """END-TO-END training-data prep in ONE gated composition — the
+    sequence a real corpus walks before the GPU sees it, each stage an
+    already-gated operator, composed so the STAGE INTERACTIONS are
+    under the hard gate too: (1) quality filter (≥5 tokens), (2) exact
+    dedup (min-doc_id survivor per sha256(text)), (3) train split
+    (content-hash bucket < 80 — the same pure-content assignment as
+    hash_split_docs, so dedup-then-split routes identically on
+    reruns), (4) fixed-budget sequence packing of the surviving train
+    docs via distributed_prefix_sum. Values: per-pack doc/token counts
+    + the no-split slack bound, with the four exact stage cardinalities
+    as anchor columns; the oracle replays all four stages in SQL."""
+    budget = 2048
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""))
+    base = d.select(
+        "doc_id", F.sha2("text", 256).alias("sha"), n_tok.cast("long").alias("n_tok")
+    )
+    n_input = base.count()
+    quality = base.where(F.col("n_tok") >= 5)
+    n_quality = quality.count()
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    unique = quality.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    n_unique = unique.count()
+    bucket = F.conv(F.substring("sha", 1, 8), 16, 10).cast("long") % 100
+    train = unique.where(bucket < 80).select("doc_id", "n_tok")
+    n_train = train.count()
+    from ip_filter_spark.operators.aggregates import distributed_prefix_sum
+
+    cum = distributed_prefix_sum(train, "doc_id", "n_tok", out_col="cum")
+    packed = cum.withColumn("pack_id", F.expr(f"(cum - n_tok) div {budget}"))
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        (F.sum("n_tok") < budget + F.max("n_tok")).alias("within_slack"),
+    ).select(
+        "*",
+        F.lit(n_input).cast("long").alias("n_input"),
+        F.lit(n_quality).cast("long").alias("n_quality"),
+        F.lit(n_unique).cast("long").alias("n_unique"),
+        F.lit(n_train).cast("long").alias("n_train"),
+    )
+
+
+TRAINING_PREP_SQL = """
+WITH t AS (
+  SELECT doc_id, sha256(text) AS sha,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents),
+q AS (SELECT * FROM t WHERE n_tok >= 5),
+u AS (SELECT doc_id, sha, n_tok FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) AS rn FROM q)
+      WHERE rn = 1),
+tr AS (SELECT doc_id, n_tok FROM u
+       WHERE CAST('0x' || substr(sha, 1, 8) AS BIGINT) % 100 < 80),
+c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_excl FROM tr)
+SELECT CAST(cum_excl // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       (SUM(n_tok) < 2048 + MAX(n_tok)) AS within_slack,
+       (SELECT COUNT(*) FROM t) AS n_input,
+       (SELECT COUNT(*) FROM q) AS n_quality,
+       (SELECT COUNT(*) FROM u) AS n_unique,
+       (SELECT COUNT(*) FROM tr) AS n_train
+FROM c GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "training_prep_pipeline_docs": training_prep_pipeline_docs,
     "stream_static_enrich": stream_static_enrich,
     "dynamic_partition_overwrite_events": dynamic_partition_overwrite_events,
     "python_datasource_splitmix": python_datasource_splitmix,
@@ -9897,6 +9965,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "training_prep_pipeline_docs": TRAINING_PREP_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "dynamic_partition_overwrite_events": DYNAMIC_PARTITION_OVERWRITE_SQL,
     "python_datasource_splitmix": _splitmix_sql(),
