@@ -9745,10 +9745,137 @@ FROM c GROUP BY 1
 """
 
 
+def lsh_recall_docs(spark, sf_dir):
+    """LSH TUNING gate — measures banded MinHash-LSH candidate recall
+    and precision against EXACT Jaccard >= 0.5 ground truth, both sides
+    fully in-engine. Truth = the prefix-filtered exact similarity join
+    (provably lossless, already gated as prefix_jaccard_docs);
+    candidates = the raw band-bucket pairs (threshold=0.0 disables the
+    signature-estimate filter, so this measures the BUCKETING, the part
+    (1-(1-J^r)^b) theory speaks to: r=4, b=32 gives P(candidate) ~= 0.88
+    at J=0.5, higher above). Output is one row of exact integers
+    (n_truth, n_cand, n_hit, recall in basis points) — the numbers a
+    user reads to pick bands/rows before a 100 TB dedup run. Both truth
+    and candidate joins shuffle O(pairs), never O(corpus); the oracle
+    replays the exact join AND the full MinHash bucketing in SQL."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.dedup import minhash_lsh_pairs, prefix_filter_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    truth = prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("in_truth")
+    )
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=128, bands=32, threshold=0.0, hash_fn="sha"
+    ).select("id_a", "id_b", F.lit(1).alias("in_cand"))
+    full = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return full.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("in_truth") * F.col("in_cand")), F.lit(0)).cast("long").alias("n_hit"),
+    ).select(
+        "*",
+        F.when(F.col("n_truth") == 0, F.lit(0))
+        .otherwise(F.expr("n_hit * 10000 div n_truth"))
+        .cast("long")
+        .alias("recall_bp"),
+    )
+
+
+def lsh_recall_sql() -> str:
+    truth_sql = NGRAM_JACCARD_SQL.replace("0.05", "0.5")
+    cand_sql = minhash_lsh_sql(num_perm=128, bands=32, threshold=0.0)
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({truth_sql}) t),
+cand AS (SELECT id_a, id_b FROM ({cand_sql}) c),
+hit AS (SELECT COUNT(*) AS n FROM truth JOIN cand USING (id_a, id_b))
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT n FROM hit) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+            ELSE (SELECT n FROM hit) * 10000 // (SELECT COUNT(*) FROM truth) END AS recall_bp
+"""
+
+
+def leakage_safe_split_docs(spark, sf_dir):
+    """LEAKAGE-SAFE train/test split — the standard content-hash split
+    (hash_split_docs) still leaks through NEAR-duplicates: a doc and its
+    paraphrase can land in train and test. This gate splits by DEDUP
+    COMPONENT instead: simhash near-dup pairs -> connected components;
+    every doc inherits its component representative's fold (singletons
+    are their own component), so by construction no near-dup pair
+    straddles folds. Output: per-fold doc/component counts plus the
+    witness columns n_pairs and n_cross (cross-fold near-dup pairs —
+    must be 0, and the oracle COMPUTES it over the recursive-CTE
+    components rather than asserting it). At 100 TB the pair graph is
+    pair-bounded, CC is O(diameter) hops, and the fold assignment is one
+    broadcast-joined hash — the corpus shuffles once for the rollup."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.dedup import connected_components, simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="sha").select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("node", "doc_id")
+    lab = (
+        d.select("doc_id")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    fold_of = lambda c: (  # noqa: E731 — shared Spark-side hash expr
+        F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, 8), 16, 10).cast("long") % 5
+    )
+    lab = lab.withColumn("fold", fold_of(F.col("component")))
+    pf = pairs.join(
+        F.broadcast(lab.select(F.col("doc_id").alias("id_a"), F.col("fold").alias("fold_a"))), "id_a"
+    ).join(
+        F.broadcast(lab.select(F.col("doc_id").alias("id_b"), F.col("fold").alias("fold_b"))), "id_b"
+    )
+    witness = pf.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum((F.col("fold_a") != F.col("fold_b")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_cross"),
+    )
+    return (
+        lab.groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(witness))
+    )
+
+
+def leakage_safe_split_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({simhash_sql(max_hamming=3)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, nd) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.nd = e.a
+),
+lab AS (SELECT src AS node, MIN(nd) AS component FROM reach GROUP BY src),
+f AS (SELECT doc_id, COALESCE(lab.component, doc_id) AS component,
+             CAST('0x' || substr(sha256(CAST(COALESCE(lab.component, doc_id) AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold
+      FROM documents LEFT JOIN lab ON doc_id = lab.node),
+w AS (SELECT COUNT(*) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross
+      FROM pairs JOIN f fa ON pairs.id_a = fa.doc_id JOIN f fb ON pairs.id_b = fb.doc_id)
+SELECT fold, COUNT(*) AS n_docs, COUNT(DISTINCT component) AS n_components,
+       (SELECT n_pairs FROM w) AS n_pairs, (SELECT n_cross FROM w) AS n_cross
+FROM f GROUP BY fold
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "lsh_recall_docs": lsh_recall_docs,
+    "leakage_safe_split_docs": leakage_safe_split_docs,
     "training_prep_pipeline_docs": training_prep_pipeline_docs,
     "stream_static_enrich": stream_static_enrich,
     "dynamic_partition_overwrite_events": dynamic_partition_overwrite_events,
@@ -9965,6 +10092,8 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "lsh_recall_docs": lsh_recall_sql(),
+    "leakage_safe_split_docs": leakage_safe_split_sql(),
     "training_prep_pipeline_docs": TRAINING_PREP_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "dynamic_partition_overwrite_events": DYNAMIC_PARTITION_OVERWRITE_SQL,
