@@ -607,3 +607,16 @@ def test_oph_signature_build_single_shuffle_then_arrow(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "HashAggregate" in plan and "partial_min" in plan.lower() or "partial" in plan, plan
+
+
+def test_leakage_split_fold_joins_broadcast(spark, sf_dir):
+    """leakage_safe_split's fold assignment and witness joins must
+    broadcast the pair-bounded side — the corpus and the pair graph
+    never meet in a SortMergeJoin (at 100 TB the near-dup pair set is
+    tiny next to the corpus; a shuffle join on doc_id would re-shuffle
+    the corpus once per fold lookup)."""
+    from ip_filter_spark.queries import leakage_safe_split_docs
+
+    plan = _plan(leakage_safe_split_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
