@@ -9870,10 +9870,182 @@ FROM f GROUP BY fold
 """
 
 
+# ---------------------------------------------------------------------
+# Geospatial gates (integer fixed-point; ip_filter_spark/operators/geo.py)
+# ---------------------------------------------------------------------
+# Deterministic synthetic points: coordinates derived from sha256 of the
+# event id (the repo's parity-tested hash-derivation idiom — identical in
+# Spark and DuckDB), on an integer grid so every distance predicate is
+# exact 64-bit arithmetic in both engines.
+GEO_L = 1 << 20  # coordinate domain per axis
+GEO_R = 1 << 15  # radius = cell size (grid is 32x32 cells -> 5 quadkey levels)
+
+
+def _geo_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def coord(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit(tag), F.col("event_id").cast("string")), 256), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % GEO_L
+        )
+
+    return ev.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("id"), coord("gx:").alias("x"), coord("gy:").alias("y")
+    )
+
+
+_GEO_POINTS_SQL = f"""
+  SELECT event_id AS id,
+         CAST('0x' || substr(sha256('gx:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % {GEO_L} AS x,
+         CAST('0x' || substr(sha256('gy:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % {GEO_L} AS y
+  FROM events WHERE event_id % 20 = 0
+"""
+
+
+def geo_radius_pairs_events(spark, sf_dir):
+    """Spatial radius self-join — all point pairs within Euclidean
+    distance GEO_R, via the grid-cell spatial join (each point lands in
+    one radius-sized cell; the probe side replicates to its 3x3
+    neighbourhood; pairs meet on an equi-join of cell ids). Shuffle is
+    O(9n) regardless of qualifying pairs — never the O(n^2)
+    BroadcastNestedLoopJoin Catalyst would plan for a raw distance
+    predicate, which is the spatial scale-killer at 100 TB. Exact and
+    lossless (cell size = radius covers every qualifying pair), compared
+    as squared integers; the oracle is the NAIVE all-pairs join, proving
+    the blocking drops nothing. Same blocking idea as the reference's
+    prefix bucketing (/root/reference/src/ipfilter)."""
+    from ip_filter_spark.operators.geo import cell_radius_join
+
+    return cell_radius_join(_geo_points(spark, sf_dir), GEO_R)
+
+
+GEO_RADIUS_PAIRS_SQL = f"""
+WITH pts AS ({_GEO_POINTS_SQL})
+SELECT a.id AS a_id, b.id AS b_id,
+       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {GEO_R * GEO_R}
+"""
+
+
+def quadkey_rollup_events(spark, sf_dir):
+    """Hierarchical spatial rollup — every point keyed by its level-5
+    quadkey (Bing-maps tile id: interleaved grid-cell bits, pure integer
+    div/mod, bit-identical across engines), then counted at every zoom
+    level 1..5 by prefix truncation. One scan, one explode, one groupBy:
+    the quadkey's prefix property turns a multi-resolution spatial
+    aggregation into a plain string-prefix rollup — at 100 TB this is a
+    single shuffle keyed by (level, tile), and coarser levels can reuse
+    finer ones by another substring group-by (same pyramid shape as
+    rollup_event_counts)."""
+    from ip_filter_spark.operators.geo import quadkey_expr
+
+    pts = _geo_points(spark, sf_dir)
+    qk = pts.select(quadkey_expr("x", "y", 5, GEO_R).alias("qk"))
+    levels = F.array(*[F.lit(i) for i in range(1, 6)])
+    lv = qk.select(F.explode(levels).alias("level"), F.col("qk"))
+    return lv.groupBy(
+        F.col("level").cast("int").alias("level"),
+        F.expr("substring(qk, 1, level)").alias("tile"),
+    ).agg(F.count("*").cast("long").alias("n_points"))
+
+
+def _quadkey_digits_sql(levels: int) -> str:
+    parts = []
+    for i in range(levels - 1, -1, -1):
+        parts.append(f"CAST((gy//{1 << i})%2*2 + (gx//{1 << i})%2 AS VARCHAR)")
+    return " || ".join(parts)
+
+
+QUADKEY_ROLLUP_SQL = f"""
+WITH pts AS ({_GEO_POINTS_SQL}),
+g AS (SELECT x // {GEO_R} AS gx, y // {GEO_R} AS gy FROM pts),
+qk AS (SELECT {_quadkey_digits_sql(5)} AS qk FROM g),
+lv AS (SELECT CAST(l AS INT) AS level, substr(qk, 1, CAST(l AS INT)) AS tile
+       FROM qk, generate_series(1, 5) AS t(l))
+SELECT level, tile, COUNT(*) AS n_points FROM lv GROUP BY level, tile
+"""
+
+
+def cusum_change_point_events(spark, sf_dir):
+    """CUSUM change-point detection over the daily event-rate series of
+    each event type — INTEGER-exact: the deviation of day d is scaled to
+    x_d = c_d * D - T (count times #days minus total — an exact integer
+    with mean exactly 0), and the one-sided CUSUM recursion
+    S_d = max(0, S_{d-1} + x_d) is rewritten to its closed form
+    S_d = P_d - min(0, min_{j<=d} P_j) over the running sum P — two
+    window functions instead of an unexpressible recursion, identical in
+    Spark and ANSI SQL. Output: per type, the argmax day (earliest on
+    ties), the peak statistic, and the exact integer evidence (D, T).
+    At 100 TB the daily pre-aggregation collapses the scan to O(types x
+    days) rows before any window sees them — windows never run over raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    daily = (
+        daily.withColumn("D", F.count("*").over(wt))
+        .withColumn("T", F.sum("c").over(wt))
+        .withColumn("P", F.sum(F.col("c") * F.col("D") - F.col("T")).over(wo))
+    )
+    daily = daily.withColumn("S", F.col("P") - F.least(F.lit(0), F.min("P").over(wo)))
+    pick = Window.partitionBy("event_type").orderBy(F.col("S").desc(), F.col("day").asc())
+    return (
+        daily.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("S").cast("long").alias("cusum_peak"),
+            F.col("D").cast("long").alias("n_days"),
+            F.col("T").cast("long").alias("n_events"),
+        )
+    )
+
+
+CUSUM_CHANGE_POINT_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day,
+         COUNT(*) OVER (PARTITION BY event_type) AS D,
+         SUM(c) OVER (PARTITION BY event_type) AS T, c
+  FROM daily),
+p AS (
+  SELECT event_type, day, D, T,
+         SUM(c * D - T) OVER (PARTITION BY event_type ORDER BY day) AS P
+  FROM s),
+cu AS (
+  SELECT event_type, day, D, T,
+         P - LEAST(0, MIN(P) OVER (PARTITION BY event_type ORDER BY day)) AS S
+  FROM p),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY S DESC, day ASC) AS rn
+  FROM cu)
+SELECT event_type, day AS change_day, CAST(S AS BIGINT) AS cusum_peak,
+       CAST(D AS BIGINT) AS n_days, CAST(T AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 QUERIES = {
+    "geo_radius_pairs_events": geo_radius_pairs_events,
+    "quadkey_rollup_events": quadkey_rollup_events,
+    "cusum_change_point_events": cusum_change_point_events,
     "lsh_recall_docs": lsh_recall_docs,
     "leakage_safe_split_docs": leakage_safe_split_docs,
     "training_prep_pipeline_docs": training_prep_pipeline_docs,
@@ -10092,6 +10264,9 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "geo_radius_pairs_events": GEO_RADIUS_PAIRS_SQL,
+    "quadkey_rollup_events": QUADKEY_ROLLUP_SQL,
+    "cusum_change_point_events": CUSUM_CHANGE_POINT_SQL,
     "lsh_recall_docs": lsh_recall_sql(),
     "leakage_safe_split_docs": leakage_safe_split_sql(),
     "training_prep_pipeline_docs": TRAINING_PREP_SQL,
