@@ -9870,6 +9870,100 @@ FROM f GROUP BY fold
 """
 
 
+def record_linkage_docs(spark, sf_dir):
+    """Entity resolution / record linkage across two source systems —
+    the cross-source twin of dedup that a multi-source training corpus
+    needs (same page matched across crawls, user matched across logs).
+    Source A = documents keyed by their first-4-token "name"; source B =
+    the same records under a DETERMINISTIC perturbation chosen by a
+    sha256 bit of the id (drop a token / inject a typo / unchanged), so
+    ground truth is known by construction and the gate emits EXACT
+    precision/recall evidence, not a plausibility check. Linkage =
+    blocking on (lang, first token) — an equi-join, O(sum of block
+    cross-sizes), never the O(|A|x|B|) BroadcastNestedLoopJoin a raw
+    similarity predicate would plan — then JVM Levenshtein scoring and
+    threshold classification (operators/dedup.blocked_record_linkage).
+    The untouched first token makes blocking recall 1.0 by construction,
+    so every true pair is scored; the output row carries n_records,
+    candidates, matches, exact TP/FP, and recall in basis points. The
+    oracle replays derivation, blocking, scoring, and classification
+    symbol-for-symbol in SQL."""
+    from ip_filter_spark.operators.dedup import blocked_record_linkage
+
+    d = _t(spark, sf_dir, "documents")
+    full = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        d.select("doc_id", "lang", F.slice(full, 1, 4).alias("t"))
+        .where(F.size(full) >= 4)
+    )
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        F.concat_ws(" ", "t").alias("name_a"),
+        F.element_at("t", 1).alias("blk"),
+    )
+    h = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 3
+    )
+    t1, t2, t3, t4 = (F.element_at("t", i) for i in (1, 2, 3, 4))
+    name_b = (
+        F.when(h == 0, F.concat_ws(" ", t1, t3, t4))
+        .when(h == 1, F.concat_ws(" ", t1, t2, F.concat(t3, F.lit("x")), t4))
+        .otherwise(F.concat_ws(" ", "t"))
+    )
+    b = base.select(
+        (F.col("doc_id") + 1000000).alias("id_b"),
+        "lang",
+        name_b.alias("name_b"),
+        F.element_at("t", 1).alias("blk"),
+    )
+    n_records = base.count()
+    m = blocked_record_linkage(a, b, ["lang", "blk"], max_dist=6)
+    tp = F.col("is_match") & (F.col("id_b") - 1000000 == F.col("id_a"))
+    return m.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_matched"),
+        F.sum(tp.cast("long")).cast("long").alias("n_tp"),
+    ).select(
+        F.lit(n_records).cast("long").alias("n_records"),
+        "*",
+        (F.col("n_matched") - F.col("n_tp")).cast("long").alias("n_fp"),
+        F.expr(f"n_tp * 10000 div {n_records}").cast("long").alias("recall_bp"),
+    )
+
+
+RECORD_LINKAGE_SQL = r"""
+WITH raw AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ft FROM documents),
+base AS (
+  SELECT doc_id, lang, ft[1:4] AS t,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 3 AS h
+  FROM raw WHERE len(ft) >= 4),
+a AS (SELECT doc_id AS id_a, lang, array_to_string(t, ' ') AS name_a, t[1] AS blk FROM base),
+b AS (SELECT doc_id + 1000000 AS id_b, lang,
+             CASE WHEN h = 0 THEN t[1] || ' ' || t[3] || ' ' || t[4]
+                  WHEN h = 1 THEN t[1] || ' ' || t[2] || ' ' || t[3] || 'x' || ' ' || t[4]
+                  ELSE array_to_string(t, ' ') END AS name_b,
+             t[1] AS blk
+      FROM base),
+m AS (
+  SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist,
+         levenshtein(name_a, name_b) <= 6 AS is_match
+  FROM a JOIN b USING (lang, blk))
+SELECT (SELECT COUNT(*) FROM base) AS n_records,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN is_match AND id_b - 1000000 = id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       CAST(SUM(CASE WHEN is_match AND id_b - 1000000 <> id_a THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       CAST(SUM(CASE WHEN is_match AND id_b - 1000000 = id_a THEN 1 ELSE 0 END) * 10000
+            // (SELECT COUNT(*) FROM base) AS BIGINT) AS recall_bp
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------
 # Geospatial gates (integer fixed-point; ip_filter_spark/operators/geo.py)
 # ---------------------------------------------------------------------
@@ -10043,6 +10137,7 @@ FROM r WHERE rn = 1
 # Registry
 # =====================================================================
 QUERIES = {
+    "record_linkage_docs": record_linkage_docs,
     "geo_radius_pairs_events": geo_radius_pairs_events,
     "quadkey_rollup_events": quadkey_rollup_events,
     "cusum_change_point_events": cusum_change_point_events,
@@ -10264,6 +10359,7 @@ from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E
 QUERIES.update(TPCH2_QUERIES)
 
 ORACLES = {
+    "record_linkage_docs": RECORD_LINKAGE_SQL,
     "geo_radius_pairs_events": GEO_RADIUS_PAIRS_SQL,
     "quadkey_rollup_events": QUADKEY_ROLLUP_SQL,
     "cusum_change_point_events": CUSUM_CHANGE_POINT_SQL,
