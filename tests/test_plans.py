@@ -620,3 +620,25 @@ def test_leakage_split_fold_joins_broadcast(spark, sf_dir):
     plan = _plan(leakage_safe_split_docs(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_geo_radius_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The grid-cell spatial join must plan as an equi-join on cell ids
+    (shuffle O(9n)) — never the BroadcastNestedLoopJoin / Cartesian a raw
+    distance predicate forces, which is the spatial scale-killer at
+    100 TB. The distance test must survive only as a post-join Filter."""
+    from ip_filter_spark.queries import geo_radius_pairs_events
+
+    plan = _plan(geo_radius_pairs_events(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_record_linkage_blocks_as_equi_join(spark, sf_dir):
+    """Record-linkage candidate generation must be the blocking equi-join
+    — Levenshtein runs as a post-join projection/filter over candidates,
+    never as a join condition that degrades to a nested loop."""
+    from ip_filter_spark.queries import record_linkage_docs
+
+    plan = _plan(record_linkage_docs(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
