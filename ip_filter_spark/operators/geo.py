@@ -36,6 +36,12 @@ def cell_radius_join(
     Each unordered pair is emitted once (a_id < b_id).
 
     Returns (a_id, b_id, d2) with d2 = squared distance (BIGINT).
+
+    Precision bound: cell ids come from floor(coord / radius) evaluated
+    in double arithmetic, exact while |coord| < 2^53; the distance
+    predicate itself is pure 64-bit integer math (overflow-safe while
+    |dx|, |dy| < 2^31). Micro-degree geographies (|coord| <= 1.8e9) sit
+    comfortably inside both bounds.
     """
     if radius <= 0:
         raise ValueError("radius must be positive")

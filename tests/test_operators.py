@@ -1732,3 +1732,41 @@ def test_python_datasource_splitmix_partitions_and_values(spark):
     got = {r.i: r.h for r in rows}
     want = rehash(np.arange(1003, dtype=np.uint64), 11).view(np.int64)
     assert all(got[i] == want[i] for i in range(1003))
+
+
+def test_cell_radius_join_boundary_and_cross_cell(spark):
+    """Hand-crafted semantics pins for the grid-cell spatial join:
+    inclusive boundary (d == r kept), just-outside dropped, pairs that
+    straddle a cell border still meet (the 3x3 replication), each
+    unordered pair emitted exactly once."""
+    from ip_filter_spark.operators.geo import cell_radius_join
+
+    r = 10
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 0),    # cell (0,0)
+            (2, 10, 0),   # cell (1,0); exactly r from 1 -> kept (inclusive)
+            (3, 0, 11),   # cell (0,1); r+1 from 1 -> dropped
+            (4, 9, 9),    # cell (0,0); near 2 and 3 across cell borders
+            (5, 95, 95),  # isolated
+        ],
+        "id long, x long, y long",
+    )
+    got = {(row.a_id, row.b_id): row.d2 for row in cell_radius_join(pts, r).collect()}
+    # (1,2) boundary d2=r^2; (2,4) d2=82 and (3,4) d2=85 cross cell borders;
+    # (1,4) d2=162 > 100 dropped; 5 matches nothing.
+    assert got == {(1, 2): 100, (2, 4): 82, (3, 4): 85}, got
+
+
+def test_quadkey_expr_known_tiles(spark):
+    """quadkey digit = 2*bit(y) + bit(x), most significant bit first."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.operators.geo import quadkey_expr
+
+    pts = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (2, 1)], "x long, y long"
+    )
+    got = [r.qk for r in pts.select(quadkey_expr("x", "y", 2, 1).alias("qk")).collect()]
+    # grid coords == raw coords (cell=1); level-2 key interleaves bits 1,0
+    assert got == ["00", "01", "02", "33", "12"], got
