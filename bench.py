@@ -799,11 +799,11 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16), clock_controlled: bool = T
     if os.path.exists("BENCH/BASELINE.md"):
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
-        for marker in ("\n## LPM probe scaling", "\n## Reproducibility"):
-            at = old.find(marker)
-            if at != -1:
-                preserved = old[at:]
-                break
+        cuts = [at for at in (old.find(m) for m in
+                              ("\n## LPM probe scaling", "\n## Reproducibility"))
+                if at != -1]
+        if cuts:
+            preserved = old[min(cuts):]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)
