@@ -107,7 +107,15 @@ def quadkey_expr(x_col, y_col, levels: int, cell: int):
     arithmetic (whole-stage codegen, and replicable symbol-for-symbol in
     ANSI SQL), so the key is bit-identical across engines. A prefix of
     length L is exactly the level-L ancestor tile: hierarchical rollups
-    are plain substring group-bys."""
+    are plain substring group-bys.
+
+    Domain: coordinates must be NON-NEGATIVE (grid indices in
+    [0, 2^levels) after the cell division). Signed geographies must be
+    shifted into the positive quadrant first (e.g. +180e6 micro-degrees);
+    a negative grid index would make ``%`` emit sign-carrying "digits"
+    — and engines disagree on negative div/mod, so the shift is also
+    what keeps the key engine-portable. ``cell_radius_join`` has no such
+    restriction (F.floor handles negative coordinates exactly)."""
     if levels < 1 or levels > 31:
         raise ValueError("levels must be in [1, 31]")
     gx = F.floor(F.col(x_col) / F.lit(int(cell))).cast("long")

@@ -1758,6 +1758,29 @@ def test_cell_radius_join_boundary_and_cross_cell(spark):
     assert got == {(1, 2): 100, (2, 4): 82, (3, 4): 85}, got
 
 
+def test_cell_radius_join_negative_coords_floor_cells(spark):
+    """Points straddling the origin: cell ids must come from FLOOR
+    division (truncate-toward-zero would put (-1,-1) and (1,1) in the
+    same cell 0 and, worse, shift the 3x3 neighbourhood so true pairs
+    could miss). Pins exact behavior on the signed quadrant."""
+    from ip_filter_spark.operators.geo import cell_radius_join
+
+    r = 10
+    pts = spark.createDataFrame(
+        [
+            (1, -1, -1),   # cell (-1,-1)
+            (2, 1, 1),     # cell (0,0); d2=8 from 1 -> kept across origin
+            (3, -10, 0),   # cell (-1,0); d2=82 from 1 -> kept
+            (4, -12, -5),  # cell (-2,-1); d2=137 from 1 -> dropped
+        ],
+        "id long, x long, y long",
+    )
+    got = {(row.a_id, row.b_id): row.d2 for row in cell_radius_join(pts, r).collect()}
+    # (2,3) d2=122 and (1,4) d2=137 exceed r^2; (3,4) spans cells
+    # (-1,0)/(-2,-1) and still meets via the neighbourhood replication.
+    assert got == {(1, 2): 8, (1, 3): 82, (3, 4): 29}, got
+
+
 def test_quadkey_expr_known_tiles(spark):
     """quadkey digit = 2*bit(y) + bit(x), most significant bit first."""
     from pyspark.sql import functions as F
