@@ -148,8 +148,11 @@ class SnapshotTable:
             {
                 "sid": sid,
                 "parent": parent,
-                "files": prev_files + [rel],
-                "added_files": [rel],
+                # an all-rows-filtered append leaves an unreadable fileset:
+                # keep it out of the manifest (same rule as _rewrite) so
+                # scans never plan a schema-less path
+                "files": prev_files + ([rel] if rows else []),
+                "added_files": [rel] if rows else [],
                 "file_stats": {**prev_stats, **({rel: stats} if stats else {})},
                 "file_blooms": {**prev_blooms, **({rel: blooms} if blooms else {})},
                 "delete_files": parent_manifest.get("delete_files", []),
@@ -209,13 +212,15 @@ class SnapshotTable:
         from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
         from ip_filter_spark.sketches.registry import from_bytes
 
+        if not key_rows:  # empty batch touches nothing (min([]) would raise)
+            return []
         stats = m.get("file_stats", {})
         blooms = m.get("file_blooms", {})
         digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in key_rows]
         h64 = fnv1a64(digests_to_matrix(digests)) if digests else None
         try:
             kmin, kmax = min(key_rows), max(key_rows)
-        except TypeError:
+        except TypeError:  # mixed/None keys aren't range-comparable: bounds can't exclude
             kmin = kmax = None
         touched = []
         for rel in m["files"]:

@@ -1575,6 +1575,35 @@ def test_snapshot_copy_on_write_upsert_and_delete(spark, tmp_path):
     assert t.read(spark, sid=sid3).count() == 39
 
 
+def test_snapshot_empty_batches_are_no_ops(spark, tmp_path):
+    """Degenerate batches must not corrupt the table: an EMPTY delete /
+    upsert batch touches zero files (an empty key list used to crash
+    planning on min([])), and an all-rows-filtered append commits a
+    snapshot whose manifest lists no unreadable fileset — later reads
+    still plan every path successfully."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 8).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    t.append(base, stats_cols=["k"], bloom_cols=["k"])
+
+    sid, rewritten, total = t.delete_keys(spark, "k", [])
+    assert (rewritten, total) == (0, 1)
+    assert t.read(spark, sid=sid).count() == 8
+
+    sid2, rewritten2, _ = t.merge_upsert(spark, base.where(F.lit(False)), "k")
+    assert rewritten2 == 0
+    assert t.read(spark, sid=sid2).count() == 8
+
+    sid3 = t.append(base.where(F.lit(False)))
+    m = t._read_manifest(sid3)
+    assert m["added_files"] == [] and len(m["files"]) == 1
+    assert t.read(spark, sid=sid3).count() == 8
+    assert t.incremental(spark, 0, sid3).count() == 8
+
+
 def test_snapshot_expire_and_vacuum_lifecycle(spark, tmp_path):
     """Lifecycle GC laws: vacuum deletes NOTHING while any live manifest
     references a file set; after expire_snapshots only the head's files
