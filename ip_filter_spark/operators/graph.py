@@ -175,11 +175,14 @@ def resolve_hierarchy(
             F.col("anc").alias("j_anc"),
             F.col("depth").alias("j_depth"),
         )
+        # LEFT join: an anc with no state row (parent pointing at a node
+        # the input never lists) must stay unresolved and hit the
+        # RuntimeError below — an inner join would silently drop the row
         state = _cut(
-            state.join(s2, state["anc"] == s2["j_node"], "inner").select(
+            state.join(s2, state["anc"] == s2["j_node"], "left").select(
                 "node",
-                F.col("j_anc").alias("anc"),
-                (F.col("depth") + F.col("j_depth")).alias("depth"),
+                F.coalesce("j_anc", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("j_depth", F.lit(0).cast("long"))).alias("depth"),
             )
         )
     else:

@@ -1310,6 +1310,22 @@ def test_resolve_hierarchy_cycle_raises(spark):
         resolve_hierarchy(h, max_iterations=4)
 
 
+def test_resolve_hierarchy_missing_parent_raises(spark):
+    """A parent pointing at a node the input never lists can never
+    resolve: it must raise like a cycle, not silently vanish from the
+    output (the inner-join formulation dropped the row)."""
+    import pytest as _pytest
+
+    from ip_filter_spark.operators.graph import resolve_hierarchy
+
+    h = spark.createDataFrame(
+        [("r", None), ("a", "r"), ("orphan", "ghost")],
+        "node string, parent string",
+    )
+    with _pytest.raises(RuntimeError, match="did not resolve"):
+        resolve_hierarchy(h, max_iterations=4)
+
+
 def test_triangles_canonical_enumeration(spark):
     """K4 has exactly 4 triangles, each emitted once with a < b < c; an
     open square (4-cycle) has none."""
