@@ -72,14 +72,17 @@ def zorder_key(
         raise ValueError(f"bits*ncols must be in [1, 62], got {bits}*{len(cols)}")
     n = len(cols)
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    given = boundaries or {}
+    for col, bnds in given.items():
+        if len(bnds) >= (1 << bits):
+            raise ValueError(f"{col}: {len(bnds)} boundaries exceed 2^bits - 1")
+    need = [c for c in cols if c not in given]
+    # one quantile pass for every un-supplied column (approxQuantile takes
+    # a column list) — a per-column call would scan the input ncols times
+    fetched = dict(zip(need, df.stat.approxQuantile(need, probs, rel_err))) if need else {}
     z = F.lit(0).cast("long")
     for c_idx, col in enumerate(cols):
-        if boundaries is not None and col in boundaries:
-            bnds = list(boundaries[col])
-            if len(bnds) >= (1 << bits):
-                raise ValueError(f"{col}: {len(bnds)} boundaries exceed 2^bits - 1")
-        else:
-            bnds = df.stat.approxQuantile(col, probs, rel_err)
+        bnds = list(given[col]) if col in given else fetched[col]
         b = _bucket_expr(col, bnds).cast("long")
         for j in range(bits):
             lane = j * n + (n - 1 - c_idx)

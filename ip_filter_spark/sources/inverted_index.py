@@ -139,6 +139,7 @@ def pruned_postings(
     """The bucket-pruned slice of a persisted index for ``terms`` — the
     scan ``search_term_index`` aggregates over, exposed separately so
     callers (and the pruning test) can see the scan-only plan."""
+    assert terms, "empty query"
     idx = spark.read.parquet(f"{data_path.rstrip('/')}/{_INDEX_SUBDIR}")
     pred = None
     for t in sorted(set(terms)):
