@@ -2843,6 +2843,114 @@ def stream_range_join_equivalence(spark, sf_dir):
     )
 
 
+def stream_outer_join_nulls(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join under the hard gate,
+    FULL-VALUE: the same clicks/purchases replay as
+    ``stream_range_join_equivalence``, but joined ``left_outer`` — every
+    click with no purchase in its preceding hour must ALSO appear, with
+    NULL purchase columns. This is the semantically hard half of
+    stream-stream joins: a null row may only be emitted once the
+    watermark PROVES no future match can arrive, so emission rides the
+    watermark, not the match. The oracle is the batch LEFT JOIN form of
+    the same DuckDB BETWEEN-join SQL.
+
+    Replay mechanics: the global watermark is the MINIMUM across both
+    sources, so a later-than-everything sentinel row is appended as the
+    LAST file of EACH side (FileStreamSource replays in mtime order);
+    the closing no-data micro-batch then evicts and emits every real
+    unmatched click. The two sentinels carry key -1 and equal timestamps
+    (they match each other, keeping neither in state) and are filtered
+    from the output by key. State at scale: bounded by rows inside one
+    watermark horizon per side — the full-span delay here only reflects
+    that replay file order is not time order; production streams use
+    their real disorder bound."""
+    _ensure_shipped(spark)
+    import shutil
+    import time
+
+    from ip_filter_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", sec.cast("timestamp").alias("c_ts"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        sec.cast("timestamp").alias("p_ts"),
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = _stream_scratch("oj", sf_dir)
+    try:
+        clicks.repartition(3).write.parquet(f"{work}/clicks")
+        purchases.repartition(3).write.parquet(f"{work}/purchases")
+        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
+        sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
+        spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
+            "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/clicks")
+        spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
+            "purchase_id", "p_user", sent_ts.alias("p_ts")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
+        cs = (
+            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/clicks")
+        )
+        ps = (
+            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/purchases")
+        )
+        q = stream_interval_join(
+            cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
+            upper_s=3600, watermark_left=f"{delay_s} seconds", watermark_right=f"{delay_s} seconds",
+            out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt", how="left_outer",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow outer stream-stream join did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/clicks", ignore_errors=True)
+        shutil.rmtree(f"{work}/purchases", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .where(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_ts").cast("long").alias("ts_s"),
+            "event_type",
+            "purchase_id",
+            F.col("p_ts").cast("long").alias("purchase_s"),
+            F.col("purchase_id").isNotNull().alias("matched"),
+        )
+    )
+
+
+STREAM_OUTER_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id AS p_user,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_s
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_s, c.event_type,
+       p.purchase_id, p.purchase_s,
+       p.purchase_id IS NOT NULL AS matched
+FROM clicks c
+LEFT JOIN purchases p
+  ON c.user_id = p.p_user
+ AND c.ts_s BETWEEN p.purchase_s AND p.purchase_s + 3600
+"""
+
+
 def stream_dedup_docs(spark, sf_dir):
     """Streaming exact dedup under the hard gate: the documents table is
     replayed TWICE (two file sets, maxFilesPerTrigger=1, so every doc
@@ -3968,6 +4076,120 @@ SELECT event_type,
        CAST(MIN(k) AS BIGINT) AS min_k,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def variant_props_stats_events(spark, sf_dir):
+    """Semi-structured analytics on Spark 4's VARIANT type. A
+    heterogeneous JSON column is synthesized deterministically from the
+    events table in three shapes — nested object + array for click/view
+    rows, a type-mismatched scalar plus an extra field for the rest, and
+    a deliberately malformed document on every 97th event — then parsed
+    ONCE with ``try_parse_json`` into a variant value; every downstream
+    field access is a typed ``try_variant_get`` path extraction. No
+    upfront ``from_json`` schema, no schema-inference pre-scan, no
+    Python.
+
+    Why this is the 100-TB schema-on-read path: VARIANT parses each
+    document exactly once into a binary-encoded value that parquet
+    writers can shred into typed subcolumns; typed path gets are
+    vectorized JVM expressions inside whole-stage codegen; malformed
+    documents and type mismatches become NULLs (never job failures); and
+    the untouched columns keep their pushdown/pruning. Contrast
+    ``json_props_stats_events``, which needs the schema declared up
+    front — variant handles the three shapes through one column.
+
+    Cross-engine discipline: the oracle builds the IDENTICAL JSON
+    strings in DuckDB SQL and extracts with its JSON functions
+    (``TRY_CAST .. AS JSON`` nulls the malformed rows the way
+    ``try_parse_json`` does); the type-mismatched ``k`` values are
+    non-numeric strings so strict-long extraction agrees on NULL in both
+    engines, and every aggregate is an exact integer."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k").cast("long")
+    j = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("{broken"))
+        .when(
+            F.col("event_type").isin("click", "view"),
+            F.concat(
+                F.lit('{"k": '),
+                k.cast("string"),
+                F.lit(', "meta": {"src": "'),
+                F.col("event_type"),
+                F.lit('"}, "tags": ["t'),
+                (F.col("user_id") % 3).cast("string"),
+                F.lit('"]}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"k": "s'),
+                k.cast("string"),
+                F.lit('", "prio": '),
+                (F.col("user_id") % 5).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    ext = ev.select(
+        "event_type",
+        F.try_parse_json(j).alias("v"),
+    ).select(
+        "event_type",
+        F.col("v").isNull().cast("long").alias("invalid"),
+        F.try_variant_get("v", "$.k", "long").alias("k_long"),
+        F.try_variant_get("v", "$.meta.src", "string").alias("src"),
+        F.try_variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.prio", "long").alias("prio"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("invalid").alias("n_invalid"),
+        F.count("k_long").alias("n_k_long"),
+        F.sum("k_long").alias("sum_k"),
+        F.countDistinct("src").alias("distinct_src"),
+        F.count("tag0").alias("n_tag0"),
+        F.sum("prio").alias("sum_prio"),
+    )
+
+
+VARIANT_PROPS_STATS_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+), j AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN '{broken'
+              WHEN event_type IN ('click', 'view') THEN
+                '{"k": ' || CAST(k AS VARCHAR) || ', "meta": {"src": "' || event_type
+                || '"}, "tags": ["t' || CAST(user_id % 3 AS VARCHAR) || '"]}'
+              ELSE
+                '{"k": "s' || CAST(k AS VARCHAR) || '", "prio": '
+                || CAST(user_id % 5 AS VARCHAR) || '}'
+         END AS doc
+  FROM base
+), v AS (
+  SELECT event_type, TRY_CAST(doc AS JSON) AS v FROM j
+), ext AS (
+  SELECT event_type,
+         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS invalid,
+         TRY_CAST(json_extract(v, '$.k') AS BIGINT) AS k_long,
+         json_extract_string(v, '$.meta.src') AS src,
+         json_extract_string(v, '$.tags[0]') AS tag0,
+         TRY_CAST(json_extract(v, '$.prio') AS BIGINT) AS prio
+  FROM v
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(invalid) AS BIGINT) AS n_invalid,
+       CAST(COUNT(k_long) AS BIGINT) AS n_k_long,
+       CAST(SUM(k_long) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS distinct_src,
+       CAST(COUNT(tag0) AS BIGINT) AS n_tag0,
+       CAST(SUM(prio) AS BIGINT) AS sum_prio
+FROM ext
 GROUP BY event_type
 """
 
@@ -10331,6 +10553,7 @@ QUERIES = {
     "stream_mg_heavy_hitters": stream_mg_heavy_hitters,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_range_join_equivalence": stream_range_join_equivalence,
+    "stream_outer_join_nulls": stream_outer_join_nulls,
     "stream_dedup_docs": stream_dedup_docs,
     "skew_split_join_events": skew_split_join_events,
     "zorder_layout_events": zorder_layout_events,
@@ -10352,6 +10575,7 @@ QUERIES = {
     "bm25_top_docs": bm25_top_docs,
     "stream_cdc_equivalence": stream_cdc_equivalence,
     "json_props_stats_events": json_props_stats_events,
+    "variant_props_stats_events": variant_props_stats_events,
 }
 
 from ip_filter_spark.queries_tpch import TPCH2_ORACLES, TPCH2_QUERIES  # noqa: E402
@@ -10552,6 +10776,7 @@ ORACLES = {
     "stream_mg_heavy_hitters": STREAM_MG_SQL,
     "stream_windowed_counts": STREAM_WINDOWED_SQL,
     "stream_range_join_equivalence": RANGE_JOIN_SQL,
+    "stream_outer_join_nulls": STREAM_OUTER_JOIN_SQL,
     "stream_dedup_docs": STREAM_DEDUP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
     "skew_split_join_events": SKEW_SPLIT_JOIN_SQL,
@@ -10574,6 +10799,7 @@ ORACLES = {
     "bm25_top_docs": BM25_TOP_DOCS_SQL,
     "stream_cdc_equivalence": CDC_UPSERT_SQL,
     "json_props_stats_events": JSON_PROPS_STATS_SQL,
+    "variant_props_stats_events": VARIANT_PROPS_STATS_SQL,
 }
 
 ORACLES.update(TPCH2_ORACLES)

@@ -23,6 +23,15 @@ Execution model at scale:
 - Inner joins emit in append mode WITHOUT waiting for the watermark
   (only eviction waits on it), so no sentinel row is needed to flush a
   bounded replay.
+- LEFT OUTER joins additionally emit each unmatched left row with NULL
+  right columns — but only once the watermark proves no future right
+  match can arrive (global watermark past the row's match horizon), at
+  which point the row is evicted and the null row emitted in the next
+  (possibly no-data) micro-batch. A bounded replay therefore needs a
+  later-than-everything sentinel row as the LAST file on EACH source
+  (the global watermark is the minimum across sources) so the closing
+  no-data batch flushes every real unmatched row; production streams
+  emit nulls continuously as the watermark advances.
 """
 
 from __future__ import annotations
@@ -44,11 +53,14 @@ def stream_interval_join(
     watermark_right: str,
     out_dir: str,
     checkpoint_dir: str,
+    how: str = "inner",
 ) -> StreamingQuery:
-    """Start an availableNow streaming inner join: pairs where
+    """Start an availableNow streaming join: pairs where
     ``right_ts <= left_ts <= right_ts + upper_s`` for equal keys, appended
     to ``out_dir`` as parquet. Column names must be disjoint across the
-    two sides (the caller aliases)."""
+    two sides (the caller aliases). ``how`` is ``inner`` or
+    ``left_outer``; outer null emission waits on the watermark (see the
+    module docstring for the bounded-replay sentinel requirement)."""
     lw = left.withWatermark(left_ts, watermark_left)
     rw = right.withWatermark(right_ts, watermark_right)
     cond = (
@@ -57,7 +69,7 @@ def stream_interval_join(
         & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {int(upper_s)} SECONDS"))
     )
     return (
-        lw.join(rw, cond, "inner")
+        lw.join(rw, cond, how)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", out_dir)

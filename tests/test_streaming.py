@@ -312,6 +312,61 @@ def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
     assert got == {(22, 10), (21, 11)}, got
 
 
+def test_stream_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched left rows must emit with
+    NULL right columns — but only after the watermark proves no future
+    match can arrive. Sentinels (key -1, equal ts, matching each other)
+    appended LAST on both sides advance the min-of-sources watermark so
+    the closing no-data batch flushes every real unmatched click."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1_700_000_000
+    # clicks u0..u4; purchases only for even users, 10 s before the click
+    clicks = spark.createDataFrame(
+        [(u, u, base + 1000 + u) for u in range(5)],
+        "event_id long, user_id long, t long",
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("c_ts"))
+    purch = spark.createDataFrame(
+        [(100 + u, u, base + 990 + u) for u in range(0, 5, 2)],
+        "purchase_id long, p_user long, t long",
+    ).select("purchase_id", "p_user", F.col("t").cast("timestamp").alias("p_ts"))
+    src_c, src_p = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.coalesce(1).write.parquet(src_c)
+    purch.coalesce(1).write.parquet(src_p)
+    time.sleep(1.1)  # sentinels must sort after the data files by mtime
+    sent = base + 100_000
+    spark.createDataFrame([(-1, -1, sent)], "event_id long, user_id long, t long").select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("c_ts")
+    ).coalesce(1).write.mode("append").parquet(src_c)
+    spark.createDataFrame([(-1, -1, sent)], "purchase_id long, p_user long, t long").select(
+        "purchase_id", "p_user", F.col("t").cast("timestamp").alias("p_ts")
+    ).coalesce(1).write.mode("append").parquet(src_p)
+    cs = (
+        spark.readStream.schema("event_id long, user_id long, c_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src_c)
+    )
+    ps = (
+        spark.readStream.schema("purchase_id long, p_user long, p_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src_p)
+    )
+    q = stream_interval_join(
+        cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
+        upper_s=30, watermark_left="60 seconds", watermark_right="60 seconds",
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        how="left_outer",
+    )
+    assert q.awaitTermination(120), "outer stream join did not finish"
+    out = spark.read.parquet(str(tmp_path / "out")).where(F.col("user_id") >= 0)
+    got = {(r.event_id, r.purchase_id) for r in out.collect()}
+    # even users matched, odd users emitted exactly once with NULL right
+    assert got == {(0, 100), (2, 102), (4, 104), (1, None), (3, None)}, got
+
+
 def test_stream_cdc_snapshot_idempotent_and_pruned(spark, tmp_path):
     """The CDC snapshot store: (a) final snapshot == batch latest-state
     of everything streamed; (b) a FULL REPLAY (fresh checkpoint, same
