@@ -7397,6 +7397,79 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
 """
 
 
+def recursive_cte_bfs_suppliers(spark, sf_dir):
+    """Spark 4's native ``WITH RECURSIVE`` on a real graph: the SAME
+    single-source shortest-hops problem as ``bfs_hops_suppliers``, but
+    expressed declaratively in one SQL statement instead of a hand-rolled
+    frontier loop — Catalyst plans the recursion as iterated
+    union-with-join, so the per-hop shape (one shuffle join per level)
+    matches the imperative gate while the user writes four lines of SQL.
+
+    Spark's recursive CTEs currently accept only UNION ALL, so on a
+    cyclic graph the recursive term re-expands revisited nodes; the
+    per-step ``SELECT DISTINCT`` bounds each level's working table at
+    |V| rows (polynomial, not walk-count exponential) and the final
+    ``MIN(d) GROUP BY node`` recovers shortest hops exactly — provably
+    equal to the oracle's UNION-dedup walk, since every node reachable
+    in ≤3 hops appears at its true distance. Oracle: DuckDB's own
+    WITH RECURSIVE (UNION form). Triple agreement with the iterative
+    gate (`bfs_hops_suppliers`) comes free — both gates share the SQL
+    oracle at the driver."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__rcte_lineitem")
+    return spark.sql(
+        """
+        WITH RECURSIVE parts AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM __rcte_lineitem),
+        pairs AS (
+          SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+          FROM parts a JOIN parts b USING (l_partkey)
+          WHERE a.l_suppkey <> b.l_suppkey
+            AND (a.l_suppkey * 31 + b.l_suppkey) % 97 < 8),
+        walk(node, d) AS (
+          SELECT (SELECT MIN(s) FROM pairs), 0
+          UNION ALL
+          SELECT DISTINCT p.t, w.d + 1
+          FROM walk w JOIN pairs p ON p.s = w.node WHERE w.d < 3)
+        SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+        """
+    )
+
+
+def pipe_syntax_order_stats(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (`|>`) end-to-end: EXTEND a computed
+    year column, WHERE-filter, AGGREGATE with GROUP BY, ORDER the
+    result — each stage a left-to-right pipe step. This is a parser
+    surface, not a new engine: the pipe form lowers to the identical
+    Catalyst plan as the relational form (scan → filter → partial/final
+    hash aggregate), so pushdown, map-side combine, and AQE all apply
+    unchanged — the gate pins that the sugar is semantics-preserving
+    against a plain-SQL DuckDB oracle. Money stays exact: cents via
+    decimal(18,2)·100, summed then cast to BIGINT."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> EXTEND CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |> WHERE o_orderstatus <> 'P'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) AS cents
+           GROUP BY o_orderpriority, o_year
+        """
+    )
+
+
+RECURSIVE_CTE_BFS_SQL = BFS_HOPS_SQL
+
+PIPE_SYNTAX_ORDER_SQL = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority, o_year
+"""
+
+
 def udtf_token_explode_docs(spark, sf_dir):
     """Python UDTF surface (Spark 4's table-function API): a tokenizer
     UDTF registered and invoked from SQL via LATERAL, exploding each
@@ -10394,6 +10467,8 @@ QUERIES = {
     "ols_exact_lineitem": ols_exact_lineitem,
     "bfs_hops_suppliers": bfs_hops_suppliers,
     "udtf_token_explode_docs": udtf_token_explode_docs,
+    "recursive_cte_bfs_suppliers": recursive_cte_bfs_suppliers,
+    "pipe_syntax_order_stats": pipe_syntax_order_stats,
     "snapshot_incremental_docs": snapshot_incremental_docs,
     "pii_redaction_docs": pii_redaction_docs,
     "char_entropy_docs": char_entropy_docs,
@@ -10618,6 +10693,8 @@ ORACLES = {
     "ols_exact_lineitem": OLS_EXACT_SQL,
     "bfs_hops_suppliers": BFS_HOPS_SQL,
     "udtf_token_explode_docs": UDTF_TOKENS_SQL,
+    "recursive_cte_bfs_suppliers": RECURSIVE_CTE_BFS_SQL,
+    "pipe_syntax_order_stats": PIPE_SYNTAX_ORDER_SQL,
     "snapshot_incremental_docs": SNAPSHOT_INCREMENTAL_SQL,
     "pii_redaction_docs": _pii_sql(),
     "char_entropy_docs": CHAR_ENTROPY_SQL,
