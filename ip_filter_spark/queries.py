@@ -2951,6 +2951,112 @@ LEFT JOIN purchases p
 """
 
 
+def stream_join_then_window(spark, sf_dir):
+    """CHAINED stateful streaming operators under the hard gate,
+    FULL-VALUE: one streaming query runs a stream-stream interval join
+    (clicks ⋈ purchases within 1 h, both sides watermarked) and feeds
+    the joined pairs straight into a watermarked tumbling-window
+    aggregate — per-(hour, event_type) pair counts. Two stateful stages
+    in a single micro-batch pipeline: the join buffers both sides and
+    emits on match; the left event-time column carries its watermark
+    THROUGH the join, so the downstream window knows when it may close.
+    The oracle is the batch join + hourly GROUP BY in DuckDB; window
+    starts compare as exact epoch-second integers (floor to hour), no
+    timestamp formatting or timezone in the hash.
+
+    Flush mechanics: the inner join emits on match, but the downstream
+    append-mode aggregate only emits a window once the watermark passes
+    its end — so the replay needs the per-side far-future sentinels
+    (min-of-sources watermark), which join each other into a pair whose
+    own window never closes and is filtered by key. At scale the state
+    is the join's two watermark horizons plus one open window per key —
+    both bounded by the disorder delay, not stream length."""
+    _ensure_shipped(spark)
+    import shutil
+    import time
+
+    from ip_filter_spark.streaming import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", sec.cast("timestamp").alias("c_ts"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        sec.cast("timestamp").alias("p_ts"),
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = _stream_scratch("jw", sf_dir)
+    try:
+        clicks.repartition(3).write.parquet(f"{work}/clicks")
+        purchases.repartition(3).write.parquet(f"{work}/purchases")
+        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
+        sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
+        spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
+            "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/clicks")
+        spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
+            "purchase_id", "p_user", sent_ts.alias("p_ts")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
+        cs = (
+            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/clicks")
+        )
+        ps = (
+            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/purchases")
+        )
+        joined = interval_join(
+            cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
+            upper_s=3600, watermark_left=f"{delay_s} seconds", watermark_right=f"{delay_s} seconds",
+        )
+        agg = (
+            joined.groupBy(F.window("c_ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_pairs"))
+            .select(
+                F.col("window.start").cast("long").alias("window_s"),
+                "event_type",
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow chained join+window stream did not finish in 300 s")
+    finally:
+        shutil.rmtree(f"{work}/clicks", ignore_errors=True)
+        shutil.rmtree(f"{work}/purchases", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return spark.read.parquet(f"{work}/out").where(F.col("event_type") != "sentinel")
+
+
+STREAM_JOIN_WINDOW_SQL = """
+WITH r AS (
+  SELECT event_id AS purchase_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase'),
+l AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT (l.t // 3600) * 3600 AS window_s, l.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM l JOIN r ON l.user_id = r.user_id AND l.t BETWEEN r.s AND r.s + 3600
+GROUP BY window_s, l.event_type
+"""
+
+
 def stream_dedup_docs(spark, sf_dir):
     """Streaming exact dedup under the hard gate: the documents table is
     replayed TWICE (two file sets, maxFilesPerTrigger=1, so every doc
@@ -10629,6 +10735,7 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_range_join_equivalence": stream_range_join_equivalence,
     "stream_outer_join_nulls": stream_outer_join_nulls,
+    "stream_join_then_window": stream_join_then_window,
     "stream_dedup_docs": stream_dedup_docs,
     "skew_split_join_events": skew_split_join_events,
     "zorder_layout_events": zorder_layout_events,
@@ -10854,6 +10961,7 @@ ORACLES = {
     "stream_windowed_counts": STREAM_WINDOWED_SQL,
     "stream_range_join_equivalence": RANGE_JOIN_SQL,
     "stream_outer_join_nulls": STREAM_OUTER_JOIN_SQL,
+    "stream_join_then_window": STREAM_JOIN_WINDOW_SQL,
     "stream_dedup_docs": STREAM_DEDUP_SQL,
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
     "skew_split_join_events": SKEW_SPLIT_JOIN_SQL,

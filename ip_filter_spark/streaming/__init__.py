@@ -6,7 +6,7 @@ from ip_filter_spark.streaming.sketch_stream import (
     windowed_event_counts,
 )
 from ip_filter_spark.streaming.dedup import stream_exact_dedup
-from ip_filter_spark.streaming.joins import stream_interval_join
+from ip_filter_spark.streaming.joins import interval_join, stream_interval_join
 from ip_filter_spark.streaming.sessions import stream_session_stats
 from ip_filter_spark.streaming.stateful import running_distinct_by_key
 
@@ -19,5 +19,6 @@ __all__ = [
     "windowed_event_counts",
     "running_distinct_by_key",
     "stream_exact_dedup",
+    "interval_join",
     "stream_interval_join",
 ]

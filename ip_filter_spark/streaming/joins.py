@@ -40,6 +40,36 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    upper_s: int,
+    watermark_left: str,
+    watermark_right: str,
+    how: str = "inner",
+) -> DataFrame:
+    """The watermarked interval-join TRANSFORMATION (no sink): pairs
+    where ``right_ts <= left_ts <= right_ts + upper_s`` for equal keys.
+    Returned unsunk so callers can chain further stateful operators
+    downstream (e.g. a windowed aggregate over the joined pairs — the
+    left event-time column keeps its watermark through the join, which
+    is what makes chained stateful stages legal). Column names must be
+    disjoint across the two sides (the caller aliases)."""
+    lw = left.withWatermark(left_ts, watermark_left)
+    rw = right.withWatermark(right_ts, watermark_right)
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(left_ts) >= F.col(right_ts))
+        & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {int(upper_s)} SECONDS"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,21 +85,16 @@ def stream_interval_join(
     checkpoint_dir: str,
     how: str = "inner",
 ) -> StreamingQuery:
-    """Start an availableNow streaming join: pairs where
-    ``right_ts <= left_ts <= right_ts + upper_s`` for equal keys, appended
-    to ``out_dir`` as parquet. Column names must be disjoint across the
-    two sides (the caller aliases). ``how`` is ``inner`` or
-    ``left_outer``; outer null emission waits on the watermark (see the
-    module docstring for the bounded-replay sentinel requirement)."""
-    lw = left.withWatermark(left_ts, watermark_left)
-    rw = right.withWatermark(right_ts, watermark_right)
-    cond = (
-        (F.col(left_on) == F.col(right_on))
-        & (F.col(left_ts) >= F.col(right_ts))
-        & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {int(upper_s)} SECONDS"))
-    )
+    """Start an availableNow streaming join: ``interval_join`` appended
+    to ``out_dir`` as parquet. ``how`` is ``inner`` or ``left_outer``;
+    outer null emission waits on the watermark (see the module docstring
+    for the bounded-replay sentinel requirement)."""
     return (
-        lw.join(rw, cond, how)
+        interval_join(
+            left, right, left_on=left_on, right_on=right_on, left_ts=left_ts,
+            right_ts=right_ts, upper_s=upper_s, watermark_left=watermark_left,
+            watermark_right=watermark_right, how=how,
+        )
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", out_dir)
