@@ -642,3 +642,46 @@ def test_record_linkage_blocks_as_equi_join(spark, sf_dir):
 
     plan = _plan(record_linkage_docs(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_pipe_syntax_lowers_to_relational_plan(spark, sf_dir):
+    """Spark 4's `|>` pipe syntax is parser sugar: the pipe form of the
+    order-stats aggregation must produce the SAME physical operator
+    sequence as the handwritten relational form (scan -> filter ->
+    project -> partial/final hash aggregate) — proving pushdown and
+    map-side combine are unaffected by the surface syntax."""
+    from ip_filter_spark.queries import pipe_syntax_order_stats
+
+    def _shape(df):
+        out = []
+        for line in _plan(df).splitlines():
+            # "(n) OperatorName [codegen id : k]" section headers
+            if line.startswith("(") and ") " in line:
+                out.append(line.split(") ", 1)[1].split(" [")[0].strip())
+        return out
+
+    pipe = pipe_syntax_order_stats(spark, sf_dir)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("__pipe_orders")
+    rel = spark.sql(
+        """
+        SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) AS cents
+        FROM __pipe_orders
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority, o_year
+        """
+    )
+    assert _shape(pipe) == _shape(rel), (_shape(pipe), _shape(rel))
+    assert any("HashAggregate" in n for n in _shape(pipe)), _shape(pipe)
+
+
+def test_recursive_cte_plans_as_union_loop(spark, sf_dir):
+    """The recursive-CTE BFS must plan with Spark's UnionLoop recursion
+    operator (iterated union-with-join — one join per level, the same
+    per-hop shape as the imperative frontier loop), not an unrolled or
+    collapsed plan."""
+    from ip_filter_spark.queries import recursive_cte_bfs_suppliers
+
+    plan = recursive_cte_bfs_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan[:2000]
