@@ -3445,6 +3445,88 @@ GROUP BY e.event_type
 """
 
 
+def sorted_export_events(spark, sf_dir):
+    """Global total-order export WITHOUT a single reducer — the terasort
+    shape, and the one correct way to emit a sorted dataset at 100 TB:
+    ``repartitionByRange`` samples boundary keys and plans ONE range
+    Exchange; each of the F output tasks then sorts only its own slice
+    (``sortWithinPartitions``), so no stage ever holds more than 1/F of
+    the data and the concatenation of files in range order is globally
+    sorted. Contrast a global window ``row_number`` rank, which is a
+    single-partition wall.
+
+    Gate strategy: the driver's value-hash is order-insensitive, so
+    ordering is gated as exact integer EVIDENCE computed distributed
+    from the files read BACK: per-file (n, min, max) via
+    ``input_file_name`` [tiny F-row reduction], every file internally
+    non-decreasing (lag over a per-file window ordered by
+    ``monotonically_increasing_id`` — monotone in physical read order
+    within a scan partition; the verification pass shuffles O(n) once,
+    which a real export would also pay for an audit), file key ranges
+    pairwise disjoint, row conservation and exact global min/max vs the
+    oracle. The sort key packs (epoch-second, event_id) into one BIGINT
+    (ts·2^24 + id); an in-query assert pins the id domain so the
+    packing is order-faithful — 'oracle form invalid' otherwise."""
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    assert ev.agg(F.max("event_id")).first()[0] < (1 << 24), (
+        "event_id domain exceeds the 2^24 packing budget; oracle form invalid"
+    )
+    key = (F.col("ts").cast("timestamp").cast("long") * (1 << 24) + F.col("event_id")).alias("key")
+    rows = ev.select(key, "event_id", "user_id", "event_type")
+    work = tempfile.mkdtemp(prefix="ifs_sorted_export_")
+    try:
+        rows.repartitionByRange(8, "key").sortWithinPartitions("key").write.parquet(f"{work}/out")
+        back = spark.read.parquet(f"{work}/out").select(
+            "key", F.input_file_name().alias("f"), F.monotonically_increasing_id().alias("mid")
+        )
+        w = Window.partitionBy("f").orderBy("mid")
+        per_file = (
+            back.withColumn("prev", F.lag("key").over(w))
+            .groupBy("f")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("key").alias("lo"),
+                F.max("key").alias("hi"),
+                F.sum((F.col("prev") > F.col("key")).cast("long")).alias("inversions"),
+            )
+        ).collect()  # F rows — bounded by the file count, not the data
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    per_file.sort(key=lambda r: r.lo)
+    n_rows = sum(r.n for r in per_file)
+    each_sorted = all((r.inversions or 0) == 0 for r in per_file)
+    disjoint = all(per_file[i].hi < per_file[i + 1].lo for i in range(len(per_file) - 1))
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                int(per_file[0].lo),
+                int(per_file[-1].hi),
+                bool(len(per_file) >= 2),
+                bool(each_sorted),
+                bool(disjoint),
+            )
+        ],
+        "n_rows long, min_key long, max_key long, files_multi boolean, "
+        "each_file_sorted boolean, files_disjoint_ordered boolean",
+    )
+
+
+SORTED_EXPORT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key,
+       TRUE AS files_multi, TRUE AS each_file_sorted, TRUE AS files_disjoint_ordered
+FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) * 16777216 + event_id AS k FROM events)
+"""
+
+
 def zorder_layout_events(spark, sf_dir):
     """Z-order (Morton) layout roundtrip under the gate: events written
     once clustered on the bit-interleaved (user_id, value) quantile
@@ -10739,6 +10821,7 @@ QUERIES = {
     "stream_dedup_docs": stream_dedup_docs,
     "skew_split_join_events": skew_split_join_events,
     "zorder_layout_events": zorder_layout_events,
+    "sorted_export_events": sorted_export_events,
     "sql_udaf_shipping_quantiles": sql_udaf_shipping_quantiles,
     "funnel_conversion_events": funnel_conversion_events,
     "weighted_median_price": weighted_median_price,
@@ -10966,6 +11049,7 @@ ORACLES = {
     "embedding_near_dup_lsh": NEAR_DUP_SQL,
     "skew_split_join_events": SKEW_SPLIT_JOIN_SQL,
     "zorder_layout_events": ZORDER_LAYOUT_SQL,
+    "sorted_export_events": SORTED_EXPORT_SQL,
     "sql_udaf_shipping_quantiles": SQL_UDAF_SHIPPING_QUANTILES_SQL,
     "funnel_conversion_events": FUNNEL_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
