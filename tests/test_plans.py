@@ -366,12 +366,20 @@ def test_stream_gates_return_file_backed_output(spark, sf_dir):
     shape round-tripped O(sessions)/O(windows)/O(pairs) rows through the
     driver). inputFiles() non-empty proves the scan is file-backed."""
     from ip_filter_spark.queries import (
+        stream_join_then_window,
+        stream_outer_join_nulls,
         stream_range_join_equivalence,
         stream_session_equivalence,
         stream_windowed_counts,
     )
 
-    for q in (stream_session_equivalence, stream_windowed_counts, stream_range_join_equivalence):
+    for q in (
+        stream_session_equivalence,
+        stream_windowed_counts,
+        stream_range_join_equivalence,
+        stream_outer_join_nulls,
+        stream_join_then_window,
+    ):
         df = q(spark, sf_dir)
         assert df.inputFiles(), f"{q.__name__} output is not file-backed"
         assert df.count() > 0
