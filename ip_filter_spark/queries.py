@@ -5199,6 +5199,106 @@ FROM chunks
 """
 
 
+_BPE_K = 3
+
+
+def bpe_train_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (the first K=3 merge rules) —
+    the real algorithm, not statistics: per iteration, count adjacent
+    symbol pairs over the corpus's distinct-word frequency table (the
+    standard trainer shape — pair mass is word_count-weighted, so the
+    pair scan is O(distinct words), not O(corpus)), pick the most
+    frequent pair (ties broken lexicographically — deterministic in both
+    engines over ASCII), and apply the merge. K sequential iterations =
+    K small shuffles (pair → count) plus one 1-row driver sync each,
+    exactly the Pregel-style loop discipline used by
+    connected_components; the learned merge table is what ships to the
+    tokenizer at 100 TB, and each iteration's distinct-word table stays
+    partitioned in place.
+
+    Cross-engine exactness: symbol sequences are rendered as
+    marker-bracketed strings (``<h><e><l><l><o>``; corpus restricted to
+    [a-z] words so ``<``/``>`` are out-of-alphabet), which makes the
+    merge application a plain single-pass ``REPLACE('<a><b>' →
+    '<ab>')`` with IDENTICAL non-overlapping left-to-right semantics in
+    Spark and DuckDB — boundary-safe (a multi-char symbol ending in
+    ``a`` can't false-match) and correct on runs (``<a><a><a>`` →
+    ``<aa><a>``, the BPE leftmost-first rule). The oracle replays all
+    three iterations in chained CTEs; pair counts are exact integers."""
+    _ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    tbl = words.select("wc", F.regexp_replace("w", "(.)", "<$1>").alias("seq")).persist()
+    merges = []
+    for it in range(1, _BPE_K + 1):
+        syms = tbl.select("wc", F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)").alias("syms"))
+        pairs = syms.where(F.expr("size(syms) >= 2")).select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(0, size(syms) - 2), i -> concat(syms[i], ' ', syms[i + 1]))")
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        a, b = top.pair.split(" ")
+        merges.append((it, a, b, a + b, int(top.cnt)))
+        nxt = tbl.select(
+            "wc", F.replace(F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")).alias("seq")
+        ).persist()
+        tbl.unpersist()
+        tbl = nxt
+    tbl.unpersist()
+    return spark.createDataFrame(
+        merges, "iteration long, sym_a string, sym_b string, merged string, pair_count long"
+    )
+
+
+def _bpe_iteration_sql(prev: str, idx: int) -> str:
+    """One BPE iteration as chained CTEs over ``prev`` (wc, seq)."""
+    return f"""
+top{idx} AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT wc, regexp_extract_all(seq, '<([^>]*)>', 1) AS syms FROM {prev})
+  ) GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+m{idx} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt FROM top{idx}
+),
+seq{idx} AS (
+  SELECT wc, REPLACE(seq, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS seq
+  FROM {prev}, m{idx} AS m
+)"""
+
+
+BPE_TRAIN_SQL = f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+  WHERE len(w) >= 1 GROUP BY w
+),
+seq0 AS (
+  SELECT wc, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
+),{_bpe_iteration_sql('seq0', 1)},{_bpe_iteration_sql('seq1', 2)},{_bpe_iteration_sql('seq2', 3)}
+SELECT CAST(1 AS BIGINT) AS iteration, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM m1
+UNION ALL
+SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
+UNION ALL
+SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3
+"""
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Sub-word ('BPE-ish') token statistics: alpha runs, digit runs,
     and single punctuation marks as separate tokens — the
@@ -10711,6 +10811,7 @@ QUERIES = {
     "daily_anomalies_events": daily_anomalies_events,
     "chunk_docs_for_rag": chunk_docs_for_rag,
     "bpe_token_stats_docs": bpe_token_stats_docs,
+    "bpe_train_merges_docs": bpe_train_merges_docs,
     "hash_split_docs": hash_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "densify_daily_counts_events": densify_daily_counts_events,
@@ -10939,6 +11040,7 @@ ORACLES = {
     "daily_anomalies_events": DAILY_ANOMALIES_SQL,
     "chunk_docs_for_rag": CHUNK_DOCS_SQL,
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
+    "bpe_train_merges_docs": BPE_TRAIN_SQL,
     "hash_split_docs": HASH_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "densify_daily_counts_events": DENSIFY_DAILY_SQL,
