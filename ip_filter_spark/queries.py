@@ -7791,6 +7791,58 @@ def udtf_token_explode_docs(spark, sf_dir):
     )
 
 
+def sql_defined_functions_docs(spark, sf_dir):
+    """SQL-DEFINED functions (Spark 4): a scalar SQL UDF and a SQL table
+    function, both declared in SQL text and used from SQL — the
+    packaging surface for reusable logic with ZERO performance tax,
+    because SQL UDFs are inlined by Catalyst into the calling plan
+    (keeping whole-stage codegen, pushdown, and pruning) instead of
+    running as a black-box row-at-a-time Python UDF. The in-query plan
+    assert pins exactly that: no Python evaluation node anywhere. This
+    is the opposite end of the UDF spectrum from
+    ``udtf_token_explode_docs`` (the Python-UDTF escape hatch, Arrow
+    slow path); at 100 TB the SQL-defined form is what users should
+    reach for first. Oracle: the same logic written inline."""
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION ifs_sq(x BIGINT) RETURNS BIGINT RETURN x * x")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ifs_tokens(s STRING) "
+        "RETURNS TABLE(pos INT, tok STRING) RETURN SELECT posexplode(split(s, ' '))"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__sqlfn_docs")
+    out = spark.sql(
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+               CAST(SUM(ifs_sq(CAST(length(tok) AS BIGINT))) AS BIGINT) AS sum_sq_len,
+               CAST(SUM(pos) AS BIGINT) AS sum_pos
+        FROM __sqlfn_docs, LATERAL ifs_tokens(text)
+        GROUP BY lang
+        """
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Python" not in plan and "ArrowEval" not in plan, (
+        "SQL-defined functions must inline into the JVM plan, not run as Python UDFs:\n" + plan
+    )
+    return out
+
+
+SQL_DEFINED_FUNCS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(CAST(len(tok) AS BIGINT) * CAST(len(tok) AS BIGINT)) AS BIGINT) AS sum_sq_len,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM toks
+GROUP BY lang
+"""
+
+
 UDTF_TOKENS_SQL = """
 WITH toks AS (
   SELECT lang,
@@ -10757,6 +10809,7 @@ QUERIES = {
     "udtf_token_explode_docs": udtf_token_explode_docs,
     "recursive_cte_bfs_suppliers": recursive_cte_bfs_suppliers,
     "pipe_syntax_order_stats": pipe_syntax_order_stats,
+    "sql_defined_functions_docs": sql_defined_functions_docs,
     "snapshot_incremental_docs": snapshot_incremental_docs,
     "pii_redaction_docs": pii_redaction_docs,
     "char_entropy_docs": char_entropy_docs,
@@ -10986,6 +11039,7 @@ ORACLES = {
     "udtf_token_explode_docs": UDTF_TOKENS_SQL,
     "recursive_cte_bfs_suppliers": RECURSIVE_CTE_BFS_SQL,
     "pipe_syntax_order_stats": PIPE_SYNTAX_ORDER_SQL,
+    "sql_defined_functions_docs": SQL_DEFINED_FUNCS_SQL,
     "snapshot_incremental_docs": SNAPSHOT_INCREMENTAL_SQL,
     "pii_redaction_docs": _pii_sql(),
     "char_entropy_docs": CHAR_ENTROPY_SQL,
