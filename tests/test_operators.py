@@ -1838,3 +1838,36 @@ def test_quadkey_expr_known_tiles(spark):
     got = [r.qk for r in pts.select(quadkey_expr("x", "y", 2, 1).alias("qk")).collect()]
     # grid coords == raw coords (cell=1); level-2 key interleaves bits 1,0
     assert got == ["00", "01", "02", "33", "12"], got
+
+
+def test_bpe_merge_replace_law_cross_engine(spark):
+    """The BPE trainer's merge-application law: marker-bracketed
+    single-pass REPLACE must (a) merge leftmost-first on symbol runs
+    (<a><a><a> -> <aa><a>), (b) never false-match inside a multi-char
+    symbol (<ya><b> untouched by the (a,b) merge), (c) merge every
+    non-overlapping occurrence (<a><b><a><b> -> <ab><ab>) — and Spark
+    and DuckDB must agree byte-for-byte on all of it."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = ["<a><a><a>", "<ya><b>", "<a><b><a><b>", "<a><b>", "<b><a>", "<aa><a><a>"]
+    pat, rep = "<a><b>", "<ab>"
+    pat2, rep2 = "<a><a>", "<aa>"
+    df = spark.createDataFrame([(c,) for c in cases], "seq string")
+    got_ab = [
+        r.out
+        for r in df.select(F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("out")).collect()
+    ]
+    got_aa = [
+        r.out
+        for r in df.select(F.replace(F.col("seq"), F.lit(pat2), F.lit(rep2)).alias("out")).collect()
+    ]
+    con = duckdb.connect()
+    duck_ab = [con.execute("SELECT REPLACE(?, ?, ?)", [c, pat, rep]).fetchone()[0] for c in cases]
+    duck_aa = [con.execute("SELECT REPLACE(?, ?, ?)", [c, pat2, rep2]).fetchone()[0] for c in cases]
+    assert got_ab == duck_ab, (got_ab, duck_ab)
+    assert got_aa == duck_aa, (got_aa, duck_aa)
+    assert got_aa[0] == "<aa><a>", got_aa[0]  # leftmost-first on runs
+    assert got_ab[1] == "<ya><b>", got_ab[1]  # boundary-safe
+    assert got_ab[2] == "<ab><ab>", got_ab[2]  # all non-overlapping occurrences
