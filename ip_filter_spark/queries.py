@@ -5226,6 +5226,16 @@ def bpe_train_merges_docs(spark, sf_dir):
     ``<aa><a>``, the BPE leftmost-first rule). The oracle replays all
     three iterations in chained CTEs; pair counts are exact integers."""
     _ensure_shipped(spark)
+    merges = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "iteration long, sym_a string, sym_b string, merged string, pair_count long"
+    )
+
+
+def _bpe_learn(spark, sf_dir):
+    """The trainer loop shared by the train and encode gates: returns
+    [(iteration, sym_a, sym_b, merged, pair_count), ...] for K merges
+    over the corpus-global distinct-word frequency table."""
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
@@ -5257,9 +5267,59 @@ def bpe_train_merges_docs(spark, sf_dir):
         tbl.unpersist()
         tbl = nxt
     tbl.unpersist()
-    return spark.createDataFrame(
-        merges, "iteration long, sym_a string, sym_b string, merged string, pair_count long"
+    return merges
+
+
+def bpe_encode_stats_docs(spark, sf_dir):
+    """The ENCODE half of the distributed tokenizer: learn the K=3
+    merges (``_bpe_learn``, the gated trainer loop), then apply them to
+    the per-(lang, word) frequency table as a chain of K literal
+    REPLACEs — the merge table is data the size of K rules, folded into
+    the expression (at 100 TB the learned vocabulary broadcasts; the
+    corpus is touched by ONE encode pass). Per language the gate emits
+    exact integers: token count after merging (Σ wc·|syms|), character
+    mass (Σ wc·|w|), tokens saved vs character-level tokenization
+    (chars − tokens — each applied merge reduces a word's token count
+    by exactly its occurrence count), and the distinct post-merge
+    symbol vocabulary. Oracle: the same 3 learning iterations replayed
+    in chained CTEs, then the same 3 REPLACEs over the lang table."""
+    _ensure_shipped(spark)
+    merges = _bpe_learn(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    lw = (
+        d.select("lang", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("wc"))
     )
+    seq = F.regexp_replace("w", "(.)", "<$1>")
+    for _, a, b, _, _ in merges:
+        seq = F.replace(seq, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    enc = lw.withColumn("seq", seq).select(
+        "lang", "wc", F.length("w").alias("n_chars"),
+        F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)").alias("syms"),
+    )
+    per_word = enc.select(
+        "lang", "wc", "n_chars", F.size("syms").alias("n_syms"), "syms"
+    )
+    stats = per_word.groupBy("lang").agg(
+        F.sum(F.col("wc") * F.col("n_syms")).alias("total_tokens"),
+        F.sum(F.col("wc") * F.col("n_chars")).alias("total_chars"),
+        (F.sum(F.col("wc") * F.col("n_chars")) - F.sum(F.col("wc") * F.col("n_syms"))).alias(
+            "tokens_saved"
+        ),
+    )
+    vocab = (
+        per_word.select("lang", F.explode("syms").alias("sym"))
+        .groupBy("lang")
+        .agg(F.countDistinct("sym").alias("vocab_size"))
+    )
+    return stats.join(vocab, "lang").select(
+        "lang", "total_tokens", "total_chars", "tokens_saved", "vocab_size"
+    )
+
+
+
 
 
 def _bpe_iteration_sql(prev: str, idx: int) -> str:
@@ -5296,6 +5356,46 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
 UNION ALL
 SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3
+"""
+
+
+BPE_ENCODE_SQL = f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+  WHERE len(w) >= 1 GROUP BY w
+),
+seq0 AS (
+  SELECT wc, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
+),{_bpe_iteration_sql('seq0', 1)},{_bpe_iteration_sql('seq1', 2)},{_bpe_iteration_sql('seq2', 3)},
+langwords AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+  WHERE len(w) >= 1 GROUP BY lang, w
+),
+encoded AS (
+  SELECT lang, wc, len(w) AS n_chars,
+         regexp_extract_all(
+           REPLACE(REPLACE(REPLACE(regexp_replace(w, '(.)', '<\\1>', 'g'),
+             '<' || m1.a || '><' || m1.b || '>', '<' || m1.a || m1.b || '>'),
+             '<' || m2.a || '><' || m2.b || '>', '<' || m2.a || m2.b || '>'),
+             '<' || m3.a || '><' || m3.b || '>', '<' || m3.a || m3.b || '>'),
+           '<([^>]*)>', 1) AS syms
+  FROM langwords, m1, m2, m3
+),
+stats AS (
+  SELECT lang,
+         CAST(SUM(wc * len(syms)) AS BIGINT) AS total_tokens,
+         CAST(SUM(wc * n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(wc * n_chars) - SUM(wc * len(syms)) AS BIGINT) AS tokens_saved
+  FROM encoded GROUP BY lang
+),
+vocab AS (
+  SELECT lang, CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
+  FROM (SELECT lang, unnest(syms) AS sym FROM encoded) GROUP BY lang
+)
+SELECT stats.lang, total_tokens, total_chars, tokens_saved, vocab_size
+FROM stats JOIN vocab ON stats.lang = vocab.lang
 """
 
 
@@ -10865,6 +10965,7 @@ QUERIES = {
     "chunk_docs_for_rag": chunk_docs_for_rag,
     "bpe_token_stats_docs": bpe_token_stats_docs,
     "bpe_train_merges_docs": bpe_train_merges_docs,
+    "bpe_encode_stats_docs": bpe_encode_stats_docs,
     "hash_split_docs": hash_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "densify_daily_counts_events": densify_daily_counts_events,
@@ -11095,6 +11196,7 @@ ORACLES = {
     "chunk_docs_for_rag": CHUNK_DOCS_SQL,
     "bpe_token_stats_docs": BPE_TOKEN_STATS_SQL,
     "bpe_train_merges_docs": BPE_TRAIN_SQL,
+    "bpe_encode_stats_docs": BPE_ENCODE_SQL,
     "hash_split_docs": HASH_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "densify_daily_counts_events": DENSIFY_DAILY_SQL,
