@@ -2773,25 +2773,18 @@ GROUP BY window_start, event_type
 """
 
 
-def stream_range_join_equivalence(spark, sf_dir):
-    """Stream-stream interval join under the hard gate, FULL-VALUE: two
-    availableNow streams (purchases, clicks/views replayed from disjoint
-    file sets, one file per micro-batch so matches genuinely cross
-    micro-batch state) run streaming/joins.stream_interval_join and must
-    emit exactly the batch interval join — the oracle is the SAME DuckDB
-    BETWEEN-join SQL that gates the batch operator
-    (range_join_purchase_windows).
-
-    Inner stream-stream joins emit on match, not on watermark, so no
-    sentinel is needed; the full-span watermark delay only reflects that
-    replay file order is not time order (production uses the stream's
-    real disorder bound and gets bounded state). Timestamps are floored
-    to whole seconds on BOTH sides before the join so the stream
-    condition and the oracle's integer BETWEEN agree on boundaries."""
-    _ensure_shipped(spark)
-    import shutil
-
-    from ip_filter_spark.streaming import stream_interval_join
+def _replay_clicks_purchases(spark, sf_dir, name, with_sentinels):
+    """Shared replay scaffolding for the stream-stream join gates: the
+    clicks/purchases projections (timestamps floored to whole seconds so
+    stream conditions and integer-BETWEEN oracles agree on boundaries)
+    written as multi-file replay sources, the full-span watermark delay
+    (file order is not time order, so nothing may ever be 'late'), and
+    — when ``with_sentinels`` — one later-than-everything sentinel row
+    appended as the mtime-LAST file of EACH side (key -1, equal
+    timestamps, matching each other) to advance the min-of-sources
+    watermark for gates whose emission rides the watermark. Returns
+    ``(cs, ps, delay_s, work)``; the caller owns cleanup of ``work``."""
+    import time
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
@@ -2805,24 +2798,55 @@ def stream_range_join_equivalence(spark, sf_dir):
         sec.cast("timestamp").alias("p_ts"),
     )
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
-    delay = f"{int((mx - mn).total_seconds()) + 3601} seconds"
-    work = _stream_scratch("rj", sf_dir)
+    delay_s = int((mx - mn).total_seconds()) + 3601
+    work = _stream_scratch(name, sf_dir)
+    clicks.repartition(3).write.parquet(f"{work}/clicks")
+    purchases.repartition(3).write.parquet(f"{work}/purchases")
+    if with_sentinels:
+        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
+        sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
+        spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
+            "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/clicks")
+        spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
+            "purchase_id", "p_user", sent_ts.alias("p_ts")
+        ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
+    cs = (
+        spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/clicks")
+    )
+    ps = (
+        spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/purchases")
+    )
+    return cs, ps, delay_s, work
+
+
+def stream_range_join_equivalence(spark, sf_dir):
+    """Stream-stream interval join under the hard gate, FULL-VALUE: two
+    availableNow streams (purchases, clicks/views replayed from disjoint
+    file sets, one file per micro-batch so matches genuinely cross
+    micro-batch state) run streaming/joins.stream_interval_join and must
+    emit exactly the batch interval join — the oracle is the SAME DuckDB
+    BETWEEN-join SQL that gates the batch operator
+    (range_join_purchase_windows).
+
+    Inner stream-stream joins emit on match, not on watermark, so no
+    sentinel is needed; the full-span watermark delay only reflects that
+    replay file order is not time order (production uses the stream's
+    real disorder bound and gets bounded state)."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from ip_filter_spark.streaming import stream_interval_join
+
+    cs, ps, delay_s, work = _replay_clicks_purchases(spark, sf_dir, "rj", with_sentinels=False)
     try:
-        clicks.repartition(3).write.parquet(f"{work}/clicks")
-        purchases.repartition(3).write.parquet(f"{work}/purchases")
-        cs = (
-            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/clicks")
-        )
-        ps = (
-            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/purchases")
-        )
         q = stream_interval_join(
             cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
-            upper_s=3600, watermark_left=delay, watermark_right=delay,
+            upper_s=3600, watermark_left=f"{delay_s} seconds", watermark_right=f"{delay_s} seconds",
             out_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt",
         )
         if not q.awaitTermination(300):
@@ -2866,45 +2890,11 @@ def stream_outer_join_nulls(spark, sf_dir):
     their real disorder bound."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import stream_interval_join
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir, "events")
-    sec = F.col("ts").cast("timestamp").cast("long")
-    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_id", "user_id", sec.cast("timestamp").alias("c_ts"), "event_type"
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        sec.cast("timestamp").alias("p_ts"),
-    )
-    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
-    delay_s = int((mx - mn).total_seconds()) + 3601
-    work = _stream_scratch("oj", sf_dir)
+    cs, ps, delay_s, work = _replay_clicks_purchases(spark, sf_dir, "oj", with_sentinels=True)
     try:
-        clicks.repartition(3).write.parquet(f"{work}/clicks")
-        purchases.repartition(3).write.parquet(f"{work}/purchases")
-        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
-        sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
-        spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
-            "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
-        ).coalesce(1).write.mode("append").parquet(f"{work}/clicks")
-        spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
-            "purchase_id", "p_user", sent_ts.alias("p_ts")
-        ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
-        cs = (
-            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/clicks")
-        )
-        ps = (
-            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/purchases")
-        )
         q = stream_interval_join(
             cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
             upper_s=3600, watermark_left=f"{delay_s} seconds", watermark_right=f"{delay_s} seconds",
@@ -2973,45 +2963,11 @@ def stream_join_then_window(spark, sf_dir):
     both bounded by the disorder delay, not stream length."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import interval_join
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir, "events")
-    sec = F.col("ts").cast("timestamp").cast("long")
-    clicks = ev.where(F.col("event_type").isin("click", "view")).select(
-        "event_id", "user_id", sec.cast("timestamp").alias("c_ts"), "event_type"
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        sec.cast("timestamp").alias("p_ts"),
-    )
-    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
-    delay_s = int((mx - mn).total_seconds()) + 3601
-    work = _stream_scratch("jw", sf_dir)
+    cs, ps, delay_s, work = _replay_clicks_purchases(spark, sf_dir, "jw", with_sentinels=True)
     try:
-        clicks.repartition(3).write.parquet(f"{work}/clicks")
-        purchases.repartition(3).write.parquet(f"{work}/purchases")
-        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
-        sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
-        spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
-            "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
-        ).coalesce(1).write.mode("append").parquet(f"{work}/clicks")
-        spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
-            "purchase_id", "p_user", sent_ts.alias("p_ts")
-        ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
-        cs = (
-            spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/clicks")
-        )
-        ps = (
-            spark.readStream.schema("purchase_id bigint, p_user bigint, p_ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/purchases")
-        )
         joined = interval_join(
             cs, ps, left_on="user_id", right_on="p_user", left_ts="c_ts", right_ts="p_ts",
             upper_s=3600, watermark_left=f"{delay_s} seconds", watermark_right=f"{delay_s} seconds",
@@ -3480,8 +3436,16 @@ def sorted_export_events(spark, sf_dir):
     key = (F.col("ts").cast("timestamp").cast("long") * (1 << 24) + F.col("event_id")).alias("key")
     rows = ev.select(key, "event_id", "user_id", "event_type")
     work = tempfile.mkdtemp(prefix="ifs_sorted_export_")
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         rows.repartitionByRange(8, "key").sortWithinPartitions("key").write.parquet(f"{work}/out")
+        # The mid-based row-order evidence requires each file to be read as
+        # ONE contiguous scan partition: a SPLIT file's later byte range can
+        # land in a lower partitionId (Spark packs splits size-descending),
+        # breaking mid's read-order monotonicity per file. Pin it for the
+        # audit scan only; whole files packed together are fine (each file
+        # is still read contiguously within its partition).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
         back = spark.read.parquet(f"{work}/out").select(
             "key", F.input_file_name().alias("f"), F.monotonically_increasing_id().alias("mid")
         )
@@ -3497,6 +3461,7 @@ def sorted_export_events(spark, sf_dir):
             )
         ).collect()  # F rows — bounded by the file count, not the data
     finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         shutil.rmtree(work, ignore_errors=True)
     per_file.sort(key=lambda r: r.lo)
     n_rows = sum(r.n for r in per_file)
@@ -5245,6 +5210,7 @@ def _bpe_learn(spark, sf_dir):
     )
     tbl = words.select("wc", F.regexp_replace("w", "(.)", "<$1>").alias("seq")).persist()
     merges = []
+    retired = []  # parent kept cached until the CHILD has materialized off it
     for it in range(1, _BPE_K + 1):
         syms = tbl.select("wc", F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)").alias("syms"))
         pairs = syms.where(F.expr("size(syms) >= 2")).select(
@@ -5259,14 +5225,18 @@ def _bpe_learn(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .first()
         )
+        # the action above materialized tbl's cache — its parent can go now
+        for h in retired:
+            h.unpersist()
+        retired = [tbl]
         a, b = top.pair.split(" ")
         merges.append((it, a, b, a + b, int(top.cnt)))
-        nxt = tbl.select(
+        tbl = tbl.select(
             "wc", F.replace(F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")).alias("seq")
         ).persist()
-        tbl.unpersist()
-        tbl = nxt
     tbl.unpersist()
+    for h in retired:
+        h.unpersist()
     return merges
 
 
@@ -5317,9 +5287,6 @@ def bpe_encode_stats_docs(spark, sf_dir):
     return stats.join(vocab, "lang").select(
         "lang", "total_tokens", "total_chars", "tokens_saved", "vocab_size"
     )
-
-
-
 
 
 def _bpe_iteration_sql(prev: str, idx: int) -> str:
