@@ -3965,6 +3965,130 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def array_functions_emb(spark, sf_dir):
+    """Higher-order array functions as a gated parity surface:
+    ``transform`` / ``filter`` / ``aggregate`` / ``zip_with`` are the
+    JVM-side building blocks this engine's similarity operators lean on
+    (dot products, quantization, per-dimension folds) — all of them
+    whole-stage-codegen expressions, never Python. The gate computes,
+    per label: Σ self-dot of the quantized vector (``aggregate`` over
+    ``transform``), positive-component count (``filter``), and Σ of
+    adjacent-component products (``zip_with`` over two ``slice``s — the
+    lag-product fold). Exactness: components are quantized FIRST via
+    float→double cast (exact) then ``FLOOR(x·1000)`` (identical IEEE
+    double multiply + floor in both engines), so every aggregate is an
+    exact BIGINT; the oracle replicates zip_with with index arithmetic
+    (list_transform over generate_series)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+        ).alias("self_dot"),
+        F.size(F.expr("filter(embedding, x -> CAST(x AS DOUBLE) > 0)")).cast("long").alias("n_pos"),
+        F.expr(
+            "aggregate(zip_with("
+            "  slice(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 1, size(embedding) - 1),"
+            "  slice(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 2, size(embedding) - 1),"
+            "  (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("adj_dot"),
+    )
+    return rows.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("self_dot").alias("sum_self_dot"),
+        F.sum("n_pos").alias("sum_n_pos"),
+        F.sum("adj_dot").alias("sum_adj_dot"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+         len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS n_pos
+  FROM embeddings
+), per_vec AS (
+  SELECT label, n_pos,
+         list_sum(list_transform(qv, v -> v * v)) AS self_dot,
+         list_sum(list_transform(generate_series(1, len(qv) - 1), i -> qv[i] * qv[i + 1])) AS adj_dot
+  FROM q
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(self_dot) AS BIGINT) AS sum_self_dot,
+       CAST(SUM(n_pos) AS BIGINT) AS sum_n_pos,
+       CAST(SUM(adj_dot) AS BIGINT) AS sum_adj_dot
+FROM per_vec
+GROUP BY label
+"""
+
+
+def observed_metrics_events(spark, sf_dir):
+    """The ``Observation`` API: audit metrics collected as a side effect
+    of the SAME job that does the real work — zero extra scans. The gate
+    runs a per-type aggregation to parquet (the 'production' action) and
+    attaches ``observe()`` with row count, null count, value mass (exact
+    integer basis points), max user id, and purchase count; the observed
+    metrics are the gate's output. (DISTINCT aggregates are disallowed in
+    observe() — metrics must merge as per-partition partials.) At 100 TB this is the only affordable audit
+    shape: the metrics ride the map phase of the job you were running
+    anyway (AggregatingAccumulator, merged on the driver) — compare the
+    two-pass alternative, a second full scan per audit. Exactness:
+    Observation metrics are computed from every row exactly once per
+    action — the write is the single action, so counts/sums equal the
+    oracle's; value mass uses decimal cents cast to BIGINT (no float
+    summation order anywhere)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("audit")
+    cents = (F.col("value").cast("decimal(18,4)") * 10000).cast("decimal(22,0)")
+    work = tempfile.mkdtemp(prefix="ifs_observe_")
+    try:
+        out = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+            F.sum(cents).cast("long").alias("value_basis_points"),
+            # DISTINCT aggregates are disallowed inside observe() —
+            # CollectMetrics must merge per-partition partials, so the
+            # metric set is the same class a sketch partial is: pure
+            # commutative aggregates.
+            F.max("user_id").alias("max_user"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        ).groupBy("event_type").agg(F.count("*").alias("n"))
+        out.write.mode("overwrite").parquet(f"{work}/out")  # the one production action
+        m = obs.get
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["null_users"]),
+                int(m["value_basis_points"]),
+                int(m["max_user"]),
+                int(m["n_purchases"]),
+            )
+        ],
+        "n_rows long, null_users long, value_basis_points long, max_user long, n_purchases long",
+    )
+
+
+OBSERVED_METRICS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_users,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(22,0))) AS BIGINT) AS value_basis_points,
+       CAST(MAX(user_id) AS BIGINT) AS max_user,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM events
+"""
+
+
 def data_quality_orders(spark, sf_dir):
     """One-pass data-quality audit of the orders table — the constraint
     suite every ingest pipeline runs before promoting a batch: row
@@ -11055,6 +11179,8 @@ QUERIES = {
     "histogram_equi_depth_events": histogram_equi_depth_events,
     "retention_cohorts_events": retention_cohorts_events,
     "data_quality_orders": data_quality_orders,
+    "observed_metrics_events": observed_metrics_events,
+    "array_functions_emb": array_functions_emb,
     "keyword_search_docs": keyword_search_docs,
     "quantized_dot_topk_emb": quantized_dot_topk_emb,
     "cdc_upsert_events": cdc_upsert_events,
@@ -11286,6 +11412,8 @@ ORACLES = {
     "histogram_equi_depth_events": HISTOGRAM_EQUI_DEPTH_SQL,
     "retention_cohorts_events": RETENTION_COHORTS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
+    "observed_metrics_events": OBSERVED_METRICS_SQL,
+    "array_functions_emb": ARRAY_FUNCS_SQL,
     "keyword_search_docs": KEYWORD_SEARCH_SQL,
     "quantized_dot_topk_emb": QUANTIZED_DOT_TOPK_SQL,
     "cdc_upsert_events": CDC_UPSERT_SQL,
