@@ -2636,6 +2636,33 @@ def _stream_scratch(name: str, sf_dir: str) -> str:
     return d
 
 
+def _data_parts(src: str) -> set:
+    """Parquet part-files currently in a replay-source dir (pre-sentinel)."""
+    import glob as _glob
+
+    return {p for p in _glob.glob(f"{src}/part-*") if not p.endswith(".crc")}
+
+
+def _bump_sentinel_mtimes(src: str, before: set) -> None:
+    """Make file-replay ordering explicit: set the mtime of every
+    part-file written AFTER ``before`` (the sentinel files) to
+    max(data mtimes) + 2 s, then assert strict ordering.  Replaces the
+    old sleep(1.1) heuristic, which could tie under coarse mtime
+    granularity or slow writes — a tie lets the sentinel replay first,
+    jumps the watermark past all real event times, and silently drops
+    every real row as late."""
+    import os as _os
+
+    news = _data_parts(src) - before
+    data_max = max(_os.path.getmtime(p) for p in before)
+    bumped = data_max + 2.0
+    for p in news:
+        _os.utime(p, (bumped, bumped))
+    assert news and min(_os.path.getmtime(p) for p in news) > data_max, (
+        f"sentinel part-files in {src} must strictly follow all data files"
+    )
+
+
 def stream_session_equivalence(spark, sf_dir):
     """Streaming sessionization under the hard gate, FULL-VALUE: the
     availableNow session_window stream (streaming/sessions.py) over a
@@ -2653,7 +2680,6 @@ def stream_session_equivalence(spark, sf_dir):
     is filtered by key."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import stream_session_stats
 
@@ -2665,11 +2691,12 @@ def stream_session_equivalence(spark, sf_dir):
     try:
         src = f"{work}/src"
         ev.repartition(4).write.parquet(src)
-        time.sleep(1.1)  # sentinel file must sort AFTER the data files by mtime
+        before = _data_parts(src)
         sent = spark.createDataFrame([(-1,)], "user_id bigint").withColumn(
             "ts", F.lit(mx) + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
         )
         sent.coalesce(1).write.mode("append").parquet(src)
+        _bump_sentinel_mtimes(src, before)
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -2688,7 +2715,10 @@ def stream_session_equivalence(spark, sf_dir):
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
         spark.read.parquet(f"{work}/out")
-        .where(F.col("user_id") >= 0)
+        # Drop ONLY the replay sentinel's session (key exactly -1); a
+        # domain filter (>= 0) would also drop sessions of any real
+        # negative-keyed user the batch oracle keeps.
+        .where(~F.col("user_id").eqNullSafe(-1))
         .select(
             "user_id",
             F.col("session_window.start").cast("long").alias("start_s"),
@@ -2715,7 +2745,6 @@ def stream_windowed_counts(spark, sf_dir):
     short of it) and is filtered by key regardless."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import windowed_event_counts
 
@@ -2729,13 +2758,14 @@ def stream_windowed_counts(spark, sf_dir):
     try:
         src = f"{work}/src"
         ev.repartition(4).write.parquet(src)
-        time.sleep(1.1)  # sentinel file must sort AFTER the data files by mtime
+        before = _data_parts(src)
         sent = spark.createDataFrame([("__sentinel__", 0.0)], "event_type string, value double").select(
             (F.lit(mx) + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")).alias("ts"),
             "event_type",
             "value",
         )
         sent.coalesce(1).write.mode("append").parquet(src)
+        _bump_sentinel_mtimes(src, before)
         stream = (
             spark.readStream.schema("ts timestamp, event_type string, value double")
             .option("maxFilesPerTrigger", 1)
@@ -2784,7 +2814,6 @@ def _replay_clicks_purchases(spark, sf_dir, name, with_sentinels):
     timestamps, matching each other) to advance the min-of-sources
     watermark for gates whose emission rides the watermark. Returns
     ``(cs, ps, delay_s, work)``; the caller owns cleanup of ``work``."""
-    import time
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
@@ -2803,7 +2832,7 @@ def _replay_clicks_purchases(spark, sf_dir, name, with_sentinels):
     clicks.repartition(3).write.parquet(f"{work}/clicks")
     purchases.repartition(3).write.parquet(f"{work}/purchases")
     if with_sentinels:
-        time.sleep(1.1)  # sentinels must sort AFTER the data files by mtime
+        before = {d: _data_parts(f"{work}/{d}") for d in ("clicks", "purchases")}
         sent_ts = F.lit(mx).cast("timestamp") + F.expr(f"INTERVAL {delay_s + 7200} SECONDS")
         spark.createDataFrame([(-1, -1)], "event_id bigint, user_id bigint").select(
             "event_id", "user_id", sent_ts.alias("c_ts"), F.lit("sentinel").alias("event_type")
@@ -2811,6 +2840,8 @@ def _replay_clicks_purchases(spark, sf_dir, name, with_sentinels):
         spark.createDataFrame([(-1, -1)], "purchase_id bigint, p_user bigint").select(
             "purchase_id", "p_user", sent_ts.alias("p_ts")
         ).coalesce(1).write.mode("append").parquet(f"{work}/purchases")
+        for d in ("clicks", "purchases"):
+            _bump_sentinel_mtimes(f"{work}/{d}", before[d])
     cs = (
         spark.readStream.schema("event_id bigint, user_id bigint, c_ts timestamp, event_type string")
         .option("maxFilesPerTrigger", 1)
@@ -2909,7 +2940,15 @@ def stream_outer_join_nulls(spark, sf_dir):
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
         spark.read.parquet(f"{work}/out")
-        .where(F.col("user_id") >= 0)
+        # Drop ONLY the replay sentinels by their exact signature; a
+        # domain filter like user_id >= 0 would also silently drop real
+        # NULL-/negative-keyed clicks the batch LEFT JOIN oracle keeps.
+        .where(
+            ~(
+                F.col("event_type").eqNullSafe("sentinel")
+                & F.col("event_id").eqNullSafe(-1)
+            )
+        )
         .select(
             "event_id",
             "user_id",
@@ -3436,17 +3475,23 @@ def sorted_export_events(spark, sf_dir):
     key = (F.col("ts").cast("timestamp").cast("long") * (1 << 24) + F.col("event_id")).alias("key")
     rows = ev.select(key, "event_id", "user_id", "event_type")
     work = tempfile.mkdtemp(prefix="ifs_sorted_export_")
-    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         rows.repartitionByRange(8, "key").sortWithinPartitions("key").write.parquet(f"{work}/out")
         # The mid-based row-order evidence requires each file to be read as
         # ONE contiguous scan partition: a SPLIT file's later byte range can
         # land in a lower partitionId (Spark packs splits size-descending),
         # breaking mid's read-order monotonicity per file. Pin it for the
-        # audit scan only; whole files packed together are fine (each file
-        # is still read contiguously within its partition).
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
-        back = spark.read.parquet(f"{work}/out").select(
+        # audit scan only — on an ISOLATED newSession() (own SQLConf, same
+        # SparkContext), so concurrent queries on the shared session never
+        # see the 1 TB setting; whole files packed together are fine (each
+        # file is still read contiguously within its partition).
+        audit = spark.newSession()
+        audit.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        audit.conf.set(
+            "spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+        back = audit.read.parquet(f"{work}/out").select(
             "key", F.input_file_name().alias("f"), F.monotonically_increasing_id().alias("mid")
         )
         w = Window.partitionBy("f").orderBy("mid")
@@ -3461,7 +3506,6 @@ def sorted_export_events(spark, sf_dir):
             )
         ).collect()  # F rows — bounded by the file count, not the data
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         shutil.rmtree(work, ignore_errors=True)
     per_file.sort(key=lambda r: r.lo)
     n_rows = sum(r.n for r in per_file)
@@ -5353,6 +5397,11 @@ def _bpe_learn(spark, sf_dir):
         for h in retired:
             h.unpersist()
         retired = [tbl]
+        if top is None:
+            raise ValueError(
+                f"corpus too small for {_BPE_K} BPE merges: no word has "
+                f">= 2 symbols left at iteration {it}"
+            )
         a, b = top.pair.split(" ")
         merges.append((it, a, b, a + b, int(top.cnt)))
         tbl = tbl.select(
@@ -9887,7 +9936,6 @@ def stream_late_data_drop(spark, sf_dir):
     emission half."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import windowed_event_counts
 
@@ -9915,12 +9963,17 @@ def stream_late_data_drop(spark, sf_dir):
                 "value",
             )
 
-        time.sleep(1.1)  # mtime order = micro-batch order
+        # mtime order = micro-batch order; made explicit per stage
+        # (each bump sets the new files to prior max + 2 s and asserts)
+        stage = _data_parts(src)
         _sentinel(7200).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(1.1)
+        _bump_sentinel_mtimes(src, stage)
+        stage = _data_parts(src)
         _sentinel(7300).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(1.1)
+        _bump_sentinel_mtimes(src, stage)
+        stage = _data_parts(src)
         late.coalesce(1).write.mode("append").parquet(src)
+        _bump_sentinel_mtimes(src, stage)
         stream = (
             spark.readStream.schema("ts timestamp, event_type string, value double")
             .option("maxFilesPerTrigger", 1)
@@ -10151,7 +10204,6 @@ def stream_restart_exactly_once(spark, sf_dir):
     pins the idempotent-sink half."""
     _ensure_shipped(spark)
     import shutil
-    import time
 
     from ip_filter_spark.streaming import windowed_event_counts
 
@@ -10187,11 +10239,13 @@ def stream_restart_exactly_once(spark, sf_dir):
         src = f"{work}/src"
         ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(2).write.parquet(src)
         run_once()  # phase 1: state builds, nothing emits
-        time.sleep(1.1)  # mtime order = micro-batch order for run 2
+        # mtime order = micro-batch order for run 2; made explicit per stage
+        stage = _data_parts(src)
         ev.where(F.col("event_id") % 2 == 1).drop("event_id").coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        time.sleep(1.1)
+        _bump_sentinel_mtimes(src, stage)
+        stage = _data_parts(src)
         sent = spark.createDataFrame(
             [("__sentinel__", 0.0)], "event_type string, value double"
         ).select(
@@ -10200,6 +10254,7 @@ def stream_restart_exactly_once(spark, sf_dir):
             "value",
         )
         sent.coalesce(1).write.mode("append").parquet(src)
+        _bump_sentinel_mtimes(src, stage)
         run_once()  # phase 2: recover state + offsets, fold the odd split, flush
     finally:
         shutil.rmtree(f"{work}/src", ignore_errors=True)
