@@ -1,0 +1,1128 @@
+"""Relational / SQL-surface gates: TPC-H-shaped queries, CUBE/ROLLUP/GROUPING SETS, pivot/unpivot, UDTF, pipe syntax, VARIANT/JSON, metrics.
+
+Split out of the former monolithic queries.py; see package __init__ for
+the assembled QUERIES/ORACLES registry (order preserved exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ip_filter_spark.functions.text import (
+    LANG_MARKERS,
+    MOD,
+    fingerprint_expr,
+    lang_id_expr,
+    ngrams_expr,
+    token_count_expr,
+    tokens_expr,
+)
+
+from ip_filter_spark.queries._shared import (
+    _t,
+    _dec_sum,
+    _ensure_shipped,
+)
+
+# =====================================================================
+# Relational core (TPC-H-shaped: scan/filter/agg/join/window coverage)
+# =====================================================================
+def q1_pricing_summary(spark, sf_dir):
+    """Exact-decimal arithmetic end-to-end: every money/rate input is a
+    2-decimal value stored as double, so casting each FACTOR to decimal
+    before multiplying makes the products exact rationals — identical in
+    Spark and DuckDB regardless of their double→decimal rounding rules
+    (multiplying doubles first and rounding the product is what diverged
+    in round 1: Spark rounds the shortest-repr, DuckDB the binary value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
+    one_p_tax = F.lit(1).cast("decimal(8,2)") + F.col("l_tax").cast("decimal(8,2)")
+    # D(12,2) x D(9,2) -> D(22,4) exact; x D(9,2) -> D(32,6) exact
+    disc = price * one_m_disc
+    charge = disc * one_p_tax
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+                * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("l_orderkey"))
+    return joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+Q3_SQL = """
+WITH j AS (
+  SELECT l_orderkey, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderpriority)
+SELECT * FROM (
+  SELECT l_orderkey, o_orderpriority, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+  FROM j) WHERE rank <= 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(_dec_sum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name, r_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + pushed-down filters + one global
+    aggregate — zero joins, zero wide shuffles (partials tree-reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(_dec_sum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-fact join + dimension broadcasts + grouped
+    revenue + global top-20 (single-shuffle window on the small grouped
+    result)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return g.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+
+
+Q10_SQL = """
+WITH g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rank
+FROM g QUALIFY rank <= 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join (customers with zero orders kept)
+    + two-level aggregation; second groupBy is on the tiny (c_count)
+    domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact scan windowed by date + broadcast dimension
+    join + conditional aggregate ratio (both sums exact via decimal,
+    ratio derived from the identical doubles on both sides)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    g = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        _dec_sum(promo, "promo_revenue"), _dec_sum(rev, "total_revenue")
+    )
+    return g.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
+Q14_SQL = """
+WITH g AS (
+  SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM g
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: grouped revenue over a date window, then the
+    argmax via a broadcast one-row max join (no keyless window over a
+    single partition); exact-decimal sums make the double equality join
+    deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(_dec_sum(rev, "total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.total_revenue == mx["__mx"])
+        .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+"""
+
+
+def order_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dec_sum(F.col("o_totalprice"), "total_price"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority
+"""
+
+
+def supplier_balance_by_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), _dec_sum(F.col("s_acctbal"), "total_balance"))
+    )
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+"""
+
+
+def rollup_event_counts(spark, sf_dir):
+    """Multi-granularity rollup (the hypertable/continuous-aggregate
+    pattern): one pass over events produces (day, type), per-day, and
+    grand-total aggregates via native grouping sets — Spark expands
+    ROLLUP before the shuffle, so partial aggregation stays map-side and
+    the single Exchange moves one partial row per (grouping set, group),
+    not per input row. ``gid`` (grouping_id) disambiguates subtotal
+    NULLs from data NULLs; decimal-cast sum keeps float totals
+    order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id", "value"
+    )
+    return d.rollup("day", "event_type").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+ROLLUP_EVENTS_SQL = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id, value FROM events)
+SELECT day, event_type,
+       CAST(GROUPING_ID(day, event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM e GROUP BY ROLLUP(day, event_type)
+"""
+
+
+def observed_metrics_events(spark, sf_dir):
+    """The ``Observation`` API: audit metrics collected as a side effect
+    of the SAME job that does the real work — zero extra scans. The gate
+    runs a per-type aggregation to parquet (the 'production' action) and
+    attaches ``observe()`` with row count, null count, value mass (exact
+    integer basis points), max user id, and purchase count; the observed
+    metrics are the gate's output. (DISTINCT aggregates are disallowed in
+    observe() — metrics must merge as per-partition partials.) At 100 TB this is the only affordable audit
+    shape: the metrics ride the map phase of the job you were running
+    anyway (AggregatingAccumulator, merged on the driver) — compare the
+    two-pass alternative, a second full scan per audit. Exactness:
+    Observation metrics are computed from every row exactly once per
+    action — the write is the single action, so counts/sums equal the
+    oracle's; value mass uses decimal cents cast to BIGINT (no float
+    summation order anywhere)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("audit")
+    cents = (F.col("value").cast("decimal(18,4)") * 10000).cast("decimal(22,0)")
+    work = tempfile.mkdtemp(prefix="ifs_observe_")
+    try:
+        out = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+            F.sum(cents).cast("long").alias("value_basis_points"),
+            # DISTINCT aggregates are disallowed inside observe() —
+            # CollectMetrics must merge per-partition partials, so the
+            # metric set is the same class a sketch partial is: pure
+            # commutative aggregates.
+            F.max("user_id").alias("max_user"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        ).groupBy("event_type").agg(F.count("*").alias("n"))
+        out.write.mode("overwrite").parquet(f"{work}/out")  # the one production action
+        m = obs.get
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["null_users"]),
+                int(m["value_basis_points"]),
+                int(m["max_user"]),
+                int(m["n_purchases"]),
+            )
+        ],
+        "n_rows long, null_users long, value_basis_points long, max_user long, n_purchases long",
+    )
+
+
+OBSERVED_METRICS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_users,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(22,0))) AS BIGINT) AS value_basis_points,
+       CAST(MAX(user_id) AS BIGINT) AS max_user,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM events
+"""
+
+
+def data_quality_orders(spark, sf_dir):
+    """One-pass data-quality audit of the orders table — the constraint
+    suite every ingest pipeline runs before promoting a batch: row
+    count, null keys, duplicate primary keys, referential orphans
+    (custkey not in customer), domain violations (non-positive price),
+    date range. Scale shape: the scalar checks are ONE conditional
+    aggregation over one scan; duplicate PKs are a groupBy on the key;
+    the referential check is `joins.bloom_anti_join` — bloom-negative
+    rows (the overwhelming majority under low orphan rates) are counted
+    joinlessly and only bloom-positives reach the exact anti-join
+    confirm, so the fact table never shuffles for the FK check."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.joins import bloom_anti_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    scalars = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_lo"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_hi"),
+    )
+    dups = orders.groupBy("o_orderkey").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    n_dup = dups.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup_orderkey"))
+    orphans = bloom_anti_join(
+        orders.where(F.col("o_custkey").isNotNull()), cust, "o_custkey", "c_custkey"
+    )
+    n_orphan = orphans.agg(F.count("*").alias("n_orphan_cust"))
+    return scalars.crossJoin(n_dup).crossJoin(n_orphan)
+
+
+DATA_QUALITY_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS n_null_cust,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0) AS n_bad_price,
+  (SELECT STRFTIME(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders) AS date_lo,
+  (SELECT STRFTIME(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders) AS date_hi,
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+     (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_dup_orderkey,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphan_cust
+"""
+
+
+def json_props_stats_events(spark, sf_dir):
+    """Semi-structured column handling: parse the events.props JSON with
+    ``from_json`` under an EXPLICIT schema — one vectorized JVM parse,
+    no inference pre-scan (which would double-read 100 TB), no Python
+    UDF — then aggregate the extracted field per event_type. The JSON
+    stays an opaque string column until the moment of extraction, so
+    scans/pushdown on other columns are unaffected; malformed documents
+    become NULLs (counted by n_events, excluded from the field stats)
+    rather than job failures. Oracle extracts the same field with
+    DuckDB's json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k INT").getField("k").cast("long")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def variant_props_stats_events(spark, sf_dir):
+    """Semi-structured analytics on Spark 4's VARIANT type. A
+    heterogeneous JSON column is synthesized deterministically from the
+    events table in three shapes — nested object + array for click/view
+    rows, a type-mismatched scalar plus an extra field for the rest, and
+    a deliberately malformed document on every 97th event — then parsed
+    ONCE with ``try_parse_json`` into a variant value; every downstream
+    field access is a typed ``try_variant_get`` path extraction. No
+    upfront ``from_json`` schema, no schema-inference pre-scan, no
+    Python.
+
+    Why this is the 100-TB schema-on-read path: VARIANT parses each
+    document exactly once into a binary-encoded value that parquet
+    writers can shred into typed subcolumns; typed path gets are
+    vectorized JVM expressions inside whole-stage codegen; malformed
+    documents and type mismatches become NULLs (never job failures); and
+    the untouched columns keep their pushdown/pruning. Contrast
+    ``json_props_stats_events``, which needs the schema declared up
+    front — variant handles the three shapes through one column.
+
+    Cross-engine discipline: the oracle builds the IDENTICAL JSON
+    strings in DuckDB SQL and extracts with its JSON functions
+    (``TRY_CAST .. AS JSON`` nulls the malformed rows the way
+    ``try_parse_json`` does); the type-mismatched ``k`` values are
+    non-numeric strings so strict-long extraction agrees on NULL in both
+    engines, and every aggregate is an exact integer."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k").cast("long")
+    j = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("{broken"))
+        .when(
+            F.col("event_type").isin("click", "view"),
+            F.concat(
+                F.lit('{"k": '),
+                k.cast("string"),
+                F.lit(', "meta": {"src": "'),
+                F.col("event_type"),
+                F.lit('"}, "tags": ["t'),
+                (F.col("user_id") % 3).cast("string"),
+                F.lit('"]}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"k": "s'),
+                k.cast("string"),
+                F.lit('", "prio": '),
+                (F.col("user_id") % 5).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    ext = ev.select(
+        "event_type",
+        F.try_parse_json(j).alias("v"),
+    ).select(
+        "event_type",
+        F.col("v").isNull().cast("long").alias("invalid"),
+        F.try_variant_get("v", "$.k", "long").alias("k_long"),
+        F.try_variant_get("v", "$.meta.src", "string").alias("src"),
+        F.try_variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.prio", "long").alias("prio"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("invalid").alias("n_invalid"),
+        F.count("k_long").alias("n_k_long"),
+        F.sum("k_long").alias("sum_k"),
+        F.countDistinct("src").alias("distinct_src"),
+        F.count("tag0").alias("n_tag0"),
+        F.sum("prio").alias("sum_prio"),
+    )
+
+
+VARIANT_PROPS_STATS_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+), j AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN '{broken'
+              WHEN event_type IN ('click', 'view') THEN
+                '{"k": ' || CAST(k AS VARCHAR) || ', "meta": {"src": "' || event_type
+                || '"}, "tags": ["t' || CAST(user_id % 3 AS VARCHAR) || '"]}'
+              ELSE
+                '{"k": "s' || CAST(k AS VARCHAR) || '", "prio": '
+                || CAST(user_id % 5 AS VARCHAR) || '}'
+         END AS doc
+  FROM base
+), v AS (
+  SELECT event_type, TRY_CAST(doc AS JSON) AS v FROM j
+), ext AS (
+  SELECT event_type,
+         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS invalid,
+         TRY_CAST(json_extract(v, '$.k') AS BIGINT) AS k_long,
+         json_extract_string(v, '$.meta.src') AS src,
+         json_extract_string(v, '$.tags[0]') AS tag0,
+         TRY_CAST(json_extract(v, '$.prio') AS BIGINT) AS prio
+  FROM v
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(invalid) AS BIGINT) AS n_invalid,
+       CAST(COUNT(k_long) AS BIGINT) AS n_k_long,
+       CAST(SUM(k_long) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS distinct_src,
+       CAST(COUNT(tag0) AS BIGINT) AS n_tag0,
+       CAST(SUM(prio) AS BIGINT) AS sum_prio
+FROM ext
+GROUP BY event_type
+"""
+
+
+def cube_order_stats(spark, sf_dir):
+    """Full CUBE over (status, priority) with grouping_id to
+    disambiguate subtotal NULLs — the grouping-sets companion to
+    rollup_event_counts. Spark expands the cube BEFORE the shuffle
+    (partial agg stays map-side, one partial row per grouping set per
+    group); both engines emit the same GROUPING bitmask (first column =
+    MSB, verified)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+CUBE_ORDER_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_daily_type_counts(spark, sf_dir):
+    """Long-to-wide pivot: per-day event counts, one column per event
+    type. The value list is EXPLICIT (the one-pass two-job pivot
+    inference is the classic scale trap — with the list given, Spark
+    plans a single conditional aggregation, identical to the SQL twin's
+    FILTER clauses)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"), "event_type"
+    )
+    wide = ev.groupBy("day").pivot("event_type", types).count().na.fill(0)
+    return wide.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+PIVOT_DAILY_SQL = """
+SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY day
+"""
+
+
+def grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS — the third grouping-set form beside the
+    rollup and cube gates, with a set list neither of those can express:
+    ((status, priority), (priority), ()) — detail, priority subtotals,
+    grand total, but NO per-status level. Same one-Expand-before-the-
+    shuffle plan; grouping_id disambiguates subtotal NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id() AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def unpivot_order_stats(spark, sf_dir):
+    """Wide → long reshape (ANSI UNPIVOT / Spark ``DataFrame.unpivot``,
+    the inverse of the pivot gate): per-status metrics fold into
+    (status, metric, metric_value) rows. Metrics are exact integers
+    (counts, cents) so the reshape is hash-comparable; unpivot is a
+    zero-shuffle Expand over the tiny aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+    return agg.unpivot(
+        ["o_orderstatus"], ["n_orders", "sum_price_cents"], "metric", "metric_value"
+    )
+
+
+UNPIVOT_ORDER_SQL = """
+WITH agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS metric_value FROM agg
+UNION ALL
+SELECT o_orderstatus, 'sum_price_cents', sum_price_cents FROM agg
+"""
+
+
+def intersect_except_user_days(spark, sf_dir):
+    """ANSI set OPERATORS (not just set semantics): (user, day) activity
+    tuples of click-events INTERSECT ALL / EXCEPT ALL purchase-events —
+    multiset semantics, so duplicate activity tuples survive with
+    min/difference multiplicities (Spark plans these as specialized
+    aggregates, a physical shape no other gate exercises). Output:
+    per-day tuple counts from both operators, full-value."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), day.alias("day")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), day.alias("day")
+    )
+    both = clicks.intersectAll(purchases).groupBy("day").agg(
+        F.count("*").alias("n_intersect_all")
+    )
+    only = clicks.exceptAll(purchases).groupBy("day").agg(
+        F.count("*").alias("n_except_all")
+    )
+    return both.join(only, "day", "full").select(
+        "day",
+        F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+    )
+
+
+INTERSECT_EXCEPT_SQL = """
+WITH clicks AS (
+  SELECT user_id AS u, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id AS u, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE event_type = 'purchase'),
+both_t AS (
+  SELECT day, COUNT(*) AS n_intersect_all
+  FROM (SELECT * FROM clicks INTERSECT ALL SELECT * FROM purchases)
+  GROUP BY day),
+only_t AS (
+  SELECT day, COUNT(*) AS n_except_all
+  FROM (SELECT * FROM clicks EXCEPT ALL SELECT * FROM purchases)
+  GROUP BY day)
+SELECT COALESCE(b.day, o.day) AS day,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(n_except_all, 0) AS n_except_all
+FROM both_t b FULL OUTER JOIN only_t o ON b.day = o.day
+"""
+
+
+def analyze_lineitem_stats(spark, sf_dir):
+    """ANALYZE-style statistics collection — the per-column profile an
+    optimizer keeps (row count, null count, exact NDV, min/max): one
+    single-pass aggregate over lineitem computes all four numeric
+    columns' stats, then ``stack`` reshapes the one wide row to a
+    (col_name, stats...) long form — no second scan, no per-column jobs.
+    Min/max surface as exact integer cents so the row is
+    hash-comparable."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_null"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+            F.round(F.min(c) * 100).cast("long").alias(f"{c}_min"),
+            F.round(F.max(c) * 100).cast("long").alias(f"{c}_max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_null, {c}_ndv, {c}_min, {c}_max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct, min_cents, max_cents)",
+    )
+
+
+ANALYZE_LINEITEM_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_null,
+         COUNT(DISTINCT l_quantity) AS q_ndv,
+         CAST(ROUND(MIN(l_quantity) * 100) AS BIGINT) AS q_min,
+         CAST(ROUND(MAX(l_quantity) * 100) AS BIGINT) AS q_max,
+         SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_null,
+         COUNT(DISTINCT l_extendedprice) AS p_ndv,
+         CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS p_min,
+         CAST(ROUND(MAX(l_extendedprice) * 100) AS BIGINT) AS p_max,
+         SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_null,
+         COUNT(DISTINCT l_discount) AS d_ndv,
+         CAST(ROUND(MIN(l_discount) * 100) AS BIGINT) AS d_min,
+         CAST(ROUND(MAX(l_discount) * 100) AS BIGINT) AS d_max,
+         SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_null,
+         COUNT(DISTINCT l_tax) AS t_ndv,
+         CAST(ROUND(MIN(l_tax) * 100) AS BIGINT) AS t_min,
+         CAST(ROUND(MAX(l_tax) * 100) AS BIGINT) AS t_max
+  FROM lineitem)
+SELECT n_rows, 'l_quantity' AS col_name, CAST(q_null AS BIGINT) AS n_null,
+       q_ndv AS n_distinct, q_min AS min_cents, q_max AS max_cents FROM a
+UNION ALL
+SELECT n_rows, 'l_extendedprice', CAST(p_null AS BIGINT), p_ndv, p_min, p_max FROM a
+UNION ALL
+SELECT n_rows, 'l_discount', CAST(d_null AS BIGINT), d_ndv, d_min, d_max FROM a
+UNION ALL
+SELECT n_rows, 'l_tax', CAST(t_null AS BIGINT), t_ndv, t_min, t_max FROM a
+"""
+
+
+def skyline_orders(spark, sf_dir):
+    """2-D Pareto frontier (skyline): orders not strictly dominated on
+    (earlier o_orderdate, higher o_totalprice). The naive skyline is an
+    O(n²) self-join; the scalable plan reduces per-row work to one
+    groupBy: an order is on the frontier iff its cents equal its DAY's
+    max AND beat the running max over all EARLIER days — so the heavy
+    data collapses to the bounded day dimension first (map-side
+    combine), the running max runs over ~10³ day rows, and frontier
+    membership broadcast-joins back. Prices are integer cents; ties on
+    a frontier day all survive (none strictly dominates another).
+    Output: frontier days with cents and the tied-order count/ids."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date").cast("string")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = orders.select(
+        day.alias("day"), cents.alias("cents"), F.col("o_orderkey").alias("okey")
+    )
+    day_max = o.groupBy("day").agg(F.max("cents").alias("day_max"))
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_days = day_max.withColumn(
+        "prev_max", F.coalesce(F.max("day_max").over(w_prev), F.lit(-1))
+    ).where(F.col("day_max") > F.col("prev_max"))
+    fd = frontier_days.select(
+        F.col("day").alias("f_day"), F.col("day_max").alias("f_max")
+    )
+    return (
+        o.join(
+            F.broadcast(fd),
+            (F.col("day") == F.col("f_day")) & (F.col("cents") == F.col("f_max")),
+        )
+        .groupBy("day", "cents")
+        .agg(F.count("*").alias("n_tied"), F.min("okey").alias("min_orderkey"))
+        .orderBy("day")
+    )
+
+
+SKYLINE_ORDERS_SQL = """
+WITH o AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey AS okey
+  FROM orders),
+day_max AS (SELECT day, MAX(cents) AS day_max FROM o GROUP BY day),
+frontier AS (
+  SELECT day, day_max FROM (
+    SELECT day, day_max,
+           COALESCE(MAX(day_max) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_max
+    FROM day_max)
+  WHERE day_max > prev_max)
+SELECT o.day AS day, o.cents AS cents, COUNT(*) AS n_tied,
+       MIN(o.okey) AS min_orderkey
+FROM o JOIN frontier f ON o.day = f.day AND o.cents = f.day_max
+GROUP BY o.day, o.cents ORDER BY o.day
+"""
+
+
+def hierarchy_rollup_parts(spark, sf_dir):
+    """Recursive-hierarchy traversal under the gate: the part catalog is
+    read as a parent-pointer forest (parent(k) = k div 10; k < 10 are
+    roots — partkeys are contiguous, so every parent exists) and each
+    part is resolved to its root + depth by POINTER DOUBLING
+    (``operators/graph.resolve_hierarchy``): ceil(log2(depth)) node-sized
+    self-joins instead of depth chained joins — the Spark-native answer
+    to SQL's WITH RECURSIVE, which the oracle uses verbatim. Rollup:
+    top-20 root subtrees by descendant retail value, in exact integer
+    cents (prices are 2-dp doubles; decimal-cast then scale, so both
+    engines agree bit-for-bit)."""
+    from ip_filter_spark.operators.graph import resolve_hierarchy
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10")).alias("parent"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    resolved = resolve_hierarchy(p.select("node", "parent"))
+    return (
+        resolved.join(p.select("node", "cents"), "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.max("depth").alias("max_depth"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+        .orderBy(F.desc("subtree_cents"), F.asc("root"))
+        .limit(20)
+    )
+
+
+HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE h AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM part),
+walk AS (
+  SELECT node, node AS cur, 0 AS depth, parent FROM h
+  UNION ALL
+  SELECT w.node, h.node AS cur, w.depth + 1, h.parent
+  FROM walk w JOIN h ON w.parent = h.node),
+resolved AS (SELECT node, cur AS root, depth FROM walk WHERE parent IS NULL)
+SELECT r.root, COUNT(*) AS n_desc, CAST(MAX(r.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(h.cents) AS BIGINT) AS subtree_cents
+FROM resolved r JOIN h ON h.node = r.node
+GROUP BY r.root
+ORDER BY subtree_cents DESC, r.root ASC
+LIMIT 20
+"""
+
+
+def pipe_syntax_order_stats(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (`|>`) end-to-end: EXTEND a computed
+    year column, WHERE-filter, AGGREGATE with GROUP BY, ORDER the
+    result — each stage a left-to-right pipe step. This is a parser
+    surface, not a new engine: the pipe form lowers to the identical
+    Catalyst plan as the relational form (scan → filter → partial/final
+    hash aggregate), so pushdown, map-side combine, and AQE all apply
+    unchanged — the gate pins that the sugar is semantics-preserving
+    against a plain-SQL DuckDB oracle. Money stays exact: cents via
+    decimal(18,2)·100, summed then cast to BIGINT."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> EXTEND CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |> WHERE o_orderstatus <> 'P'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) AS cents
+           GROUP BY o_orderpriority, o_year
+        """
+    )
+
+
+PIPE_SYNTAX_ORDER_SQL = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority, o_year
+"""
+
+
+def udtf_token_explode_docs(spark, sf_dir):
+    """Python UDTF surface (Spark 4's table-function API): a tokenizer
+    UDTF registered and invoked from SQL via LATERAL, exploding each
+    document into (position, token) rows — the user-defined-explode
+    escape hatch for logic ``split``+``posexplode`` can't express.
+    (This gate's tokenizer deliberately CAN be expressed built-in — the
+    point is gating the UDTF machinery itself against that exact
+    semantics; the docstring rule stands: built-ins first, UDTF is the
+    slow path, and at 100 TB a Python UDTF is an Arrow-batched
+    last resort.) Values: per-lang token counts, char mass, and exact
+    sum of token positions — all integers."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i, tok
+
+    spark.udtf.register("ifs_tokenize", Tokenize)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(token)) AS BIGINT) AS sum_chars,
+               CAST(SUM(pos) AS BIGINT) AS sum_pos
+        FROM __udtf_docs, LATERAL ifs_tokenize(text)
+        GROUP BY lang
+        """
+    )
+
+
+def sql_defined_functions_docs(spark, sf_dir):
+    """SQL-DEFINED functions (Spark 4): a scalar SQL UDF and a SQL table
+    function, both declared in SQL text and used from SQL — the
+    packaging surface for reusable logic with ZERO performance tax,
+    because SQL UDFs are inlined by Catalyst into the calling plan
+    (keeping whole-stage codegen, pushdown, and pruning) instead of
+    running as a black-box row-at-a-time Python UDF. The in-query plan
+    assert pins exactly that: no Python evaluation node anywhere. This
+    is the opposite end of the UDF spectrum from
+    ``udtf_token_explode_docs`` (the Python-UDTF escape hatch, Arrow
+    slow path); at 100 TB the SQL-defined form is what users should
+    reach for first. Oracle: the same logic written inline."""
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION ifs_sq(x BIGINT) RETURNS BIGINT RETURN x * x")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ifs_tokens(s STRING) "
+        "RETURNS TABLE(pos INT, tok STRING) RETURN SELECT posexplode(split(s, ' '))"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__sqlfn_docs")
+    out = spark.sql(
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+               CAST(SUM(ifs_sq(CAST(length(tok) AS BIGINT))) AS BIGINT) AS sum_sq_len,
+               CAST(SUM(pos) AS BIGINT) AS sum_pos
+        FROM __sqlfn_docs, LATERAL ifs_tokens(text)
+        GROUP BY lang
+        """
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Python" not in plan and "ArrowEval" not in plan, (
+        "SQL-defined functions must inline into the JVM plan, not run as Python UDFs:\n" + plan
+    )
+    return out
+
+
+SQL_DEFINED_FUNCS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(CAST(len(tok) AS BIGINT) * CAST(len(tok) AS BIGINT)) AS BIGINT) AS sum_sq_len,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM toks
+GROUP BY lang
+"""
+
+
+UDTF_TOKENS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS sum_chars,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM toks GROUP BY lang
+"""
+
+
+__all__ = [
+    "q1_pricing_summary",
+    "Q1_SQL",
+    "q3_shipping_priority",
+    "Q3_SQL",
+    "q5_nation_revenue",
+    "Q5_SQL",
+    "q6_forecast_revenue",
+    "Q6_SQL",
+    "q10_returned_items",
+    "Q10_SQL",
+    "q13_customer_distribution",
+    "Q13_SQL",
+    "q14_promo_revenue",
+    "Q14_SQL",
+    "q15_top_supplier",
+    "Q15_SQL",
+    "order_priority_counts",
+    "ORDER_PRIORITY_SQL",
+    "supplier_balance_by_nation",
+    "SUPPLIER_BALANCE_SQL",
+    "rollup_event_counts",
+    "ROLLUP_EVENTS_SQL",
+    "observed_metrics_events",
+    "OBSERVED_METRICS_SQL",
+    "data_quality_orders",
+    "DATA_QUALITY_SQL",
+    "json_props_stats_events",
+    "JSON_PROPS_STATS_SQL",
+    "variant_props_stats_events",
+    "VARIANT_PROPS_STATS_SQL",
+    "cube_order_stats",
+    "CUBE_ORDER_SQL",
+    "pivot_daily_type_counts",
+    "PIVOT_DAILY_SQL",
+    "grouping_sets_order_stats",
+    "GROUPING_SETS_SQL",
+    "unpivot_order_stats",
+    "UNPIVOT_ORDER_SQL",
+    "intersect_except_user_days",
+    "INTERSECT_EXCEPT_SQL",
+    "analyze_lineitem_stats",
+    "ANALYZE_LINEITEM_SQL",
+    "skyline_orders",
+    "SKYLINE_ORDERS_SQL",
+    "hierarchy_rollup_parts",
+    "HIERARCHY_ROLLUP_SQL",
+    "pipe_syntax_order_stats",
+    "PIPE_SYNTAX_ORDER_SQL",
+    "udtf_token_explode_docs",
+    "sql_defined_functions_docs",
+    "SQL_DEFINED_FUNCS_SQL",
+    "UDTF_TOKENS_SQL",
+]

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ip_filter_spark.queries import _dec_sum, _t
+from ip_filter_spark.queries._shared import _dec_sum, _t
 
 
 # ---------------------------------------------------------------------
