@@ -38,6 +38,21 @@ doc/tex/report.tex:288-305). We close that hole: an accepted hypothesis
 h < hit additionally verifies the (h, hit] depth interval, so guided ≡
 linear ≡ exact always — making the operator oracle-checkable — while
 keeping the probe-count savings (the interval is almost always empty).
+
+Key encoding: each (prefix, depth) route key is hashed JVM-side to ONE
+64-bit value (``xxhash64(depth, prefix)``), which serves as both the
+Bloom hash base and the FIB confirm key. The probe therefore ships 8
+bytes per (row, depth) over Arrow — half the previous 16-byte truncated
+sha256 digests, which themselves halved full sha256 — and the Python
+kernel starts from ready-made hashes (no per-batch FNV pass). The FIB is
+a sorted uint64 array; its confirm is exact up to 64-bit collisions
+between a probed non-route key and a stored route (expected wrong rows ≈
+n_routes·probes / 2^64 — about 5 per trillion probes against 100M
+routes; zero at any test scale). Every such wrong answer necessarily
+names a (prefix, depth) that is NOT in the route table, so
+``lookup(..., exact_repair=routes)`` restores full exactness with one
+broadcast anti-join against the route table plus an exact re-resolve of
+the (expected-empty) mismatch set.
 """
 
 from __future__ import annotations
@@ -60,62 +75,42 @@ from pyspark.sql.types import (
 
 from ip_filter_spark.plans.obst import GuideTree
 from ip_filter_spark.sketches.bloom import BloomFilter
-from ip_filter_spark.sketches.hashing import DIGEST_W as DIG_W
-from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
-
 SEP = "/"
-_KEY_SEP = "\x1f"
-_MAGIC = b"IFLPM1"
+_MAGIC = b"IFLPM2"  # v2: uint64 xxhash64 keys (v1 shipped 16-byte sha256 digests)
 _KERNEL_CHUNK = 8192
 
 
-def _digest_expr(path_col, depth_col):
-    """DIG_W-byte digest of a (prefix, depth) pair, JVM-side — the analog
+def _h64_expr(key_col, depth_col):
+    """64-bit key hash of a (prefix, depth) pair, JVM-side — the analog
     of the reference's encoded key ``(len << b) + prefix``
-    (/root/reference/prototype/utils.py:53-56) with truncated sha256 as
-    the per-row hashing invariant. 16 bytes halve the probe path's
-    dominant Arrow traffic (D digests/row) and the FIB's driver+broadcast
-    footprint vs full sha256, while 128 bits keep both the Bloom hashes
-    and the exact FIB confirm collision-free at any realistic scale."""
-    return F.substring(
-        F.unhex(F.sha2(F.concat_ws(_KEY_SEP, depth_col.cast("string"), path_col), 256)), 1, DIG_W
-    )
+    (/root/reference/prototype/utils.py:53-56). ``xxhash64`` is a native
+    codegen expression (no sha2 rounds, no unhex/substring), and ONE
+    LongType column per (row, depth) is the minimum the kernel needs:
+    the same value is the Kirsch–Mitzenmacher base for every Bloom probe
+    AND the FIB confirm key (see module docstring for the collision
+    bound and the ``exact_repair`` escape hatch)."""
+    d = depth_col if hasattr(depth_col, "cast") else F.lit(depth_col)
+    return F.xxhash64(d.cast("int"), key_col)
 
 
-def _arrow_fixed_binary_matrix(arr, width: int) -> np.ndarray:
-    """(n,)-element Arrow binary array of fixed ``width`` → (n, width)
-    uint8 matrix, zero-copy when the array is dense (no nulls, contiguous
-    offsets) — the fast path for every batch Spark produces. Falls back
-    to a python-object copy for sliced/chunked/non-contiguous arrays."""
+def _arrow_int64(arr) -> np.ndarray:
+    """Arrow int64 array (no nulls) → uint64 numpy view, zero-copy."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
-        return np.empty((0, width), dtype=np.uint8)
-    if arr.null_count == 0:
-        off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-        bufs = arr.buffers()
-        offsets = np.frombuffer(
-            bufs[1], dtype=off_dtype, count=n + 1, offset=arr.offset * off_dtype().itemsize
-        )
-        if offsets[-1] - offsets[0] == n * width and (np.diff(offsets) == width).all():
-            return np.frombuffer(
-                bufs[2], dtype=np.uint8, count=n * width, offset=int(offsets[0])
-            ).reshape(n, width)
-    return digests_to_matrix(arr.to_pylist(), width=width)
+    return arr.to_numpy(zero_copy_only=False).view(np.uint64)
 
 
 def _apply_insert_rows(bf: BloomFilter, b: pd.DataFrame) -> int:
-    """Apply one batch of build insert rows (digest, kind, count_hit,
+    """Apply one batch of build insert rows (h64, kind, count_hit,
     pattern) to a filter: kind 0 = full route (all k hashes), 1 = guide
     marker (hash 0 only, not an item), 2 = BMP pointer pattern. Shared by
     the distributed partial builder and the driver-local small-table
     path — one code path, byte-identical filters."""
     if not len(b):
         return 0
-    h64 = fnv1a64(digests_to_matrix(b["digest"]))
+    h64 = b["h64"].to_numpy().astype(np.int64, copy=False).view(np.uint64)
     kind = b["kind"].to_numpy()
     full = kind == 0
     if full.any():
@@ -219,7 +214,7 @@ class PathLPM:
         bf: BloomFilter,
         tree: GuideTree,
         depths: list[int],
-        fib: np.ndarray,  # (n_routes, DIG_W) uint8 digests, lexicographically sorted rows
+        fib: np.ndarray,  # (n_routes,) uint64 key hashes, sorted ascending
         enc_bits: int,
     ):
         self.bf = bf
@@ -369,30 +364,30 @@ class PathLPM:
         # if it has a BMP] with no unions and no walk-table join (three
         # union branches each re-ran the BMP join's shuffle — measured
         # ~2.5 s of pure stage latency at 1k routes).
-        def _ins(digest, kind, count_hit, pattern):
+        def _ins(h64, kind, count_hit, pattern):
             return F.struct(
-                digest.alias("digest"),
+                h64.alias("h64"),
                 F.lit(kind).cast("int").alias("kind"),
                 (count_hit if hasattr(count_hit, "cast") else F.lit(count_hit)).cast("int").alias("count_hit"),
                 (pattern if hasattr(pattern, "cast") else F.lit(pattern)).cast("long").alias("pattern"),
             )
 
         def _for_depth(d: int):
-            full = [_ins(_digest_expr(F.col("p"), F.col("depth")), 0, 0, 0)]
+            full = [_ins(_h64_expr(F.col("p"), F.col("depth")), 0, 0, 0)]
             markers = [
-                _ins(_digest_expr(trunc(F.col("p"), v), F.lit(v)), 1, 0, 0) for v, _c in walk_plan[d]
+                _ins(_h64_expr(trunc(F.col("p"), v), F.lit(v)), 1, 0, 0) for v, _c in walk_plan[d]
             ]
             pats = F.when(
                 F.col("bmp_ix") > 0,
                 F.array(
                     *[
-                        _ins(_digest_expr(trunc(F.col("p"), v), F.lit(v)), 2, c, F.col("bmp_ix"))
+                        _ins(_h64_expr(trunc(F.col("p"), v), F.lit(v)), 2, c, F.col("bmp_ix"))
                         for v, c in walk_plan[d]
                     ]
                 )
                 if walk_plan[d]
-                else F.array().cast("array<struct<digest:binary,kind:int,count_hit:int,pattern:bigint>>"),
-            ).otherwise(F.array().cast("array<struct<digest:binary,kind:int,count_hit:int,pattern:bigint>>"))
+                else F.array().cast("array<struct<h64:bigint,kind:int,count_hit:int,pattern:bigint>>"),
+            ).otherwise(F.array().cast("array<struct<h64:bigint,kind:int,count_hit:int,pattern:bigint>>"))
             return F.concat(F.array(*full, *markers), pats)
 
         structs = depths and F.when(F.col("depth") == depths[0], _for_depth(depths[0]))
@@ -454,42 +449,32 @@ class PathLPM:
             assert len(merged) == 1
             bf = from_bytes(bytes(merged[0].payload))
 
-        # FIB digests do come to the driver: DIG_W (16) B/route — 12 MB at 750k
-        # routes, ~1.6 GB at 100M routes; the exact-confirm set must live
+        # FIB key hashes do come to the driver: 8 B/route — 6 MB at 750k
+        # routes, ~800 MB at 100M routes; the confirm set must live
         # wherever probes run, so it is bounded by design. Assert the
         # documented bound rather than failing opaquely later.
         assert n_routes <= 50_000_000, (
             f"FIB of {n_routes} routes exceeds the broadcastable design bound; "
             "shard the route table per depth-1 prefix and build one engine per shard"
         )
-        fib_rows = prefix_df.select(_digest_expr(F.col("prefix"), F.col("depth")).alias("d")).collect()
-        fib = digests_to_matrix([bytes(r.d) for r in fib_rows])
-        fib = fib[np.lexsort(fib.T[::-1])]
+        fib_pdf = prefix_df.select(_h64_expr(F.col("prefix"), F.col("depth")).alias("h")).toPandas()
+        fib = np.sort(fib_pdf["h"].to_numpy().astype(np.int64, copy=False).view(np.uint64))
         if weighting == "by_share":
             with_bmp.unpersist()
         prefix_df.unpersist()
         return cls(bf, tree, depths, fib, enc_bits)
 
     # --------------------------------------------------------------- helpers
-    def _fib_contains(self, digs: np.ndarray) -> np.ndarray:
-        """Exact membership of (n, DIG_W) digest rows in the sorted FIB matrix
-        — two-column searchsorted prefilter + full-row verify, all numpy."""
-        if len(digs) == 0:
+    def _fib_contains(self, h: np.ndarray) -> np.ndarray:
+        """Membership of uint64 key hashes in the sorted FIB array — one
+        searchsorted + equality gather (see module docstring for the
+        64-bit collision bound and the exact_repair escape hatch)."""
+        if len(h) == 0:
             return np.zeros(0, dtype=bool)
-        fib64 = self.fib[:, :8].copy().view(">u8").ravel()
-        cand64 = np.ascontiguousarray(digs[:, :8]).view(">u8").ravel()
-        lo = np.searchsorted(fib64, cand64, side="left")
-        hi = np.searchsorted(fib64, cand64, side="right")
-        out = np.zeros(len(digs), dtype=bool)
-        pending = np.nonzero(hi > lo)[0]
-        # verify all DIG_W bytes for prefilter survivors (max multiplicity is
-        # tiny: 8-byte prefix collisions are ~n^2/2^64)
-        for width in range(int((hi - lo).max()) if len(pending) else 0):
-            idx = pending[(hi[pending] - lo[pending]) > width]
-            if len(idx) == 0:
-                break
-            match = (self.fib[lo[idx] + width] == digs[idx]).all(axis=1)
-            out[idx] |= match
+        pos = np.searchsorted(self.fib, h, side="left")
+        in_range = pos < len(self.fib)
+        out = np.zeros(len(h), dtype=bool)
+        out[in_range] = self.fib[pos[in_range]] == h[in_range]
         return out
 
     def _probe_slots(self, h64: np.ndarray, slots: np.ndarray) -> np.ndarray:
@@ -502,20 +487,29 @@ class PathLPM:
         return (byte >> (ix & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
 
     # ---------------------------------------------------------------- lookup
-    def lookup(self, df: DataFrame, path_col: str = "path", mode: str = "guided", trunc=None) -> DataFrame:
+    def lookup(
+        self,
+        df: DataFrame,
+        path_col: str = "path",
+        mode: str = "guided",
+        trunc=None,
+        exact_repair: DataFrame | None = None,
+    ) -> DataFrame:
         """Batch LPM: returns df + (lpm_depth, lpm_prefix, bit_lookups,
         fib_probes, fell_back). The blob+tree+FIB broadcast once; each
         Arrow batch is probed with pure numpy matrix ops.
 
         Python stage is ``mapInArrow``, not ``mapInPandas``: passthrough
         columns are re-emitted as the SAME Arrow arrays (zero copy — a
-        wide corpus row never materializes as pandas objects) and the
-        digest column is viewed as a (n, D, DIG_W) uint8 matrix straight
-        from the Arrow data buffer. Measured at sf0.1/local[32]: 0.98M →
-        1.17M rows/s with all five corpus columns carried through.
+        wide corpus row never materializes as pandas objects) and the D
+        key-hash columns are int64 Arrow buffers viewed as an (n, D)
+        uint64 matrix with no copy and no Python-side hashing.
 
         ``trunc`` must match the one the engine was built with (see
-        ``build``)."""
+        ``build``). ``exact_repair``: pass the route table (prefix,
+        depth) to close the FIB's 64-bit collision window — answers are
+        verified with a broadcast anti-join and the (expected-empty)
+        mismatch set is re-resolved exactly; see module docstring."""
         assert mode in ("guided", "linear")
         trunc = trunc or _trunc
         spark = df.sparkSession
@@ -523,14 +517,16 @@ class PathLPM:
         bc = spark.sparkContext.broadcast(payload)
         depths = self.depths
 
-        # ONE concatenated (D*DIG_W)-byte binary per row, NOT array<binary>:
-        # a nested list column materializes D python bytes objects per row
-        # plus a worker-side explode — measured as the probe job's
-        # dominant cost (~2.1 s of 3.5 s at sf0.1/8 cores vs 0.25 s for
-        # the flat form; the numpy kernel itself runs ~1M rows/s/core)
-        dig_cols = F.concat(*[_digest_expr(trunc(F.col(path_col), d), F.lit(d)) for d in depths])
-        src = df.withColumn("__digs", dig_cols)
-        keep = [f for f in src.schema.fields if f.name != "__digs"]
+        # D flat LongType columns, NOT array<bigint>: a nested list column
+        # materializes per-row list cells plus a worker-side unpack —
+        # flat int64 buffers arrive kernel-ready (the same finding that
+        # made the digest era use one concatenated binary, now with zero
+        # decode work at all; the numpy kernel runs ~1M rows/s/core)
+        hcols = [f"__h{j}" for j in range(len(depths))]
+        src = df
+        for j, d in enumerate(depths):
+            src = src.withColumn(hcols[j], _h64_expr(trunc(F.col(path_col), d), F.lit(d)))
+        keep = [f for f in src.schema.fields if f.name not in hcols]
         names = [f.name for f in keep]
         out_schema = StructType(
             keep
@@ -547,7 +543,6 @@ class PathLPM:
             import pyarrow as pa
 
             eng = PathLPM.from_bytes(bc.value)
-            D = len(eng.depths)
             out_names = names + ["lpm_depth", "bit_lookups", "fib_probes", "fell_back"]
             for b in batches:
                 nb = b.num_rows
@@ -557,9 +552,9 @@ class PathLPM:
                     bits, fibp = ans, ans
                     fell = np.zeros(0, dtype=bool)
                 else:
-                    digs = _arrow_fixed_binary_matrix(
-                        b.column(b.schema.get_field_index("__digs")), DIG_W * D
-                    ).reshape(nb, D, DIG_W)
+                    H = np.column_stack(
+                        [_arrow_int64(b.column(b.schema.get_field_index(hc))) for hc in hcols]
+                    )
                     # kernel sub-chunks: one Arrow batch can be 64k+ rows
                     # (transfer-efficient), but the kernel's temporaries
                     # (hash/slot/hit matrices) scale with rows x depths —
@@ -571,7 +566,7 @@ class PathLPM:
                     # chunking cannot change them.
                     kern = eng._lookup_batch_guided if mode_guided else eng._lookup_batch_linear
                     parts = [
-                        kern(digs[s : s + _KERNEL_CHUNK]) for s in range(0, nb, _KERNEL_CHUNK)
+                        kern(H[s : s + _KERNEL_CHUNK]) for s in range(0, nb, _KERNEL_CHUNK)
                     ]
                     ans, bits, fibp, fell = (np.concatenate(x) for x in zip(*parts))
                 yield pa.RecordBatch.from_arrays(
@@ -586,18 +581,43 @@ class PathLPM:
                 )
 
         out = src.mapInArrow(run, schema=out_schema)
-        return out.withColumn(
+        out = out.withColumn(
             "lpm_prefix",
             F.when(F.col("lpm_depth") > 0, trunc(F.col(path_col), F.col("lpm_depth"))).otherwise(F.lit(None)),
         )
+        if exact_repair is not None:
+            out = self._repair_collisions(out, exact_repair, path_col, trunc)
+        return out
+
+    def _repair_collisions(self, out: DataFrame, routes: DataFrame, path_col: str, trunc) -> DataFrame:
+        """Close the 64-bit FIB window exactly: every collision-corrupted
+        answer names a (lpm_prefix, lpm_depth) NOT in the route table
+        (module docstring), so a broadcast anti-join isolates the
+        (expected-empty) mismatch set and ``exact_lpm`` re-resolves just
+        those rows against the same routes. Verified rows pass through
+        untouched; kernel metric columns are kept on repaired rows."""
+        rt = F.broadcast(
+            routes.select(F.col("prefix").alias("__rp"), F.col("depth").cast("int").alias("__rd"))
+        )
+        claimed = out.where(F.col("lpm_depth") > 0)
+        ok = claimed.join(
+            rt,
+            (F.col("lpm_prefix") == F.col("__rp")) & (F.col("lpm_depth") == F.col("__rd")),
+            "left_semi",
+        )
+        bad = claimed.join(
+            rt,
+            (F.col("lpm_prefix") == F.col("__rp")) & (F.col("lpm_depth") == F.col("__rd")),
+            "left_anti",
+        )
+        fixed = exact_lpm(
+            bad.drop("lpm_depth", "lpm_prefix"), routes, path_col=path_col, trunc=trunc
+        ).select(*out.columns)
+        return out.where(F.col("lpm_depth") == 0).unionByName(ok).unionByName(fixed)
 
     # ------------------------------------------------------- batch kernels
-    def _hash_cols(self, digs: np.ndarray) -> np.ndarray:
-        n, D, _ = digs.shape
-        return fnv1a64(digs.reshape(n * D, DIG_W)).reshape(n, D)
-
     def _scan_below(
-        self, digs: np.ndarray, H: np.ndarray, rows: np.ndarray, cap_col: np.ndarray
+        self, H: np.ndarray, rows: np.ndarray, cap_col: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Vectorized linear scan: for each row in ``rows``, find the deepest
         domain depth with column index <= cap_col whose key passes all k
@@ -634,23 +654,21 @@ class PathLPM:
             if not chk.any():
                 continue
             rows_chk = np.nonzero(chk)[0]
-            ok = self._fib_contains(digs[rows[rows_chk], j])
+            ok = self._fib_contains(hsub[rows_chk, j])
             fibp[rows_chk] += 1
             got = rows_chk[ok]
             ans[got] = self.depths[j]
             unresolved[got] = False
         return ans, bitcount, fibp
 
-    def _lookup_batch_linear(self, digs: np.ndarray):
-        n = digs.shape[0]
-        H = self._hash_cols(digs)
+    def _lookup_batch_linear(self, H: np.ndarray):
+        n = H.shape[0]
         cap = np.full(n, len(self.depths) - 1, dtype=np.int64)
-        ans, bits, fibp = self._scan_below(digs, H, np.arange(n), cap)
+        ans, bits, fibp = self._scan_below(H, np.arange(n), cap)
         return ans, bits, fibp, np.zeros(n, dtype=bool)
 
-    def _lookup_batch_guided(self, digs: np.ndarray):
-        n, D, _ = digs.shape
-        H = self._hash_cols(digs)
+    def _lookup_batch_guided(self, H: np.ndarray):
+        n, D = H.shape
         tree, bf = self.tree, self.bf
         col_of_val = {int(v): j for j, v in enumerate(self.depths)}
         node_col = np.array([col_of_val[int(v)] for v in tree.val], dtype=np.int64)
@@ -721,7 +739,7 @@ class PathLPM:
                 ok = (vbits.astype(bool) | ~in_range).all(axis=1)
                 bits_used[hit_rows[c]] += width
             # exact FIB confirm (ipfilter.py:231)
-            fib_ok = self._fib_contains(digs[hit_rows[c], hyp_col])
+            fib_ok = self._fib_contains(H[hit_rows[c], hyp_col])
             fibp[hit_rows[c]] += 1
             accept = ok & fib_ok
             accepted[c] = accept
@@ -732,7 +750,7 @@ class PathLPM:
             if len(gap):
                 cap_col = hit_col[hit_rows[gap]]
                 lo_col = np.searchsorted(depths_arr, hyp_depth[gap])
-                deeper, gb, gf = self._scan_interval(digs, H, hit_rows[gap], lo_col, cap_col)
+                deeper, gb, gf = self._scan_interval(H, hit_rows[gap], lo_col, cap_col)
                 bits_used[hit_rows[gap]] += gb
                 fibp[hit_rows[gap]] += gf
                 upd = deeper > 0
@@ -747,13 +765,13 @@ class PathLPM:
             has = cap_col >= 0
             fbh = fb[has]
             if len(fbh):
-                a2, b2, f2 = self._scan_below(digs, H, hit_rows[fbh], cap_col[has])
+                a2, b2, f2 = self._scan_below(H, hit_rows[fbh], cap_col[has])
                 ans[hit_rows[fbh]] = a2
                 bits_used[hit_rows[fbh]] += b2
                 fibp[hit_rows[fbh]] += f2
         return ans, bits_used, fibp, fell
 
-    def _scan_interval(self, digs, H, rows, lo_col, cap_col):
+    def _scan_interval(self, H, rows, lo_col, cap_col):
         """FIB-backed scan of domain columns in (lo_col, cap_col]."""
         D = len(self.depths)
         nr = len(rows)
@@ -773,7 +791,7 @@ class PathLPM:
             hit = bj.all(axis=1)
             hr = r[hit]
             if len(hr):
-                ok = self._fib_contains(digs[rows[hr], j])
+                ok = self._fib_contains(H[rows[hr], j])
                 fibp[hr] += 1
                 got = hr[ok]
                 ans[got] = self.depths[j]

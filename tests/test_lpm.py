@@ -125,33 +125,67 @@ def test_local_and_distributed_build_byte_identical(spark):
     assert local.to_bytes() == dist.to_bytes()
 
 
-def test_arrow_fixed_binary_matrix_paths():
-    """The mapInArrow probe's zero-copy view must agree with the object
-    fallback on dense, sliced, chunked, and large-binary arrays — and
-    take the fallback (not crash) when nulls or ragged widths appear."""
+def test_arrow_int64_view_paths():
+    """The mapInArrow probe's uint64 view must round-trip signed Arrow
+    int64 values bit-exactly on dense, sliced, and chunked arrays."""
     import numpy as np
     import pyarrow as pa
 
-    from ip_filter_spark.operators.lpm import _arrow_fixed_binary_matrix
+    from ip_filter_spark.operators.lpm import _arrow_int64
 
-    w = 8
-    vals = [bytes(range(i, i + w)) for i in range(10)]
-    expect = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(10, w)
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 42, -12345]
+    expect = np.array(vals, dtype=np.int64).view(np.uint64)
 
-    dense = pa.array(vals, type=pa.binary())
-    assert (_arrow_fixed_binary_matrix(dense, w) == expect).all()
-    # sliced array: offset != 0
-    assert (_arrow_fixed_binary_matrix(dense.slice(3, 5), w) == expect[3:8]).all()
-    # large_binary: 64-bit offsets
-    big = pa.array(vals, type=pa.large_binary())
-    assert (_arrow_fixed_binary_matrix(big, w) == expect).all()
-    # chunked
-    chunked = pa.chunked_array([pa.array(vals[:4], type=pa.binary()), pa.array(vals[4:], type=pa.binary())])
-    assert (_arrow_fixed_binary_matrix(chunked, w) == expect).all()
-    # empty
-    assert _arrow_fixed_binary_matrix(pa.array([], type=pa.binary()), w).shape == (0, w)
-    # nulls force the fallback, which must reject ragged widths loudly
-    import pytest as _pytest
+    dense = pa.array(vals, type=pa.int64())
+    assert (_arrow_int64(dense) == expect).all()
+    assert (_arrow_int64(dense.slice(2, 4)) == expect[2:6]).all()
+    chunked = pa.chunked_array([pa.array(vals[:3], type=pa.int64()), pa.array(vals[3:], type=pa.int64())])
+    assert (_arrow_int64(chunked) == expect).all()
+    assert _arrow_int64(pa.array([], type=pa.int64())).shape == (0,)
 
-    with _pytest.raises(Exception):
-        _arrow_fixed_binary_matrix(pa.array([b"x" * w, None], type=pa.binary()), w)
+
+def test_exact_repair_fixes_forced_fib_collision(spark):
+    """The 64-bit FIB window, closed end-to-end: corrupt an engine by
+    inserting a NON-route key's h64 into both the FIB and the filter
+    (simulating an xxhash64 collision with a stored route), confirm the
+    kernel then reports the phantom depth, and verify that
+    ``lookup(..., exact_repair=routes)`` restores the exact answer."""
+    import numpy as np
+
+    from ip_filter_spark.operators.lpm import PathLPM, _h64_expr, _trunc
+    from pyspark.sql import functions as F
+
+    routes = spark.createDataFrame(
+        [("a", 1), ("a/b", 2)], "prefix string, depth int"
+    )
+    queries = spark.createDataFrame([("a/x/q1",)], "path string")
+    eng = PathLPM.build(routes, num_partitions=2)
+
+    clean = eng.lookup(queries, mode="linear").select("path", "lpm_depth", "lpm_prefix").first()
+    assert clean.lpm_depth == 1 and clean.lpm_prefix == "a"
+
+    # forge a collision: pretend the depth-2 truncation "a/x" hashes to a
+    # value present in the FIB by inserting its real h64 as if it were a
+    # route (FIB + all k Bloom hashes — exactly what a collision looks
+    # like to the kernel)
+    h = queries.select(_h64_expr(_trunc(F.col("path"), 2), 2).alias("h")).first().h
+    hu = np.array([h], dtype=np.int64).view(np.uint64)
+    eng.fib = np.sort(np.concatenate([eng.fib, hu]))
+    eng.bf.insert_hashes(hu)
+
+    wrong = eng.lookup(queries, mode="linear").select("lpm_depth", "lpm_prefix").first()
+    assert wrong.lpm_depth == 2 and wrong.lpm_prefix == "a/x"  # phantom route
+
+    repaired = (
+        eng.lookup(queries, mode="linear", exact_repair=routes)
+        .select("path", "lpm_depth", "lpm_prefix")
+        .first()
+    )
+    assert repaired.lpm_depth == 1 and repaired.lpm_prefix == "a"
+    # guided mode goes through the same repair path
+    repaired_g = (
+        eng.lookup(queries, mode="guided", exact_repair=routes)
+        .select("lpm_depth", "lpm_prefix")
+        .first()
+    )
+    assert repaired_g.lpm_depth == 1 and repaired_g.lpm_prefix == "a"
