@@ -1,0 +1,241 @@
+"""Distributed BPE tokenizer training and encoding at tokenizer scale.
+
+The K=3 gate trainer (queries/text.py::_bpe_learn) is the
+oracle-replicable form: one Spark job per merge, merge applied as a
+string REPLACE — correct, but a real tokenizer train is K ≈ 30,000 and
+30k sequential jobs (plus a 30k-deep REPLACE expression) are
+non-starters. This module is the scale path:
+
+- Words live as SYMBOL ARRAYS (array<string>), not marker-bracketed
+  strings; merges are applied by a vectorized numpy kernel over one flat
+  per-batch symbol buffer (``merge_pairs_flat``), with BPE's
+  leftmost-first non-overlapping run semantics reproduced exactly (law
+  test: tests/test_operators.py pins numpy ≡ REPLACE on runs and
+  boundary cases).
+- Per round, ONE pair-count aggregation feeds a BATCH of merges chosen
+  by an exactness-safe greedy rule (``select_safe_batch``): take the
+  maximal prefix of the (count desc, pair asc)-ordered pair list that is
+  pairwise symbol-disjoint, then keep only entries whose count is
+  STRICTLY greater than the first conflicting pair's count. Applying a
+  merge only perturbs pairs sharing one of its symbols, and every such
+  pair sits at-or-after the first conflict (≤ its count), so each kept
+  entry still strictly dominates all perturbed/new pairs when its
+  sequential turn comes — the batched schedule provably equals the
+  one-merge-per-job schedule, ties included. K merges therefore cost
+  ~K/B shuffles instead of K.
+- Encoding is ONE mapInPandas pass applying the learned merge ranks per
+  word (greedy lowest-rank-first, the standard BPE inference rule, which
+  reproduces the training fold exactly).
+
+Reference analog: the guided build's iterative insert loop
+(/root/reference/prototype/ipfilter.py:78-122), which this repo rewrote
+into a two-pass distributed form — the same rewrite discipline applied
+to the tokenizer trainer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_pairs_flat(flat: np.ndarray, bounds: np.ndarray, a: int, b: int, new_id: int):
+    """Apply ONE merge (a, b) → new_id over a flat int32 symbol buffer.
+
+    ``flat`` concatenates every word's symbols; ``bounds`` holds each
+    word's start offset (len n_words + 1). Matches are adjacent (a, b)
+    within one word; overlapping runs resolve leftmost-first (in
+    ``<a><a><a>`` with merge (a,a), positions 0-1 merge, position 2
+    survives) — BPE's standard rule and REPLACE's left-to-right rule.
+    Returns (new_flat, new_bounds)."""
+    n = len(flat)
+    if n < 2:
+        return flat, bounds
+    m = np.zeros(n, dtype=bool)
+    m[:-1] = (flat[:-1] == a) & (flat[1:] == b)
+    # no cross-word matches: position i and i+1 must be in the same word
+    word_end = np.zeros(n, dtype=bool)
+    word_end[bounds[1:-1] - 1] = True  # last symbol of each word but the final one
+    m &= ~word_end
+    if not m.any():
+        return flat, bounds
+    # leftmost-first non-overlap: within each maximal run of consecutive
+    # matches keep alternating positions (1st, 3rd, ...). For a != b runs
+    # of length > 1 cannot occur (a,b then b,?? can't re-match a,b at +1
+    # unless a == b), so this only changes behavior on symbol runs.
+    run_start = m & ~np.concatenate(([False], m[:-1]))
+    pos_in_run = np.arange(n) - np.maximum.accumulate(np.where(run_start, np.arange(n), -1))
+    keep = m & (pos_in_run % 2 == 0)
+    drop_next = np.nonzero(keep)[0] + 1  # the 'b' position of each kept match
+    out = flat.copy()
+    out[keep] = new_id
+    new_flat = np.delete(out, drop_next)
+    # bounds shift by the number of dropped positions before each bound
+    dropped_before = np.searchsorted(drop_next, bounds, side="left")
+    new_bounds = bounds - dropped_before
+    return new_flat, new_bounds
+
+
+def select_safe_batch(
+    head: list[tuple[str, int]], max_batch: int, head_truncated: bool
+) -> list[tuple[str, str]]:
+    """Choose a sequential-equivalent batch of merges from ONE pair-count
+    snapshot ``head`` = [(pair 'a b', count), ...] already sorted by
+    (count desc, pair asc). ``cut`` is the count of the first entry NOT
+    taken (conflict, cap, or — when the head was truncated — the unseen
+    tail, bounded by the last head count); every pair a batch merge can
+    perturb or create sits at-or-below ``cut``, so keeping only entries
+    with count STRICTLY above it preserves the sequential order even
+    under ties (module docstring). Always returns at least the top
+    pair — that alone is literally the sequential step."""
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    cut: int | None = None
+    for pair, cnt in head:
+        a, b = pair.split(" ")
+        if len(chosen) >= max_batch or a in used or b in used:
+            cut = cnt
+            break
+        chosen.append((a, b, cnt))
+        used.add(a)
+        used.add(b)
+    if cut is None and head_truncated:
+        cut = head[-1][1]
+    if cut is not None:
+        chosen = [(a, b, c) for a, b, c in chosen if c > cut]
+    if not chosen:
+        a, b = head[0][0].split(" ")
+        chosen = [(a, b, head[0][1])]
+    return [(a, b) for a, b, _c in chosen]
+
+
+def bpe_train_batched(
+    words: DataFrame,
+    k: int,
+    batch: int = 8,
+    word_col: str = "w",
+    count_col: str = "wc",
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``k`` BPE merges over a distinct-word frequency table in
+    ~k/batch Spark rounds. Returns [(iteration, sym_a, sym_b, merged,
+    pair_count), ...] — identical to the sequential trainer's output
+    (law test pins batched ≡ sequential at K=16).
+
+    Scale shape per round: one JVM-side adjacent-pair aggregation over
+    the word table (O(distinct words), map-side combined), a ≤max(4B,64)
+    row head collect, and one mapInPandas pass applying the whole batch
+    with the numpy kernel. The word table stays partitioned in place;
+    each round ends in an eager localCheckpoint, so the plan depth stays
+    O(1) no matter how large ``k`` grows."""
+    head_limit = max(4 * batch, 64)
+    # regexp_extract_all, not split('(?!^)'): Spark split keeps the
+    # trailing empty match, which would mint phantom ('x', '') pairs
+    chars = F.expr(f"regexp_extract_all({word_col}, '(.)', 1)")
+    tbl = words.select(F.col(count_col).alias("wc"), chars.alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < k:
+        pairs = tbl.where(F.size("syms") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(0, size(syms) - 2), i -> concat(syms[i], ' ', syms[i + 1]))")
+            ).alias("pair"),
+        )
+        head_rows = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(head_limit)
+            .collect()
+        )
+        if not head_rows:
+            raise ValueError(
+                f"corpus too small for {k} BPE merges: no word has >= 2 "
+                f"symbols left after {len(merges)} merges"
+            )
+        head = [(r.pair, int(r.cnt)) for r in head_rows]
+        todo = select_safe_batch(
+            head, min(batch, k - len(merges)), head_truncated=len(head) >= head_limit
+        )
+        counts = dict(head)
+        for a, b in todo:
+            merges.append((len(merges) + 1, a, b, a + b, counts[f"{a} {b}"]))
+
+        batch_rules = [(a, b, a + b) for a, b in todo]
+
+        def apply_batch(batches, rules=batch_rules):
+            for pdf in batches:
+                if not len(pdf):
+                    yield pdf
+                    continue
+                lens = pdf["syms"].str.len().to_numpy()
+                bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+                vocab: dict[str, int] = {}
+                flat = np.fromiter(
+                    (vocab.setdefault(s, len(vocab)) for row in pdf["syms"] for s in row),
+                    dtype=np.int32,
+                    count=int(bounds[-1]),
+                )
+                for a, b, ab in rules:
+                    for s in (a, b, ab):
+                        if s not in vocab:
+                            vocab[s] = len(vocab)
+                    flat, bounds = merge_pairs_flat(flat, bounds, vocab[a], vocab[b], vocab[ab])
+                inv = list(vocab)
+                out_syms = [
+                    [inv[t] for t in flat[bounds[i] : bounds[i + 1]]] for i in range(len(lens))
+                ]
+                yield pd.DataFrame({"wc": pdf["wc"].to_numpy(), "syms": out_syms})
+
+        tbl = tbl.mapInPandas(apply_batch, schema="wc bigint, syms array<string>").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame, merges: list[tuple[str, str]], word_col: str = "w", out_col: str = "syms"
+) -> DataFrame:
+    """Encode words with a learned merge list in ONE mapInPandas pass —
+    greedy lowest-rank-first per word (standard BPE inference), which
+    reproduces the training-time fold exactly."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf[word_col]:
+                syms = list(w)
+                while len(syms) >= 2:
+                    best, best_rank = None, None
+                    for i in range(len(syms) - 1):
+                        r = rank.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best, best_rank = i, r
+                    if best is None:
+                        break
+                    a, b = merges[best_rank]
+                    # apply this rule leftmost-first across the word
+                    j = 0
+                    new = []
+                    while j < len(syms):
+                        if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                            new.append(a + b)
+                            j += 2
+                        else:
+                            new.append(syms[j])
+                            j += 1
+                    syms = new
+                out.append(syms)
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} array<string>"]
+    )
+    return df.mapInPandas(encode, schema=out_schema)

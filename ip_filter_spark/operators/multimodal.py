@@ -126,6 +126,84 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     return rate, ch, samples.reshape(-1, ch)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit RGB / RGBA PNG → (h, w, ch) uint8 — stdlib zlib inflate of
+    the concatenated IDAT stream + the five scanline filters undone in
+    numpy (None/Up fully vectorized; Sub as a per-lane modular cumsum;
+    Average/Paeth walk the row with the left-dependency they define).
+    The one compressed training-image container decodable with zero
+    external libraries; JPEG stays an honest NotImplementedError."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise NotImplementedError("real media decode: not a PNG")
+    i, w, h, depth, ctype, idat = 8, None, None, None, None, []
+    while i + 8 <= len(b):
+        sz = int.from_bytes(b[i : i + 4], "big")
+        cid = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + sz]
+        if cid == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "real media decode supports non-interlaced 8-bit RGB/RGBA PNG only"
+                )
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + sz  # length + id + body + CRC
+    if w is None or not idat:
+        raise NotImplementedError("real media decode: PNG missing IHDR/IDAT")
+    ch = 3 if ctype == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = row.copy()
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(row[lane::ch]) & 0xFF
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise NotImplementedError(f"real media decode: unknown PNG filter {f}")
+        out[y] = rec & 0xFF
+        prev = out[y]
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 def decode_payload(payload: bytes, kind: str) -> np.ndarray:
     """Dispatch on magic bytes; returns a flat float32 signal array."""
     if kind == "image":
@@ -133,7 +211,9 @@ def decode_payload(payload: bytes, kind: str) -> np.ndarray:
             return decode_ppm(payload).astype(np.float32).ravel()
         if payload[:2] == b"BM":
             return decode_bmp(payload).astype(np.float32).ravel()
-        raise NotImplementedError("real media decode: compressed image codecs (JPEG/PNG) need libjpeg — not in this build")
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload).astype(np.float32).ravel()
+        raise NotImplementedError("real media decode: JPEG needs libjpeg — not in this build")
     if kind == "audio":
         _, _, samples = decode_wav(payload)
         return samples.astype(np.float32).ravel()
@@ -169,6 +249,63 @@ def make_bmp(w: int, h: int, seed: int) -> bytes:
         + len(body).to_bytes(4, "little") + b"\0" * 16
     )
     return header + body
+
+
+def make_png(w: int, h: int, seed: int, channels: int = 3, filters: list[int] | None = None) -> bytes:
+    """Deterministic PNG fixture encoder (stdlib zlib): random pixels,
+    per-row filter types from ``filters`` (cycled; default all-0) so the
+    decoder's five reconstruction paths are exercised by real encoded
+    bytes, CRCs included."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, channels), dtype=np.uint8).astype(np.int64)
+    ch = channels
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    filters = filters or [0]
+    scan = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        rec = flat[y]
+        if f == 0:
+            enc = rec
+        elif f == 2:
+            enc = (rec - prev) & 0xFF
+        elif f == 1:
+            left = np.concatenate((np.zeros(ch, dtype=np.int64), rec[:-ch]))
+            enc = (rec - left) & 0xFF
+        elif f == 3:
+            left = np.concatenate((np.zeros(ch, dtype=np.int64), rec[:-ch]))
+            enc = (rec - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate((np.zeros(ch, dtype=np.int64), rec[:-ch]))
+            ul = np.concatenate((np.zeros(ch, dtype=np.int64), prev[:-ch]))
+            pred = np.array([_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)])
+            enc = (rec - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        scan.append(f)
+        scan.extend(int(v) for v in enc)
+        prev = rec
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ctype = 2 if channels == 3 else 6
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(n: int, rate: int, seed: int) -> bytes:

@@ -419,21 +419,31 @@ def bpe_train_merges_docs(spark, sf_dir):
     )
 
 
-def _bpe_learn(spark, sf_dir):
-    """The trainer loop shared by the train and encode gates: returns
-    [(iteration, sym_a, sym_b, merged, pair_count), ...] for K merges
-    over the corpus-global distinct-word frequency table."""
+def _bpe_words(spark, sf_dir):
+    """Corpus-global distinct-word frequency table shared by every BPE
+    gate (trainers are O(distinct words) per iteration, not O(corpus))."""
     d = _t(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
+
+
+def _bpe_learn(spark, sf_dir, k=None):
+    """The ONE-JOB-PER-MERGE trainer loop shared by the train and encode
+    gates: returns [(iteration, sym_a, sym_b, merged, pair_count), ...]
+    for K merges over the corpus-global distinct-word frequency table.
+    The batched Arrow-kernel trainer (operators/bpe.py) is the scale
+    path; this sequential form stays as its ground truth (the K=16 law
+    test pins batched ≡ sequential) and as the oracle-replicable gate."""
+    k = k if k is not None else _BPE_K
+    words = _bpe_words(spark, sf_dir)
     tbl = words.select("wc", F.regexp_replace("w", "(.)", "<$1>").alias("seq")).persist()
     merges = []
     retired = []  # parent kept cached until the CHILD has materialized off it
-    for it in range(1, _BPE_K + 1):
+    for it in range(1, k + 1):
         syms = tbl.select("wc", F.expr("regexp_extract_all(seq, '<([^>]*)>', 1)").alias("syms"))
         pairs = syms.where(F.expr("size(syms) >= 2")).select(
             "wc",
@@ -453,7 +463,7 @@ def _bpe_learn(spark, sf_dir):
         retired = [tbl]
         if top is None:
             raise ValueError(
-                f"corpus too small for {_BPE_K} BPE merges: no word has "
+                f"corpus too small for {k} BPE merges: no word has "
                 f">= 2 symbols left at iteration {it}"
             )
         a, b = top.pair.split(" ")
@@ -519,7 +529,7 @@ def bpe_encode_stats_docs(spark, sf_dir):
 def _bpe_iteration_sql(prev: str, idx: int) -> str:
     """One BPE iteration as chained CTEs over ``prev`` (wc, seq)."""
     return f"""
-top{idx} AS (
+top{idx} AS MATERIALIZED (
   SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
     SELECT wc,
            unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -527,22 +537,22 @@ top{idx} AS (
     FROM (SELECT wc, regexp_extract_all(seq, '<([^>]*)>', 1) AS syms FROM {prev})
   ) GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
 ),
-m{idx} AS (
+m{idx} AS MATERIALIZED (
   SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt FROM top{idx}
 ),
-seq{idx} AS (
+seq{idx} AS MATERIALIZED (
   SELECT wc, REPLACE(seq, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS seq
   FROM {prev}, m{idx} AS m
 )"""
 
 
 BPE_TRAIN_SQL = f"""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
   FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
   WHERE len(w) >= 1 GROUP BY w
 ),
-seq0 AS (
+seq0 AS MATERIALIZED (
   SELECT wc, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
 ),{_bpe_iteration_sql('seq0', 1)},{_bpe_iteration_sql('seq1', 2)},{_bpe_iteration_sql('seq2', 3)}
 SELECT CAST(1 AS BIGINT) AS iteration, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM m1
@@ -553,13 +563,62 @@ SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3
 """
 
 
-BPE_ENCODE_SQL = f"""
-WITH words AS (
+_BPE_BATCH_K = 16
+
+
+def bpe_batched_train_merges_docs(spark, sf_dir):
+    """BPE training at tokenizer scale: the batched Arrow-kernel trainer
+    (operators/bpe.py) learns K=16 merges in ~K/8 Spark rounds — words
+    as symbol arrays, ONE pair-count aggregation per round, a provably
+    sequential-equivalent greedy batch (maximal disjoint prefix,
+    truncated strictly above the first conflicting count), and the whole
+    batch applied by a vectorized numpy kernel in one mapInPandas pass.
+    The oracle replays all 16 iterations one-at-a-time in chained CTEs
+    (the sequential ground truth), so a hash match here *is* the
+    batched ≡ sequential law verified externally. At K=30k the same loop
+    is ~4k shuffles instead of 30k jobs, with O(1) plan depth."""
+    _ensure_shipped(spark)
+    from ip_filter_spark.operators.bpe import bpe_train_batched
+
+    merges = bpe_train_batched(_bpe_words(spark, sf_dir), k=_BPE_BATCH_K, batch=8)
+    return spark.createDataFrame(
+        merges, "iteration long, sym_a string, sym_b string, merged string, pair_count long"
+    )
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Sequential K-iteration BPE replay as chained CTEs (the oracle for
+    both the sequential K=3 gate and the batched K=16 gate)."""
+    iters = ",".join(_bpe_iteration_sql(f"seq{i - 1}", i) for i in range(1, k + 1))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT){' AS iteration' if i == 1 else ''}, "
+        f"a{' AS sym_a' if i == 1 else ''}, b{' AS sym_b' if i == 1 else ''}, "
+        f"a || b{' AS merged' if i == 1 else ''}, cnt{' AS pair_count' if i == 1 else ''} FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
   FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
   WHERE len(w) >= 1 GROUP BY w
 ),
-seq0 AS (
+seq0 AS MATERIALIZED (
+  SELECT wc, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
+),{iters}
+{unions}
+"""
+
+
+BPE_BATCHED_TRAIN_SQL = _bpe_train_sql(_BPE_BATCH_K)
+
+
+BPE_ENCODE_SQL = f"""
+WITH words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+  WHERE len(w) >= 1 GROUP BY w
+),
+seq0 AS MATERIALIZED (
   SELECT wc, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
 ),{_bpe_iteration_sql('seq0', 1)},{_bpe_iteration_sql('seq1', 2)},{_bpe_iteration_sql('seq2', 3)},
 langwords AS (
@@ -947,6 +1006,11 @@ __all__ = [
     "repetition_stats_docs",
     "REPETITION_STATS_SQL",
     "_BPE_K",
+    "_BPE_BATCH_K",
+    "_bpe_words",
+    "bpe_batched_train_merges_docs",
+    "_bpe_train_sql",
+    "BPE_BATCHED_TRAIN_SQL",
     "bpe_train_merges_docs",
     "_bpe_learn",
     "bpe_encode_stats_docs",

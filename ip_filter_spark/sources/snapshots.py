@@ -243,6 +243,73 @@ class SnapshotTable:
             touched.append(rel)
         return touched
 
+    def _plan_touched_df(self, key_col: str, keys_df: DataFrame, m: dict) -> list[str]:
+        """Distributed twin of ``_plan_touched`` for DataFrame-valued key
+        batches (GDPR-scale deletes): the manifest's per-file
+        bounds/blooms broadcast to the executors, each partition probes
+        them against ITS slice of the keys, and only the ≤|files| hit
+        rel-names come back — the key batch itself never reaches the
+        driver.  Per-partition bounds make this at least as precise as
+        the driver form (which uses whole-batch min/max)."""
+        if not m["files"]:
+            return []
+        stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
+        meta = [
+            (rel, stats.get(rel, {}).get(key_col), blooms.get(rel, {}).get(key_col))
+            for rel in m["files"]
+        ]
+        spark = keys_df.sparkSession
+        bc = spark.sparkContext.broadcast(meta)
+
+        def probe(batches):
+            import pandas as pd
+
+            from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+            from ip_filter_spark.sketches.registry import from_bytes
+
+            filters = [
+                (rel, b, from_bytes(bytes.fromhex(blob)) if blob else None)
+                for rel, b, blob in bc.value
+            ]
+            hit: set[str] = set()
+            for pdf in batches:
+                vals = pdf.iloc[:, 0].tolist()
+                if not vals:
+                    continue
+                digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in vals]
+                h64 = fnv1a64(digests_to_matrix(digests))
+                try:
+                    kmin, kmax = min(vals), max(vals)
+                except TypeError:
+                    kmin = kmax = None
+                for rel, b, filt in filters:
+                    if rel in hit:
+                        continue
+                    try:
+                        if (
+                            kmin is not None
+                            and b is not None
+                            and b[0] is not None
+                            and b[1] is not None
+                            and (kmax < b[0] or kmin > b[1])
+                        ):
+                            continue
+                    except TypeError:
+                        pass
+                    if filt is not None and not bool(filt.contains_hashes(h64).any()):
+                        continue
+                    hit.add(rel)
+            yield pd.DataFrame({"rel": sorted(hit)})
+
+        rels = {
+            r.rel
+            for r in keys_df.select(key_col).distinct().mapInPandas(probe, schema="rel string")
+            .distinct()
+            .collect()
+        }
+        return [rel for rel in m["files"] if rel in rels]
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -251,6 +318,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_fpp: float = 1e-8,
+        distributed_plan: bool = False,
     ) -> tuple[int, int, int]:
         """Copy-on-write MERGE (Delta/Iceberg CoW semantics): rows of
         ``updates`` replace current rows with the same ``key_col`` value;
@@ -264,37 +332,49 @@ class SnapshotTable:
         key (standard MERGE precondition).  Returns
         (new sid, files_rewritten, files_total_before).
 
-        Planning collects the update batch's distinct keys to the
-        driver — O(delta), the same metadata the blooms are probed
-        with; at 100 TB the delta is a batch, not the table."""
-        return self._rewrite(spark, updates, key_col, insert=True, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
+        Planning: by default the batch's distinct keys come to the
+        driver — O(delta), the same metadata the blooms are probed with.
+        For table-scale batches pass ``distributed_plan=True`` and the
+        manifest probe runs executor-side instead (``_plan_touched_df``);
+        no key ever reaches the driver."""
+        return self._rewrite(spark, updates, key_col, insert=True, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp, distributed_plan=distributed_plan)
 
     def delete_keys(
         self,
         spark: SparkSession,
         key_col: str,
-        keys: list,
+        keys: list | DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_fpp: float = 1e-8,
     ) -> tuple[int, int, int]:
-        """Copy-on-write row-level DELETE by key list: rewrites only the
-        file sets that may contain a doomed key.  Returns
+        """Copy-on-write row-level DELETE by key batch: rewrites only the
+        file sets that may contain a doomed key.  ``keys`` is a Python
+        list for point deletes, or a DataFrame carrying a ``key_col``
+        column for table-scale batches — the DataFrame form plans via
+        the executor-side manifest probe and deletes via anti-join, so
+        no key ever reaches the driver.  Returns
         (new sid, files_rewritten, files_total_before)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
         template = self.read(spark).limit(0)
-        updates = spark.createDataFrame(
-            [(k,) for k in keys],
-            StructType([StructField(key_col, template.schema[key_col].dataType)]),
-        )
+        from_df = isinstance(keys, DataFrame)
+        if from_df:
+            updates = keys.select(F.col(key_col).cast(template.schema[key_col].dataType)).distinct()
+        else:
+            updates = spark.createDataFrame(
+                [(k,) for k in keys],
+                StructType([StructField(key_col, template.schema[key_col].dataType)]),
+            )
         for c in template.columns:
             if c != key_col:
                 updates = updates.withColumn(c, F.lit(None).cast(template.schema[c].dataType))
-        return self._rewrite(spark, updates.select(template.columns), key_col, insert=False, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
+        return self._rewrite(spark, updates.select(template.columns), key_col, insert=False, stats_cols=stats_cols, bloom_cols=bloom_cols, bloom_fpp=bloom_fpp, distributed_plan=from_df)
 
-    def delete_keys_mor(self, spark: SparkSession, key_col: str, keys: list) -> tuple[int, int]:
+    def delete_keys_mor(
+        self, spark: SparkSession, key_col: str, keys: list | DataFrame
+    ) -> tuple[int, int]:
         """MERGE-ON-READ row-level DELETE (Iceberg v2 equality deletes):
         the doomed keys land in a tiny delete file under ``deletes/``
         and the new manifest lists it — ZERO data files rewritten
@@ -312,14 +392,27 @@ class SnapshotTable:
             raise ValueError("merge-on-read delete needs an existing snapshot")
         m = self._read_manifest(parent)
         template = self._scan(spark, m["files"]).limit(0)
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
-        keys_df = spark.createDataFrame(
-            [(k,) for k in keys],
-            StructType([StructField(key_col, template.schema[key_col].dataType)]),
-        ).distinct()
+        if isinstance(keys, DataFrame):
+            # DataFrame batch: the delete file is written straight from the
+            # executors — the doomed keys never visit the driver
+            keys_df = keys.select(
+                F.col(key_col).cast(template.schema[key_col].dataType)
+            ).distinct()
+        else:
+            keys_df = spark.createDataFrame(
+                [(k,) for k in keys],
+                StructType([StructField(key_col, template.schema[key_col].dataType)]),
+            ).distinct()
         rel = f"deletes/{parent + 1}-{uuid.uuid4().hex[:8]}.parquet"
         keys_df.write.mode("errorifexists").parquet(os.path.join(self.table_dir, rel))
+        n_keys = (
+            spark.read.parquet(os.path.join(self.table_dir, rel)).count()
+            if isinstance(keys, DataFrame)
+            else len(keys)
+        )
         sid = parent + 1
         self._commit(
             {
@@ -333,7 +426,7 @@ class SnapshotTable:
                 "rows": m["rows"],
             }
         )
-        return sid, len(keys)
+        return sid, n_keys
 
     def compact_deletes(
         self,
@@ -410,6 +503,7 @@ class SnapshotTable:
         bloom_cols: list[str] | None,
         bloom_fpp: float,
         _compacting_deletes: bool = False,
+        distributed_plan: bool = False,
     ) -> tuple[int, int, int]:
         parent = self.current_snapshot()
         if parent == 0:
@@ -420,8 +514,11 @@ class SnapshotTable:
             raise ValueError(
                 "pending merge-on-read delete files; run compact_deletes() before CoW ops"
             )
-        key_rows = [r[0] for r in updates.select(key_col).distinct().collect()]
-        touched = self._plan_touched(key_col, key_rows, m)
+        if distributed_plan:
+            touched = self._plan_touched_df(key_col, updates.select(key_col), m)
+        else:
+            key_rows = [r[0] for r in updates.select(key_col).distinct().collect()]
+            touched = self._plan_touched(key_col, key_rows, m)
         new_files = [f for f in m["files"] if f not in set(touched)]
         added = []
         file_stats = {k: v for k, v in m.get("file_stats", {}).items() if k not in set(touched)}

@@ -8,10 +8,12 @@ from pyspark.sql import functions as F
 from ip_filter_spark.operators.multimodal import (
     decode_bmp,
     decode_payload,
+    decode_png,
     decode_ppm,
     decode_wav,
     extract_features,
     make_bmp,
+    make_png,
     make_ppm,
     make_wav,
     resize_image_nearest,
@@ -80,3 +82,43 @@ def test_spark_real_decode_path(spark):
     n = len(local) - len(local) % 16
     want = local[:n].reshape(16, -1).sum(axis=1).astype(np.int64)
     assert list(feats[1].raw_fold) == want.tolist()
+
+
+def test_png_roundtrip_all_filters():
+    """zlib-inflated PNG with every scanline filter (None/Sub/Up/Average/
+    Paeth), RGB and RGBA, reconstructed bit-exactly."""
+    for ch in (3, 4):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            b = make_png(13, 9, seed=7, channels=ch, filters=filters)
+            px = decode_png(b)
+            want = np.random.default_rng(7).integers(0, 256, (9, 13, ch), dtype=np.uint8)
+            assert px.shape == (9, 13, ch)
+            assert (px == want).all(), (ch, filters)
+    # dispatch path picks PNG up by magic
+    sig = decode_payload(make_png(4, 4, 1), "image")
+    assert sig.shape == (4 * 4 * 3,)
+
+
+def test_png_unsupported_variants_raise():
+    b = make_png(4, 4, 1)
+    # 16-bit depth / palette / interlace are honestly unsupported
+    hacked = bytearray(b)
+    hacked[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(NotImplementedError, match="8-bit RGB/RGBA"):
+        decode_png(bytes(hacked))
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        decode_png(b"nope")
+
+
+def test_spark_real_decode_path_png(spark):
+    """A PNG payload flows through the mapInPandas feature stage like the
+    uncompressed codecs, matching the local decode fold."""
+    media = spark.createDataFrame(
+        [(9, "image", (make_png(8, 8, seed=5), "image/png"))],
+        "media_id long, kind string, payload struct<bytes binary, codec string>",
+    )
+    r = extract_features(media, dim=16, deterministic_fake=False).collect()[0]
+    local = decode_png(make_png(8, 8, seed=5)).astype(np.float32).ravel()
+    n = len(local) - len(local) % 16
+    want = local[:n].reshape(16, -1).sum(axis=1).astype(np.int64)
+    assert list(r.raw_fold) == want.tolist()

@@ -863,9 +863,9 @@ def test_bm25_semantics_rare_term_wins(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "documents.parquet")
     df.write.parquet(path)
 
-    import ip_filter_spark.queries as Q
+    import ip_filter_spark.queries.text as Qtext
 
-    monkeypatch.setattr(Q, "_SEARCH_TERMS", ("rare", "common", "zzznothing"))
+    monkeypatch.setattr(Qtext, "_SEARCH_TERMS", ("rare", "common", "zzznothing"))
     ranked = [r.doc_id for r in bm25_top_docs(spark, str(tmp_path)).orderBy("rank").collect()]
     # doc 2 (rare x2) > doc 0 (rare x1) > doc 1 (common, same dl as 0)
     assert ranked.index(2) < ranked.index(0) < ranked.index(1)
@@ -1871,3 +1871,145 @@ def test_bpe_merge_replace_law_cross_engine(spark):
     assert got_aa[0] == "<aa><a>", got_aa[0]  # leftmost-first on runs
     assert got_ab[1] == "<ya><b>", got_ab[1]  # boundary-safe
     assert got_ab[2] == "<ab><ab>", got_ab[2]  # all non-overlapping occurrences
+
+
+def test_bpe_numpy_merge_equals_replace_law():
+    """The batched trainer's numpy kernel (operators/bpe.py) must agree
+    with the sequential trainer's marker-bracketed REPLACE on every
+    tricky shape: symbol runs (leftmost-first), multi-char boundary
+    safety, multiple words, cross-word isolation, repeated merges."""
+    import numpy as np
+
+    from ip_filter_spark.operators.bpe import merge_pairs_flat
+
+    def via_replace(words, a, b):
+        out = []
+        for w in words:
+            s = "".join(f"<{x}>" for x in w)
+            s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")  # str.replace == SQL REPLACE (leftmost, non-overlap)
+            out.append([t[1:-1] for t in s.replace("><", ">|<").split("|")])
+        return out
+
+    def via_numpy(words, a, b):
+        vocab = {}
+        flat = np.array(
+            [vocab.setdefault(s, len(vocab)) for w in words for s in w], dtype=np.int32
+        )
+        bounds = np.concatenate(([0], np.cumsum([len(w) for w in words]))).astype(np.int64)
+        for s in (a, b, a + b):
+            vocab.setdefault(s, len(vocab))
+        f2, b2 = merge_pairs_flat(flat, bounds, vocab[a], vocab[b], vocab[a + b])
+        inv = list(vocab)
+        return [[inv[t] for t in f2[b2[i] : b2[i + 1]]] for i in range(len(words))]
+
+    cases = [
+        ([["a", "a", "a"]], "a", "a"),            # run: leftmost-first
+        ([["a", "a", "a", "a"]], "a", "a"),       # even run
+        ([["ya", "b"]], "a", "b"),                # multi-char boundary safety
+        ([["a", "b", "a", "b"]], "a", "b"),       # all non-overlapping occurrences
+        ([["b", "a"]], "a", "b"),                 # no match
+        ([["aa", "a", "a"]], "a", "a"),           # merged symbol adjacent to raw run
+        ([["a"], ["b", "a", "b"]], "a", "b"),     # cross-word isolation
+        ([["x", "a", "b", "y"], ["a", "b"]], "a", "b"),
+    ]
+    for words, a, b in cases:
+        assert via_numpy(words, a, b) == via_replace(words, a, b), (words, a, b)
+
+
+def test_bpe_batched_equals_sequential_k16(spark):
+    """The batched trainer's K=16 merge schedule (8 merges/round from one
+    pair-count snapshot, exactness-safe greedy) must equal the
+    one-job-per-merge sequential trainer's, pair counts included."""
+    from ip_filter_spark.operators.bpe import bpe_train_batched
+    from ip_filter_spark.queries.text import _bpe_learn, _bpe_words
+
+    sf_dir = "/root/testdata/sf0.001"
+    seq = _bpe_learn(spark, sf_dir, k=16)
+    bat = bpe_train_batched(_bpe_words(spark, sf_dir), k=16, batch=8)
+    assert bat == seq, (bat[:4], seq[:4])
+
+
+def test_bpe_encode_matches_training_fold(spark):
+    """bpe_encode's greedy lowest-rank-first inference must reproduce the
+    training-time fold exactly (apply merges in learned order)."""
+    from ip_filter_spark.operators.bpe import bpe_encode, bpe_train_batched
+
+    words = spark.createDataFrame(
+        [("abab", 5), ("aaab", 3), ("banana", 2), ("b", 1), ("abc", 4)], "w string, wc long"
+    )
+    merges = bpe_train_batched(words, k=4, batch=2)
+    rules = [(a, b) for _, a, b, _, _ in merges]
+
+    def fold(w):
+        syms = list(w)
+        for a, b in rules:  # training order
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    got = {r.w: list(r.syms) for r in bpe_encode(words, rules).collect()}
+    for w in ["abab", "aaab", "banana", "b", "abc"]:
+        assert got[w] == fold(w), (w, got[w], fold(w))
+
+
+def test_snapshot_dataframe_valued_deletes(spark, tmp_path):
+    """GDPR-scale delete batches: delete_keys / delete_keys_mor /
+    merge_upsert accept a keys DataFrame and plan via the executor-side
+    manifest probe — the doomed keys never reach the driver (no
+    collect() in the plan; asserted by counting collect-driving RDD jobs
+    is impractical here, so instead the batch is built lazily from the
+    corpus and the results are verified exact)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    # three file sets so planning has something to exclude
+    for lo, hi in ((0, 400), (400, 800), (800, 1000)):
+        t.append(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    # bounds-based exclusion through the distributed probe: delete only
+    # low keys first (while the table still has 3 disjoint file sets) —
+    # the high file sets must NOT be rewritten
+    low = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    sid1, rewritten1, total1 = t.delete_keys(spark, "doc_id", low)
+    assert total1 == 3 and rewritten1 == 1  # only the [0, 400) file set
+    assert t.read(spark).count() == 995
+
+    # a 10% batch DERIVED from the table itself — never collected
+    doomed = t.read(spark).where(F.col("doc_id") % 10 == 3).select("doc_id")
+    n_doomed3 = 100 - 1  # 3 already deleted above
+    sid2, rewritten2, total2 = t.delete_keys(spark, "doc_id", doomed)
+    remaining = t.read(spark)
+    assert remaining.count() == 995 - n_doomed3
+    assert remaining.where(F.col("doc_id") % 10 == 3).count() == 0
+
+    # MoR DataFrame batch: zero rewrites, anti-join at read time
+    doomed2 = t.read(spark).where(F.col("doc_id") % 10 == 4).select("doc_id")
+    n_before = t.read(spark).count()
+    n_doomed = t.read(spark).where(F.col("doc_id") % 10 == 4).count()
+    sid3, n_keys = t.delete_keys_mor(spark, "doc_id", doomed2)
+    assert n_keys == n_doomed
+    assert t.read(spark).count() == n_before - n_doomed
+    # pinned older snapshot still sees the rows
+    assert t.read(spark, sid2).where(F.col("doc_id") % 10 == 4).count() == n_doomed
+
+    # merge_upsert with distributed planning
+    t.compact_deletes(spark)
+    ups = t.read(spark).where(F.col("doc_id") % 100 == 7).withColumn("grp", F.lit(99).cast("long"))
+    t.merge_upsert(spark, ups, "doc_id", distributed_plan=True)
+    got = t.read(spark)
+    assert got.where((F.col("doc_id") % 100 == 7) & (F.col("grp") != 99)).count() == 0
