@@ -1140,8 +1140,18 @@ temporaries — the 32-core headline probe rate rose to 1.30M rows/s,
 4.0× round 2) and 16-byte probe digest truncation (halved Arrow
 bytes/row) — the quiet-window Form B ratio rose 0.537 → 0.686 → 0.705
 across those runs, the direction the substrate controls predicted for
-a bandwidth-bound kernel. Form A's best persisted run is
-{best['eff']:.3f} with a 1-executor spread of
+a bandwidth-bound kernel. Round 5 cut bytes/row to the floor: the
+probe now ships ONE JVM-computed uint64 key hash per (row, depth)
+(`operators/lpm.py::_h64_expr` — xxhash64, no sha2, no Python-side FNV
+pass; sorted-uint64 FIB with an optional `exact_repair` anti-join
+closing the 64-bit window). Measured effect across the first three
+post-change harness runs: ABSOLUTE throughput up at every level —
+single-JVM local[16] medians 3.36/3.12/3.53M rows/s (vs 2.6–2.96M in
+every prior run), 1-executor 1.43/1.44/1.53M (vs 0.97–1.11M),
+4-executor 4.64/5.02/4.78M (vs 3.4–3.9M) — and paired Form A
+efficiency 0.810 / 0.925 / 0.843, three consecutive runs all clearing
+0.75 (run 2's five pair ratios all ≥ 0.84). Form A's best persisted
+run is {best['eff']:.3f} with a 1-executor spread of
 {min(best['one']):,}–{max(best['one']):,} rows/s against a wide
 4-executor spread — the four concurrent JVMs themselves create the
 bandwidth contention the controls measure, which is exactly the
