@@ -22,7 +22,8 @@ non-starters. This module is the scale path:
   entry still strictly dominates all perturbed/new pairs when its
   sequential turn comes — the batched schedule provably equals the
   one-merge-per-job schedule, ties included. K merges therefore cost
-  ~K/B shuffles instead of K.
+  ~K/B shuffles instead of K (measured at sf0.01/local[32]: K=16,B=8 in
+  10.8 s vs K=64,B=16 in 19.2 s — 4x the merges for 1.8x the wall).
 - Encoding is ONE mapInPandas pass applying the learned merge ranks per
   word (greedy lowest-rank-first, the standard BPE inference rule, which
   reproduces the training fold exactly).
