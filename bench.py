@@ -147,7 +147,7 @@ def bench_lpm(spark, sf_dir: str) -> dict:
     # so per-task overhead amortizes (at scale maxPartitionBytes does this;
     # at 600k rows it needs explicit coalesce), and bigger Arrow batches so
     # the per-batch kernel fixed costs (tree-descent levels, gathers)
-    # amortize — 64k rows x 3 depths x 32 B digests ~ 6 MB working set
+    # amortize — 64k rows x 3 depths x 8 B key hashes ~ 1.5 MB working set
     probes = corpus.select("path").coalesce(max(CPUS // 2, 4))
     prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
