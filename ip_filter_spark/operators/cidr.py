@@ -132,13 +132,19 @@ def build_ip4_lpm(cidrs: DataFrame, cidr_col: str = "cidr", **build_kw):
     return PathLPM.build(cidr4_route_table(cidrs, cidr_col), trunc=ip4_trunc, **build_kw)
 
 
-def lookup_ip4(engine, traffic: DataFrame, ip_col: str = "ip", mode: str = "guided") -> DataFrame:
+def lookup_ip4(
+    engine, traffic: DataFrame, ip_col: str = "ip", mode: str = "guided", exact_repair=None
+) -> DataFrame:
     """LPM every uint32 address in ``traffic``: adds lpm_depth (matched
     prefix length, 0 = default route) and lpm_prefix_ip (the matched
     prefix's masked address as a long, null on miss). The engine must
     have been built in the numeric key domain (``build_ip4_lpm`` or
-    ``PathLPM.build(trunc=ip4_trunc)``)."""
-    out = engine.lookup(traffic, path_col=ip_col, mode=mode, trunc=ip4_trunc)
+    ``PathLPM.build(trunc=ip4_trunc)``). ``exact_repair``: the numeric
+    route table (``cidr4_route_table``) to close the FIB's 64-bit
+    collision window exactly (see operators/lpm.py module docstring)."""
+    out = engine.lookup(
+        traffic, path_col=ip_col, mode=mode, trunc=ip4_trunc, exact_repair=exact_repair
+    )
     return out.withColumn(
         "lpm_prefix_ip", F.when(F.col("lpm_depth") > 0, F.col("lpm_prefix").cast("long"))
     ).drop("lpm_prefix")

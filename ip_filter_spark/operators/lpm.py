@@ -824,7 +824,14 @@ class PathLPM:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "PathLPM":
-        assert blob[: len(_MAGIC)] == _MAGIC
+        if blob[: len(_MAGIC)] != _MAGIC:
+            if blob[:5] == b"IFLPM":
+                raise ValueError(
+                    f"incompatible PathLPM blob version {blob[:6]!r}: this build "
+                    f"reads {_MAGIC.decode()} (uint64 xxhash64 keys); rebuild the "
+                    "engine from its route table"
+                )
+            raise ValueError("not a PathLPM blob")
         off = len(_MAGIC)
         (mlen,) = struct.unpack_from("<I", blob, off)
         off += 4

@@ -173,3 +173,49 @@ def test_exact_lpm_generalizes_to_ip_domains(spark):
     eng6 = build_ip6_lpm(spark.createDataFrame([(p32, 32), ("2" + "0" * 31, 4)], "h string, depth int"), num_partitions=2)
     got6 = {r.h: r.lpm_depth for r in lookup_ip6(eng6, q6).collect()}
     assert ex6 == got6
+
+
+def test_ip4_exact_repair_and_blob_version(spark):
+    """exact_repair in the NUMERIC key domain: forge a 64-bit FIB
+    collision (a non-route masked key inserted into FIB + filter) and
+    verify lookup_ip4(..., exact_repair=routes) restores the true
+    answer; plus the v1-blob version error is a clear ValueError."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.operators.cidr import (
+        build_ip4_lpm,
+        cidr4_route_table,
+        ip4_trunc,
+        lookup_ip4,
+    )
+    from ip_filter_spark.operators.lpm import PathLPM, _h64_expr
+
+    cidrs = spark.createDataFrame([("10.0.0.0/8",), ("10.1.0.0/16",)], "cidr string")
+    routes = cidr4_route_table(cidrs)
+    eng = build_ip4_lpm(cidrs)
+    # 10.2.3.4 -> /8 route only
+    ip = (10 << 24) + (2 << 16) + (3 << 8) + 4
+    traffic = spark.createDataFrame([(ip,)], "ip long")
+    clean = lookup_ip4(eng, traffic, mode="linear").first()
+    assert clean.lpm_depth == 8
+
+    # forge: pretend the /16 truncation of this ip (10.2.0.0, NOT a route)
+    # collided with a stored route hash
+    h = traffic.select(_h64_expr(ip4_trunc(F.col("ip"), 16), 16).alias("h")).first().h
+    hu = np.array([h], dtype=np.int64).view(np.uint64)
+    eng.fib = np.sort(np.concatenate([eng.fib, hu]))
+    eng.bf.insert_hashes(hu)
+    wrong = lookup_ip4(eng, traffic, mode="linear").first()
+    assert wrong.lpm_depth == 16  # phantom /16
+    fixed = lookup_ip4(eng, traffic, mode="linear", exact_repair=routes).first()
+    assert fixed.lpm_depth == 8 and fixed.lpm_prefix_ip == (10 << 24)
+
+    # stale v1 blob fails loudly, not as a corrupt read
+    blob = bytearray(eng.to_bytes())
+    blob[5:6] = b"1"  # IFLPM2 -> IFLPM1
+    with _pytest.raises(ValueError, match="incompatible PathLPM blob version"):
+        PathLPM.from_bytes(bytes(blob))
+    with _pytest.raises(ValueError, match="not a PathLPM blob"):
+        PathLPM.from_bytes(b"garbage")
