@@ -197,9 +197,15 @@ def build_ip6_lpm(routes: DataFrame, hex_col: str = "h", plen_col: str = "depth"
     return PathLPM.build(ip6_route_table(routes, hex_col, plen_col), trunc=ip6_trunc, **build_kw)
 
 
-def lookup_ip6(engine, traffic: DataFrame, hex_col: str = "h", mode: str = "guided") -> DataFrame:
+def lookup_ip6(
+    engine, traffic: DataFrame, hex_col: str = "h", mode: str = "guided", exact_repair=None
+) -> DataFrame:
     """LPM every v6 address (canonical 32-char lowercase hex) in
     ``traffic``: adds lpm_depth and lpm_prefix_hex (masked 32-char hex of
-    the matched prefix, null on miss)."""
-    out = engine.lookup(traffic, path_col=hex_col, mode=mode, trunc=ip6_trunc)
+    the matched prefix, null on miss). ``exact_repair``: the hex-domain
+    route table (``ip6_route_table``) closes the FIB's 64-bit collision
+    window exactly, same as the v4 and path domains."""
+    out = engine.lookup(
+        traffic, path_col=hex_col, mode=mode, trunc=ip6_trunc, exact_repair=exact_repair
+    )
     return out.withColumnRenamed("lpm_prefix", "lpm_prefix_hex")
