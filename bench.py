@@ -1144,13 +1144,13 @@ a bandwidth-bound kernel. Round 5 cut bytes/row to the floor: the
 probe now ships ONE JVM-computed uint64 key hash per (row, depth)
 (`operators/lpm.py::_h64_expr` — xxhash64, no sha2, no Python-side FNV
 pass; sorted-uint64 FIB with an optional `exact_repair` anti-join
-closing the 64-bit window). Measured effect across the first three
+closing the 64-bit window). Measured effect across the first four
 post-change harness runs: ABSOLUTE throughput up at every level —
-single-JVM local[16] medians 3.36/3.12/3.53M rows/s (vs 2.6–2.96M in
-every prior run), 1-executor 1.43/1.44/1.53M (vs 0.97–1.11M),
-4-executor 4.64/5.02/4.78M (vs 3.4–3.9M) — and paired Form A
-efficiency 0.810 / 0.925 / 0.843, three consecutive runs all clearing
-0.75 (run 2's five pair ratios all ≥ 0.84). Form A's best persisted
+single-JVM local[16] medians 3.36/3.12/3.53/3.32M rows/s (vs 2.6–2.96M
+in every prior run), 1-executor 1.43/1.44/1.53/1.39M (vs 0.97–1.11M),
+4-executor 4.64/5.02/4.78/4.88M (vs 3.4–3.9M) — and paired Form A
+efficiency 0.810 / 0.925 / 0.843 / 0.909, four consecutive runs all
+clearing 0.8 (the round-4 probe target was 0.75). Form A's best persisted
 run is {best['eff']:.3f} with a 1-executor spread of
 {min(best['one']):,}–{max(best['one']):,} rows/s against a wide
 4-executor spread — the four concurrent JVMs themselves create the
