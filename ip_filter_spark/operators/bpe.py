@@ -165,30 +165,14 @@ def bpe_train_batched(
         for a, b in todo:
             merges.append((len(merges) + 1, a, b, a + b, counts[f"{a} {b}"]))
 
-        batch_rules = [(a, b, a + b) for a, b in todo]
+        batch_rules = [(a, b) for a, b in todo]
 
         def apply_batch(batches, rules=batch_rules):
             for pdf in batches:
                 if not len(pdf):
                     yield pdf
                     continue
-                lens = pdf["syms"].str.len().to_numpy()
-                bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-                vocab: dict[str, int] = {}
-                flat = np.fromiter(
-                    (vocab.setdefault(s, len(vocab)) for row in pdf["syms"] for s in row),
-                    dtype=np.int32,
-                    count=int(bounds[-1]),
-                )
-                for a, b, ab in rules:
-                    for s in (a, b, ab):
-                        if s not in vocab:
-                            vocab[s] = len(vocab)
-                    flat, bounds = merge_pairs_flat(flat, bounds, vocab[a], vocab[b], vocab[ab])
-                inv = list(vocab)
-                out_syms = [
-                    [inv[t] for t in flat[bounds[i] : bounds[i + 1]]] for i in range(len(lens))
-                ]
+                out_syms = apply_rules_flat(list(pdf["syms"]), rules)
                 yield pd.DataFrame({"wc": pdf["wc"].to_numpy(), "syms": out_syms})
 
         tbl = tbl.mapInPandas(apply_batch, schema="wc bigint, syms array<string>").localCheckpoint(
@@ -197,42 +181,46 @@ def bpe_train_batched(
     return merges
 
 
+def apply_rules_flat(words_syms: list, rules: list[tuple[str, str]]) -> list:
+    """Apply merge rules IN ORDER over a batch of symbol lists with the
+    vectorized flat kernel — the one merge-application code path shared
+    by the trainer (per-round batch) and the encoder (full learned
+    list). Applying rule r everywhere before moving to r+1 equals
+    occurrence-at-a-time lowest-rank-first inference: a merge can only
+    CREATE pairs involving its output symbol, whose rules are always
+    later-ranked, so rule r stays minimal until exhausted."""
+    lens = [len(row) for row in words_syms]
+    bounds = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    vocab: dict[str, int] = {}
+    flat = np.fromiter(
+        (vocab.setdefault(s, len(vocab)) for row in words_syms for s in row),
+        dtype=np.int32,
+        count=int(bounds[-1]),
+    )
+    for a, b in rules:
+        for s in (a, b, a + b):
+            if s not in vocab:
+                vocab[s] = len(vocab)
+        flat, bounds = merge_pairs_flat(flat, bounds, vocab[a], vocab[b], vocab[a + b])
+    inv = list(vocab)
+    return [
+        [inv[t] for t in flat[bounds[i] : bounds[i + 1]]] for i in range(len(lens))
+    ]
+
+
 def bpe_encode(
     df: DataFrame, merges: list[tuple[str, str]], word_col: str = "w", out_col: str = "syms"
 ) -> DataFrame:
-    """Encode words with a learned merge list in ONE mapInPandas pass —
-    greedy lowest-rank-first per word (standard BPE inference), which
-    reproduces the training-time fold exactly."""
-    rank = {pair: i for i, pair in enumerate(merges)}
+    """Encode words with a learned merge list in ONE mapInPandas pass,
+    reusing the trainer's vectorized flat kernel: the rules are applied
+    batch-wide in rank order, which equals greedy lowest-rank-first
+    inference (see ``apply_rules_flat``) and therefore reproduces the
+    training-time fold exactly (law-tested)."""
 
     def encode(batches):
         for pdf in batches:
-            out = []
-            for w in pdf[word_col]:
-                syms = list(w)
-                while len(syms) >= 2:
-                    best, best_rank = None, None
-                    for i in range(len(syms) - 1):
-                        r = rank.get((syms[i], syms[i + 1]))
-                        if r is not None and (best_rank is None or r < best_rank):
-                            best, best_rank = i, r
-                    if best is None:
-                        break
-                    a, b = merges[best_rank]
-                    # apply this rule leftmost-first across the word
-                    j = 0
-                    new = []
-                    while j < len(syms):
-                        if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
-                            new.append(a + b)
-                            j += 2
-                        else:
-                            new.append(syms[j])
-                            j += 1
-                    syms = new
-                out.append(syms)
             res = pdf.copy()
-            res[out_col] = out
+            res[out_col] = apply_rules_flat([list(w) for w in pdf[word_col]], merges)
             yield res
 
     out_schema = ", ".join(
