@@ -24,9 +24,10 @@ self-join quadratic blow-up — dropped buckets are reported, not silent.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
 from ip_filter_spark.functions.text import tokens_expr
 from ip_filter_spark.operators.joins import broadcast_pair_join
@@ -68,6 +69,43 @@ def shingles_expr(text_col, n: int = 3):
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne): keeps all family arithmetic < 2^62
 _BAND_K = 1_000_003  # band-key polynomial base
+
+
+def _shingle_hashes_src(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str) -> DataFrame:
+    """(id, hs: array<long>) — per-row shingle base hashes, JVM-side.
+
+    Two deliberate differences from ``explode(shingles_expr(...))`` that
+    keep results identical but cut the r6-measured signature-build wall
+    ~3x at 6M docs (guide §2.3/§4.2):
+
+    - the token array is BOUND to a projected column first, then shingles
+      index into it (``element_at``); the slice/zip form re-evaluated the
+      tokenizing split per slice (measured 17-20 s -> 6.4 s for the
+      shingle stage alone);
+    - duplicates are RETAINED (no array_distinct): every consumer of this
+      source aggregates with min (MinHash affine family, OPH bucket
+      mins), and min over a multiset equals min over its distinct set, so
+      the O(n^2-per-row) distinct pass bought nothing.
+
+    Documents shorter than n tokens contribute their whole text, exactly
+    as ``shingles_expr`` does."""
+    b = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__t"))
+    toks = F.col("__t")
+    n_sh = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    sh = F.when(n_sh >= 1, grams).otherwise(whole)
+    return b.select("id", F.transform(sh, lambda s: shingle_hash31(s, hash_fn)).alias("hs"))
+
+
+def _combine(arr):
+    """ChunkedArray → contiguous Array (mapInArrow batches may chunk)."""
+    import pyarrow as pa
+
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
 def minhash_coeffs(num_perm: int, seed: int = 11) -> tuple[list[int], list[int]]:
@@ -113,17 +151,47 @@ def minhash_signatures(
     (the whole-bench hot spot: 128 xxhash64(str) aggregates were 67% of
     BENCH_r01). The affine family over a Mersenne prime is the textbook
     universal-hash construction, so the MinHash estimator guarantees are
-    unchanged."""
+    unchanged.
+
+    r6 shape: the per-doc mins are computed ROW-LOCALLY in a numpy
+    ``mapInArrow`` kernel (one ``np.minimum.reduceat`` per permutation
+    over the batch's flattened hash buffer) instead of explode + a
+    num_perm-column min aggregate — the groupBy(id) SHUFFLE disappears
+    entirely (shingles of a doc already live on its row) and the affine
+    arithmetic leaves the interpreted-expression path. Byte-identical
+    output (pytest-pinned vs the aggregate form): h < 2^31 and
+    a_p < P keep every product < 2^62, so int64 numpy arithmetic is
+    exact and ``%`` agrees with the SQL ``%`` on non-negatives."""
+    import pyarrow as pa
+
     a_c, b_c = minhash_coeffs(num_perm, seed)
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
-    ).select("id", shingle_hash31(F.col("sh"), hash_fn).alias("h"))
-    aggs = [
-        F.min((F.col("h") * F.lit(a_c[p]) + F.lit(b_c[p])) % F.lit(MINHASH_P)).alias(f"s{p}")
-        for p in range(num_perm)
-    ]
-    sig = ex.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"s{p}" for p in range(num_perm)]).alias("sig"))
+    src = _shingle_hashes_src(df, id_col, text_col, shingle_n, hash_fn)
+    out_schema = StructType(
+        [src.schema["id"], StructField("sig", ArrayType(LongType(), True), True)]
+    )
+
+    def kern(batches):
+        A = np.array(a_c, dtype=np.int64)
+        B = np.array(b_c, dtype=np.int64)
+        for b in batches:
+            ids = _combine(b.column(0))
+            hs = _combine(b.column(1))
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = hs.values.to_numpy(zero_copy_only=False)
+            starts = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)[:-1]
+            sig = np.empty((n, num_perm), dtype=np.int64)
+            for p in range(num_perm):
+                v = (flat * A[p] + B[p]) % MINHASH_P
+                sig[:, p] = np.minimum.reduceat(v, starts)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
+                pa.array(sig.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_arr], names=["id", "sig"])
+
+    return src.mapInArrow(kern, schema=out_schema)
 
 
 def band_key_expr(sig_col, band: int, r: int, stride: int | None = None):
@@ -187,12 +255,180 @@ def _banded_pairs(
     signature table: polynomial band keys → capped in-bucket pairs →
     broadcast-pair agreement-fraction verify ≥ threshold.
 
-    Candidate pairs in ONE shuffle: group band rows into buckets, drop
-    singletons (can't pair) and cap hot buckets (boilerplate — bounded
-    blow-up, not silent: the cap is an explicit parameter), then emit
-    in-bucket pairs JVM-side from the sorted id list. Round 1 did
-    count-groupBy + prune-join + self-join — three shuffles over the
-    16x-exploded band table; this is one."""
+    Candidate pairs in ONE shuffle: band keys → hash-repartition on the
+    packed bucket key → per-task numpy bucket sort + vectorized
+    in-bucket pair emission → distinct. r6 re-shape (guide §2.3/§4.2,
+    measured at 6M docs / 96M band rows):
+
+    - band keys are computed in a numpy ``mapInArrow`` kernel over the
+      signature matrix (4.1 s vs 20-24 s as interpreted JVM
+      array-expressions) and PACKED into one long ``bk = band·P + key``
+      (bijective: key < P), so the shuffle carries (long, long) rows;
+    - the former ``groupBy.collect_list`` materialized ~one list object
+      per band row (buckets are overwhelmingly singletons) through an
+      ObjectHashAggregate that degenerates to a spilling object sort at
+      corpus scale; the kernel instead sorts its partition's plain int64
+      columns once and emits pairs for 2..max_bucket buckets with a
+      closed-form (rank → (i, j)) decode — no per-bucket Python loop,
+      no JVM objects (measured 64 s → ~8 s for the pair stage);
+    - verification joins the (cached) signature table exactly as
+      before when the candidate list is broadcastable; past the
+      broadcast guard it switches to two shuffled-hash joins (the pair
+      side builds — KBs per task) + a numpy agreement-count kernel,
+      with the final ``ROUND(agree/n, 6)`` left in JVM SQL so the
+      est_jaccard doubles are bit-identical to the aggregate form.
+
+    Per-task memory: the pair kernel buffers its shuffle partition's
+    (bk, id) columns (16 B/row) — bounded by shuffle partition sizing
+    (~128-512 MB partitions → ~that much numpy), same order as a sort
+    buffer; answers depend only on partition CONTENT (it sorts), so AQE
+    coalescing and task retries are safe."""
+    import pyarrow as pa
+
+    r = n_components // bands
+    comp_ix = [
+        [(b + j * stride) if stride is not None else (b * r + j) for j in range(r)]
+        for b in range(bands)
+    ]
+    id_field = sig.schema["id"]
+    numeric_id = id_field.dataType.typeName() in ("long", "integer", "short", "byte")
+    if not numeric_id:  # generality fallback: the JVM bucket tail
+        return _banded_pairs_jvm(sig, n_components, bands, threshold, max_bucket, stride)
+
+    def band_kern(batches):
+        comp = np.array(comp_ix, dtype=np.int64)  # (bands, r)
+        for b in batches:
+            ids_arr = _combine(b.column(0))
+            hs = _combine(b.column(1))
+            n = len(ids_arr)
+            if n == 0:
+                continue
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            S = hs.values.to_numpy(zero_copy_only=False).reshape(n, n_components)
+            bk = np.empty((n, bands), dtype=np.int64)
+            for band in range(bands):
+                acc = np.full(n, band + 1, dtype=np.int64)
+                for c in comp[band]:
+                    acc = (acc * _BAND_K + S[:, c]) % MINHASH_P
+                bk[:, band] = acc + band * MINHASH_P
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(bk.reshape(-1)), pa.array(np.repeat(ids, bands))], names=["bk", "id"]
+            )
+
+    def pair_kern(batches):
+        bks, idsl = [], []
+        for b in batches:
+            bks.append(_combine(b.column(0)).to_numpy(zero_copy_only=False))
+            idsl.append(_combine(b.column(1)).to_numpy(zero_copy_only=False))
+        if not bks:
+            return
+        bk = np.concatenate(bks)
+        ids = np.concatenate(idsl)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        bnd = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        sizes = np.diff(bnd)
+        keep = (sizes >= 2) & (sizes <= max_bucket)
+        st, sz = bnd[:-1][keep], sizes[keep]
+        if len(sz) == 0:
+            ea = np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays([pa.array(ea), pa.array(ea)], names=["id_a", "id_b"])
+            return
+        # all (i < j) pairs of every kept bucket, closed-form: pair rank
+        # t within its bucket decodes to j = row of the triangle, i = t -
+        # j(j-1)/2 (float sqrt + integer guard — exact for t < 2^52)
+        m = sz * (sz - 1) // 2
+        goff = np.repeat(np.cumsum(m) - m, m)
+        gst = np.repeat(st, m)
+        t = np.arange(int(m.sum()), dtype=np.int64) - goff
+        j = ((1.0 + np.sqrt(8.0 * t + 1.0)) / 2.0).astype(np.int64)
+        lo = j * (j - 1) // 2
+        j = np.where(lo > t, j - 1, j)
+        lo = j * (j - 1) // 2
+        j = np.where(t - lo >= j, j + 1, j)
+        i = t - j * (j - 1) // 2
+        pa_ids, pb_ids = ids[gst + i], ids[gst + j]
+        # local pre-dedup (same pair from several bands in one task)
+        # before the global distinct shuffle
+        u = np.unique(np.stack([pa_ids, pb_ids], axis=1), axis=0)
+        yield pa.RecordBatch.from_arrays([pa.array(u[:, 0]), pa.array(u[:, 1])], names=["id_a", "id_b"])
+
+    banded = sig.select("id", "sig").mapInArrow(band_kern, schema="bk long, id long")
+    pairs = (
+        banded.repartition("bk")
+        .mapInArrow(pair_kern, schema="id_a long, id_b long")
+        .distinct()
+    )
+    return _verify_pairs(pairs, sig, n_components, threshold)
+
+
+def _verify_pairs(
+    pairs: DataFrame,
+    sig: DataFrame,
+    n_components: int,
+    threshold: float,
+    max_broadcast_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Agreement-fraction verification of candidate pairs against the
+    signature table. Small candidate lists broadcast into two map-side
+    passes over ``sig`` (``broadcast_pair_join``); large ones switch to
+    two shuffled-hash joins with the PAIR side as build (KBs per task —
+    the sort-merge fallback sorted candidate × signature rows twice) and
+    count agreements in a numpy kernel. est_jaccard is always the JVM
+    ``ROUND(agree / n, 6)`` so both paths emit bit-identical doubles."""
+    import pyarrow as pa
+
+    pairs = pairs.cache()
+    if pairs.count() <= max_broadcast_pairs:
+        joined = broadcast_pair_join(pairs, sig, "sig", "sig_a", "sig_b")
+        agree = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        verified = joined.withColumn("est_jaccard", F.round(agree / F.lit(n_components), 6))
+        return verified.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # first join: shuffled-hash with the PAIR side as build (16 B/row —
+    # KB-scale hash tables per task; SMJ would sort the signature rows).
+    # second join: left to the planner — its left input already carries
+    # sig_a, so neither side is a safe in-memory build at scale.
+    joined = pairs.hint("shuffle_hash").join(a, "id_a").join(b, "id_b")
+
+    def agree_kern(batches):
+        for bt in batches:
+            n = bt.num_rows
+            if n == 0:
+                continue
+            ia = _combine(bt.column(bt.schema.get_field_index("id_a")))
+            ib = _combine(bt.column(bt.schema.get_field_index("id_b")))
+            sa = _combine(bt.column(bt.schema.get_field_index("sig_a")))
+            sb = _combine(bt.column(bt.schema.get_field_index("sig_b")))
+            SA = sa.values.to_numpy(zero_copy_only=False).reshape(n, n_components)
+            SB = sb.values.to_numpy(zero_copy_only=False).reshape(n, n_components)
+            agree = (SA == SB).sum(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays([ia, ib, pa.array(agree)], names=["id_a", "id_b", "agree"])
+
+    counted = joined.mapInArrow(agree_kern, schema="id_a long, id_b long, agree int")
+    return (
+        counted.withColumn("est_jaccard", F.round(F.col("agree") / F.lit(n_components), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _banded_pairs_jvm(
+    sig: DataFrame,
+    n_components: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """The pre-r6 JVM bucket tail (collect_list + array pair expansion),
+    kept for non-numeric id columns; same answers as the kernel tail."""
     r = n_components // bands
     band_keys = F.array(*[band_key_expr(F.col("sig"), b, r, stride) for b in range(bands)])
     banded = sig.select("id", F.posexplode(band_keys).alias("band", "key"))
@@ -212,24 +448,7 @@ def _banded_pairs(
         )
     )
     pairs = buckets.select(F.explode(pair_arr).alias("p")).select("p.id_a", "p.id_b").distinct()
-    joined = broadcast_pair_join(pairs, sig, "sig", "sig_a", "sig_b")
-    verified = (
-        joined.withColumn(
-            "est_jaccard",
-            F.round(
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                )
-                / F.lit(n_components),
-                6,
-            ),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
-    return verified
+    return _verify_pairs(pairs, sig, n_components, threshold)
 
 
 _OPH_BIG = 1 << 40  # densification min-encode base; dominates v + j*C (v < P/k)
@@ -273,47 +492,64 @@ def oph_signatures(
     regime densification exists for); the numpy scan is ~1000× fewer
     operations and rides the same Arrow path as the LPM probe kernel.
 
-    Returns (id, sig: array<long>[k], n_filled: int)."""
-    import numpy as np
-    import pandas as pd
+    Returns (id, sig: array<long>[k], n_filled: int).
 
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
-    ).select("id", shingle_hash31(F.col("sh"), hash_fn).alias("h"))
-    bucketed = ex.select(
-        "id", (F.col("h") % F.lit(k)).alias("b"), F.expr(f"h div {k}").alias("v")
+    r6 shape: bucket mins are computed ROW-LOCALLY in the same numpy
+    kernel that densifies (a scatter-min over row·k + (h mod k) slots per
+    Arrow batch) from the shared per-row shingle-hash source — the
+    explode, the k-column conditional min aggregate and its groupBy(id)
+    SHUFFLE are gone, and the whole signature is one map-side pass.
+    Identical integers: min per (doc, bucket) over the doc's shingle
+    multiset equals the exploded distinct-aggregate (duplicates cannot
+    change a min), and the densify arithmetic is byte-for-byte the
+    previous kernel's."""
+    import pyarrow as pa
+
+    src = _shingle_hashes_src(df, id_col, text_col, shingle_n, hash_fn)
+    out_schema = StructType(
+        [
+            src.schema["id"],
+            StructField("sig", ArrayType(LongType(), True), True),
+            StructField("n_filled", IntegerType(), True),
+        ]
     )
-    aggs = [F.min(F.when(F.col("b") == i, F.col("v"))).alias(f"s{i}") for i in range(k)]
-    raw = bucketed.groupBy("id").agg(*aggs)
+    EMPTY = 1 << 62  # > any v = h // k (h < 2^31)
 
-    def densify(batches):
+    def kern(batches):
         pos_base = np.arange(2 * k)
         offs = np.arange(k)
         for b in batches:
-            n = len(b)
-            if not n:
+            ids = _combine(b.column(0))
+            hs = _combine(b.column(1))
+            n = len(ids)
+            if n == 0:
                 continue
-            V = np.zeros((n, k), dtype=np.int64)
-            M = np.zeros((n, k), dtype=bool)
-            for i in range(k):
-                col = b[f"s{i}"].to_numpy(dtype="float64", na_value=np.nan)
-                mask = ~np.isnan(col)
-                M[:, i] = mask
-                V[mask, i] = col[mask].astype(np.int64)  # v < P/k << 2^53: exact
+            flat = hs.values.to_numpy(zero_copy_only=False)
+            offsets = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.diff(offsets)
+            ridx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            slot = ridx * k + (flat % k)
+            Vf = np.full(n * k, EMPTY, dtype=np.int64)
+            np.minimum.at(Vf, slot, flat // k)
+            V = Vf.reshape(n, k)
+            M = V < EMPTY
             nf = M.sum(axis=1)
-            assert nf.min() >= 1, "doc with zero shingles cannot occur (shingles_expr is total)"
+            assert nf.min() >= 1, "doc with zero shingles cannot occur (the shingle source is total)"
+            V = np.where(M, V, 0)
             # circular next-filled-at-or-after via suffix min on the doubled matrix
             Md = np.concatenate([M, M], axis=1)
             pos = np.where(Md, pos_base[None, :], 2 * k)
             nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1][:, :k]
             j = nxt - offs[None, :]
             sig = np.take_along_axis(np.concatenate([V, V], axis=1), nxt, axis=1) + j * _OPH_C
-            yield pd.DataFrame(
-                {"id": b["id"], "sig": list(sig), "n_filled": nf.astype(np.int32)}
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32)), pa.array(sig.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr, pa.array(nf.astype(np.int32))], names=["id", "sig", "n_filled"]
             )
 
-    return raw.mapInPandas(densify, schema="id long, sig array<long>, n_filled int")
+    return src.mapInArrow(kern, schema=out_schema)
 
 
 def oph_minhash_pairs(
