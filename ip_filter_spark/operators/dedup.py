@@ -4,14 +4,16 @@ Four tiers, all built on the same shingle/token algebra:
 
 - ``exact_dup_groups`` / ``dedup_exact``: sha256(content) hash-groupBy —
   one shuffle, the baseline.
-- ``minhash_lsh_pairs``: MinHash + banded LSH. Entirely JVM-side:
-  shingles via array ops, signatures via ``groupBy(id).agg(min(xxhash64
-  (shingle, seed_p)))`` (one shuffle, map-side partial min), band keys
-  via hash-of-signature-slice, candidate pairs via self-join on
-  (band, key), verified by signature agreement. No Python UDF anywhere.
+- ``minhash_lsh_pairs``: MinHash + banded LSH. Shingle hashing stays
+  JVM-side (sha2 codegen, oracle-replicable); the per-doc min folds,
+  band keys and in-bucket pair emission run in numpy ``mapInArrow``
+  kernels over whole Arrow batches (r6: signatures are ROW-LOCAL — the
+  groupBy(id) shuffle is gone; the bucket stage shuffles two longs per
+  band row and sorts them as flat int64 columns instead of an object
+  collect_list). Verified by signature agreement.
 - ``simhash_pairs``: 64-bit SimHash with 4x16-bit chunk blocking
   (pigeonhole: hamming <= 3 pairs share >= 1 chunk), verified with
-  ``bit_count(xor)``.
+  ``bit_count(xor)``; bit votes are row-local numpy reduceats (r6).
 - ``ngram_jaccard_pairs``: exact Jaccard over distinct shingle sets via
   explode + self-join — the SQL-expressible oracle for the approximate
   tiers.
@@ -89,7 +91,9 @@ def _shingle_hashes_src(df: DataFrame, id_col: str, text_col: str, n: int, hash_
 
     Documents shorter than n tokens contribute their whole text, exactly
     as ``shingles_expr`` does."""
-    b = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__t"))
+    b = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__x"))).select(
+        "id", tokens_expr(F.col("__x")).alias("__t")
+    )
     toks = F.col("__t")
     n_sh = F.size(toks) - (n - 1)
     grams = F.transform(
@@ -106,6 +110,25 @@ def _combine(arr):
     import pyarrow as pa
 
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow projection up to session parallelism when its
+    source yields fewer splits than cores. Signature building hashes
+    every shingle with sha256 — heavily compute-bound per input byte —
+    and a single-row-group parquet (or any unsplittable file, guide §2.5
+    'input skew') pins the whole map-side pipeline to 1-2 tasks; one
+    shuffle of the narrow (id, text) rows is noise next to the hashing
+    it parallelizes. No-op when the source is already parallel enough
+    (well-partitioned corpora at scale keep their layout; this never
+    coalesces). Callers pass scan-rooted projections, so the
+    getNumPartitions probe builds no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if cur < target else df
 
 
 def minhash_coeffs(num_perm: int, seed: int = 11) -> tuple[list[int], list[int]]:
@@ -179,8 +202,9 @@ def minhash_signatures(
             n = len(ids)
             if n == 0:
                 continue
-            flat = hs.values.to_numpy(zero_copy_only=False)
-            starts = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)[:-1]
+            offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = hs.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+            starts = offs[:-1] - offs[0]
             sig = np.empty((n, num_perm), dtype=np.int64)
             for p in range(num_perm):
                 v = (flat * A[p] + B[p]) % MINHASH_P
@@ -524,8 +548,9 @@ def oph_signatures(
             n = len(ids)
             if n == 0:
                 continue
-            flat = hs.values.to_numpy(zero_copy_only=False)
             offsets = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = hs.values.to_numpy(zero_copy_only=False)[offsets[0] : offsets[-1]]
+            offsets = offsets - offsets[0]
             counts = np.diff(offsets)
             ridx = np.repeat(np.arange(n, dtype=np.int64), counts)
             slot = ridx * k + (flat % k)
@@ -597,24 +622,57 @@ def simhash_signatures(
     hash_fn 'sha' votes over the first 60 bits of sha256(token) — the
     per-token hash DuckDB can replicate (hex-slice → BIGINT), making the
     signature (and therefore the pairs output) fully oracle-checkable;
-    'xx' is the 64-bit xxhash64 fast path."""
+    'xx' is the 64-bit xxhash64 fast path.
+
+    r6 shape: per-token hashes ride the ROW as an array (token array
+    bound once, hashes via transform) and the bit votes are summed
+    row-locally in a numpy ``mapInArrow`` kernel (one
+    ``np.add.reduceat`` of the bit column per bit) — the token explode,
+    the nbits-column conditional-sum aggregate and its groupBy(id)
+    shuffle are gone. Identical integers: votes are exact ±1 sums over
+    the SAME token multiset (kept as a multiset, exactly like the
+    exploded form), and the final bit assembly reproduces the JVM
+    expression bit for bit (uint64 view handles the xx path's sign
+    bit)."""
+    import pyarrow as pa
+
     nbits = SIMHASH_BITS[hash_fn]
-    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    # zero-token docs are dropped exactly as the exploded form dropped
+    # them (explode of an empty array emits no rows → no signature)
+    b = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__x"))).select(
+        "id", tokens_expr(F.col("__x")).alias("__t")
+    ).where(F.size("__t") > 0)
     if hash_fn == "sha":
-        h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast("bigint")
+        hf = lambda tok: F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("bigint")
     else:
-        h = F.xxhash64("tok", F.lit(seed))
-    ex = ex.withColumn("h", h)
-    aggs = [
-        F.sum(F.when(F.col("h").bitwiseAND(_bit_mask(j)) != 0, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(nbits)
-    ]
-    votes = ex.groupBy("id").agg(*aggs)
-    sim = None
-    for j in range(nbits):
-        term = F.when(F.col(f"v{j}") > 0, _bit_mask(j)).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else (sim + term)
-    return votes.select("id", sim.alias("simhash"))
+        hf = lambda tok: F.xxhash64(tok, F.lit(seed))
+    src = b.select("id", F.transform(F.col("__t"), hf).alias("hs"))
+    out_schema = StructType([src.schema["id"], StructField("simhash", LongType(), True)])
+
+    def kern(batches):
+        for bt in batches:
+            ids = _combine(bt.column(0))
+            hs = _combine(bt.column(1))
+            n = len(ids)
+            if n == 0:
+                continue
+            offsets = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = hs.values.to_numpy(zero_copy_only=False)[offsets[0] : offsets[-1]].view(np.uint64)
+            offsets = offsets - offsets[0]
+            starts = offsets[:-1]
+            counts = np.diff(offsets)
+            sim = np.zeros(n, dtype=np.uint64)
+            for j in range(nbits):
+                bit = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bit, starts)
+                ones[counts == 0] = 0  # reduceat artifact on empty rows
+                votes = 2 * ones - counts  # (+1 per set bit, -1 per clear)
+                sim |= np.where(votes > 0, np.uint64(1) << np.uint64(j), np.uint64(0))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sim.view(np.int64))], names=["id", "simhash"]
+            )
+
+    return src.mapInArrow(kern, schema=out_schema)
 
 
 def simhash_pairs(

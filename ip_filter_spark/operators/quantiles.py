@@ -76,7 +76,8 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float], num_partitio
             pid = TaskContext.get().partitionId()
             targets = bc.value.get(pid)
             if not targets:
-                # not a target partition: drain without sorting
+                # non-target partition that survived the JVM-side prune
+                # (can only happen if the prune filter is removed)
                 for _ in batches:
                     pass
                 yield pd.DataFrame({"q": np.zeros(0), "value": np.zeros(0)})
@@ -87,7 +88,17 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float], num_partitio
             vals_out = [float(v[lrn - 1]) for _, lrn in targets]
             yield pd.DataFrame({"q": qs_out, "value": vals_out})
 
-        out = ranged.mapInPandas(select, schema="q double, value double")
+        # drop NON-TARGET partitions before the Python stage: the filter
+        # runs JVM-side over the persisted blocks, so the partitions that
+        # hold no requested rank never cross the Arrow boundary at all
+        # (r6: draining them through mapInPandas cost ~22 CPU-core-s per
+        # call at 6M rows — the whole-query hot spot, guide §4.1). The
+        # target-partition row sets (and therefore the selected values)
+        # are untouched: spark_partition_id() is evaluated on the same
+        # persisted range partitioning the rank math was derived from.
+        target_pids = sorted(wanted)
+        pruned = ranged.where(F.spark_partition_id().isin(target_pids))
+        out = pruned.mapInPandas(select, schema="q double, value double")
         rows = out.collect()
     finally:
         ranged.unpersist()

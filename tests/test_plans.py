@@ -599,11 +599,14 @@ def test_balanced_sample_avoids_full_corpus_window(spark):
         assert "BroadcastHashJoin" in window_tail, plan
 
 
-def test_oph_signature_build_single_shuffle_then_arrow(spark, sf_dir):
-    """OPH signatures must plan exactly ONE Exchange (the per-doc bucket
-    min groupBy, with map-side partial aggregation) feeding the Arrow
-    densify stage — the whole point of OPH is a build no heavier than
-    one combine-enabled shuffle."""
+def test_oph_signature_build_shuffle_free_arrow_kernel(spark, sf_dir):
+    """OPH signatures: r6 computes the per-doc bucket mins +
+    densification row-locally in one mapInArrow kernel (shingles of a
+    doc live on its row), so the build carries NO aggregation shuffle at
+    all — the only Exchange allowed is the optional `_spread`
+    repartition of the narrow (id, text) source (input-parallelism
+    repair for single-row-group files, guide §2.5), which is
+    RoundRobin, not keyed."""
     import re
 
     from ip_filter_spark.operators.dedup import oph_signatures
@@ -613,8 +616,10 @@ def test_oph_signature_build_single_shuffle_then_arrow(spark, sf_dir):
     )
     df = oph_signatures(docs, "id", "text", k=16)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
-    assert "HashAggregate" in plan and "partial_min" in plan.lower() or "partial" in plan, plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind.startswith("RoundRobin") for kind in exchanges) and len(exchanges) <= 1, plan
+    assert "MapInArrow" in plan, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_leakage_split_fold_joins_broadcast(spark, sf_dir):
