@@ -596,6 +596,11 @@ class PathLPM:
         (expected-empty) mismatch set and ``exact_lpm`` re-resolves just
         those rows against the same routes. Verified rows pass through
         untouched; kernel metric columns are kept on repaired rows."""
+        # materialize the probe output ONCE: the three-way split below
+        # references it three times (depth==0 branch, semi 'ok', anti
+        # 'bad'), which re-ran the whole mapInArrow probe stage ~3x
+        # (ADVICE r5); the eager localCheckpoint pins one computation
+        out = out.localCheckpoint(eager=True)
         rt = F.broadcast(
             routes.select(F.col("prefix").alias("__rp"), F.col("depth").cast("int").alias("__rd"))
         )
@@ -610,6 +615,12 @@ class PathLPM:
             (F.col("lpm_prefix") == F.col("__rp")) & (F.col("lpm_depth") == F.col("__rd")),
             "left_anti",
         )
+        # collision mismatches are expected EMPTY (~5 wrong rows per
+        # trillion probes); skip the exact re-resolve entirely then —
+        # exact_lpm otherwise runs an unconditional localCheckpoint +
+        # depth collect + join chain per call (ADVICE r5)
+        if bad.isEmpty():
+            return out.where(F.col("lpm_depth") == 0).unionByName(ok)
         fixed = exact_lpm(
             bad.drop("lpm_depth", "lpm_prefix"), routes, path_col=path_col, trunc=trunc
         ).select(*out.columns)

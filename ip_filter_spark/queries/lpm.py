@@ -132,16 +132,27 @@ def lpm_cidr_events(spark, sf_dir):
     engine chain end-to-end."""
     _ensure_shipped(spark)
     from ip_filter_spark.operators.cidr import ip4_trunc, lookup_ip4
+    from ip_filter_spark.operators.dedup import _spread
     from ip_filter_spark.operators.lpm import PathLPM
 
     ev = _t(spark, sf_dir, "events")
-    base = ((F.col("user_id") % 997) * F.lit(_KNUTH)) % F.lit(4294967296)
-    plen = (F.lit(8) + (F.col("user_id") % 3) * F.lit(8)).cast("int")
+    # the route table depends on user_id only through (user_id % 997,
+    # user_id % 3) — deduplicate those two small ints FIRST (map-side
+    # partial agg over the scan), then run the mask arithmetic on the
+    # ≤2991 surviving combinations instead of every event row (r6,
+    # guide §2.3 "aggregate before you shuffle"); the trailing distinct
+    # keeps the result set definitionally identical
+    uu = ev.select((F.col("user_id") % 997).alias("u1"), (F.col("user_id") % 3).alias("u3")).distinct()
+    base = (F.col("u1") * F.lit(_KNUTH)) % F.lit(4294967296)
+    plen = (F.lit(8) + F.col("u3") * F.lit(8)).cast("int")
     p2 = F.pow(F.lit(2.0), (F.lit(32) - plen).cast("double")).cast("long")
     masked = (base - (base % p2)).cast("long")
-    routes = ev.select(masked.cast("string").alias("prefix"), plen.alias("depth")).distinct()
+    routes = uu.select(masked.cast("string").alias("prefix"), plen.alias("depth")).distinct()
     eng = PathLPM.build(routes, num_partitions=8, trunc=ip4_trunc)
-    traffic = ev.select(
+    # spread the probe side: the events parquet is a single row group, so
+    # without the repartition the address synthesis + probe kernel run on
+    # the scan's 1-4 splits (guide §2.5 input skew)
+    traffic = _spread(ev.select("event_id")).select(
         "event_id", (((F.col("event_id") % 1000003) * F.lit(_KNUTH)) % F.lit(4294967296)).alias("ip")
     )
     out = lookup_ip4(eng, traffic, mode="guided")
@@ -183,17 +194,29 @@ def lpm_cidr6_events(spark, sf_dir):
     results are half its headline: /root/reference/doc/tex/report.tex:604-611)."""
     _ensure_shipped(spark)
     from ip_filter_spark.operators.cidr import build_ip6_lpm, lookup_ip6
+    from ip_filter_spark.operators.dedup import _spread
 
     ev = _t(spark, sf_dir, "events")
     M = F.lit(4294967296)
+    # route hex words depend on user_id only through (user_id % 997,
+    # user_id % 3): deduplicate those ints first, then synthesize hex for
+    # the ≤2991 survivors instead of every event (r6 — the hex/concat
+    # string work per row dominated the route build; guide §2.3). The
+    # trailing distinct keeps the route set definitionally identical.
+    uu = ev.select((F.col("user_id") % 997).alias("u1"), (F.col("user_id") % 3).alias("u3")).distinct()
+    ubu = F.col("u1") * F.lit(_KNUTH)
+    uwu = [_hex8((ubu + F.lit(i * 7919)) % M) for i in range(4)]
+    plenu = (F.lit(16) + F.col("u3") * F.lit(17)).cast("int")
+    routes = uu.select(F.concat(*uwu).alias("h"), plenu.alias("depth")).distinct()
+    eng = build_ip6_lpm(routes)
+    # spread the probe side off the single-row-group scan (guide §2.5)
+    # before the per-event hex synthesis + probe kernel
+    evs = _spread(ev.select("event_id", "user_id"))
     ub = (F.col("user_id") % 997) * F.lit(_KNUTH)
     eb = (F.col("event_id") % 1000003) * F.lit(_KNUTH)
     uw = [_hex8((ub + F.lit(i * 7919)) % M) for i in range(4)]
-    plen = (F.lit(16) + (F.col("user_id") % 3) * F.lit(17)).cast("int")
-    routes = ev.select(F.concat(*uw).alias("h"), plen.alias("depth")).distinct()
-    eng = build_ip6_lpm(routes)
     addr = F.concat(uw[0], uw[1], _hex8((eb + F.lit(2 * 7919)) % M), _hex8((eb + F.lit(3 * 7919)) % M))
-    traffic = ev.select("event_id", addr.alias("addr"))
+    traffic = evs.select("event_id", addr.alias("addr"))
     out = lookup_ip6(eng, traffic, hex_col="addr")
     return out.select("event_id", "addr", "lpm_depth", "lpm_prefix_hex")
 

@@ -216,8 +216,21 @@ class SnapshotTable:
             return []
         stats = m.get("file_stats", {})
         blooms = m.get("file_blooms", {})
-        digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in key_rows]
-        h64 = fnv1a64(digests_to_matrix(digests)) if digests else None
+        # bloom digests must reproduce the BUILD-side rendering, which is
+        # Spark's CAST(col AS STRING) (engine.sha256_digest over
+        # _hashable). Python str(v) matches it only for str/bytes/int
+        # keys; for anything else (float '1.0E10' vs '10000000000.0',
+        # date/timestamp/decimal renderings) a mismatch would read as a
+        # bloom MISS and silently retain doomed rows — so bloom pruning
+        # is DISABLED for such batches and only bounds apply (ADVICE r5)
+        renderable = all(
+            isinstance(v, (str, bytes)) or (isinstance(v, int) and not isinstance(v, bool))
+            for v in key_rows
+        )
+        h64 = None
+        if renderable:
+            digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in key_rows]
+            h64 = fnv1a64(digests_to_matrix(digests)) if digests else None
         try:
             kmin, kmax = min(key_rows), max(key_rows)
         except TypeError:  # mixed/None keys aren't range-comparable: bounds can't exclude
@@ -265,7 +278,7 @@ class SnapshotTable:
         def probe(batches):
             import pandas as pd
 
-            from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64, key_digest
+            from ip_filter_spark.sketches.hashing import digests_to_matrix, fnv1a64
             from ip_filter_spark.sketches.registry import from_bytes
 
             filters = [
@@ -274,11 +287,15 @@ class SnapshotTable:
             ]
             hit: set[str] = set()
             for pdf in batches:
-                vals = pdf.iloc[:, 0].tolist()
+                vals = pdf["__k"].tolist()
                 if not vals:
                     continue
-                digests = [key_digest(v if isinstance(v, (str, bytes)) else str(v)) for v in vals]
-                h64 = fnv1a64(digests_to_matrix(digests))
+                # digests arrive PRE-COMPUTED by the same JVM expression
+                # the file blooms were built with (sha256_digest over
+                # CAST(col AS STRING)) — Python str(v) of pandas-converted
+                # doubles/dates/timestamps renders differently and made
+                # bloom false negatives possible (ADVICE r5)
+                h64 = fnv1a64(digests_to_matrix(pdf["__d"].tolist()))
                 try:
                     kmin, kmax = min(vals), max(vals)
                 except TypeError:
@@ -302,11 +319,15 @@ class SnapshotTable:
                     hit.add(rel)
             yield pd.DataFrame({"rel": sorted(hit)})
 
+        from pyspark.sql import functions as F
+
+        from ip_filter_spark.engine import _hashable, sha256_digest
+
+        base = keys_df.select(F.col(key_col).alias("__k")).distinct()
+        src = base.select("__k", sha256_digest(_hashable(base, F.col("__k"))).alias("__d"))
         rels = {
             r.rel
-            for r in keys_df.select(key_col).distinct().mapInPandas(probe, schema="rel string")
-            .distinct()
-            .collect()
+            for r in src.mapInPandas(probe, schema="rel string").distinct().collect()
         }
         return [rel for rel in m["files"] if rel in rels]
 

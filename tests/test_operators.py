@@ -2013,3 +2013,37 @@ def test_snapshot_dataframe_valued_deletes(spark, tmp_path):
     t.merge_upsert(spark, ups, "doc_id", distributed_plan=True)
     got = t.read(spark)
     assert got.where((F.col("doc_id") % 100 == 7) & (F.col("grp") != 99)).count() == 0
+
+
+def test_snapshot_delete_double_keys_bloom_rendering(spark, tmp_path):
+    """ADVICE r5: bloom probe digests must reproduce the BUILD-side
+    Spark CAST(col AS STRING) rendering. Double keys render differently
+    in Python str() (e.g. 1e10 -> '10000000000.0') than in Spark
+    ('1.0E10'), which previously made the distributed planner's bloom
+    report a false MISS and silently retain doomed rows. The DataFrame
+    path now computes digests JVM-side; the driver-list path disables
+    bloom pruning for non-int/str keys (bounds still apply)."""
+    from pyspark.sql import functions as F
+
+    from ip_filter_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dbl"))
+    rows = spark.range(0, 100).select(
+        (F.col("id").cast("double") * 1e9).alias("k"), F.col("id").alias("v")
+    )
+    t.append(rows, stats_cols=["k"], bloom_cols=["k"])
+
+    # DataFrame-valued delete of keys whose Python rendering diverges
+    doomed = spark.range(10, 13).select((F.col("id").cast("double") * 1e9).alias("k"))
+    sid, rewritten, total = t.delete_keys(spark, "k", doomed)
+    assert rewritten == 1, (rewritten, total)
+    got = t.read(spark)
+    assert got.count() == 97
+    assert got.where(F.col("k").isin([1.0e10, 1.1e10, 1.2e10])).count() == 0
+
+    # driver-list path with float keys: bloom pruning must not create
+    # false negatives either (it is disabled; bounds-only planning)
+    sid2, rewritten2, _ = t.delete_keys(spark, "k", [1.3e10, 1.4e10])
+    got2 = t.read(spark)
+    assert got2.count() == 95
+    assert got2.where(F.col("k").isin([1.3e10, 1.4e10])).count() == 0
