@@ -126,13 +126,22 @@ def tfidf_top_terms(spark, sf_dir):
     float. One explode scan feeds both aggregates; at 100 TB the
     vocabulary table (terms) is orders smaller than the corpus, which is
     what makes the broadcast the right join shape."""
+    from ip_filter_spark.operators.dedup import _spread
+
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
-    tok = d.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("term"))
-    docfreq = (
-        tok.select("doc_id", "term").distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # r6: spread the narrow projection off the single-row-group scan
+    # (guide §2.5) and collapse the two tokenize+explode passes into ONE
+    # per-(doc, lang, term) aggregate both consumers derive from — a doc
+    # has one lang, so doc_freq is a plain count over base and
+    # term_count a sum (identical integers; the base groupBy shuffles
+    # once where the old shape tokenized the corpus twice)
+    tok = _spread(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("term")
     )
-    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("term_count"))
+    base = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("__c")).cache()
+    docfreq = base.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    counts = base.groupBy("lang", "term").agg(F.sum("__c").alias("term_count"))
     scored = counts.join(F.broadcast(docfreq), "term").withColumn(
         "score",
         F.col("term_count") * F.log((1.0 + n_docs) / (1 + F.col("doc_freq"))),
