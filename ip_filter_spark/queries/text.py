@@ -126,22 +126,18 @@ def tfidf_top_terms(spark, sf_dir):
     float. One explode scan feeds both aggregates; at 100 TB the
     vocabulary table (terms) is orders smaller than the corpus, which is
     what makes the broadcast the right join shape."""
-    from ip_filter_spark.operators.dedup import _spread
-
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
-    # r6: spread the narrow projection off the single-row-group scan
-    # (guide §2.5) and collapse the two tokenize+explode passes into ONE
-    # per-(doc, lang, term) aggregate both consumers derive from — a doc
-    # has one lang, so doc_freq is a plain count over base and
-    # term_count a sum (identical integers; the base groupBy shuffles
-    # once where the old shape tokenized the corpus twice)
-    tok = _spread(d.select("doc_id", "lang", "text")).select(
-        "doc_id", "lang", F.explode(tokens_expr("text")).alias("term")
+    # r6 note: both a single-pass per-(doc,lang,term) base aggregate and
+    # a parallelism-repair repartition of the source were tried here and
+    # REVERTED: each won ~0.3 s at 50k docs but cost ~0.5 s at 5k (extra
+    # exchange + cache vs the cheap double tokenization) — tokens_expr
+    # is too light per byte for either to pay off at this shape.
+    tok = d.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("term"))
+    docfreq = (
+        tok.select("doc_id", "term").distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
     )
-    base = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("__c")).cache()
-    docfreq = base.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    counts = base.groupBy("lang", "term").agg(F.sum("__c").alias("term_count"))
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("term_count"))
     scored = counts.join(F.broadcast(docfreq), "term").withColumn(
         "score",
         F.col("term_count") * F.log((1.0 + n_docs) / (1 + F.col("doc_freq"))),
