@@ -157,6 +157,19 @@ def shingle_hash31(sh_col, hash_fn: str = "sha"):
     return F.pmod(F.xxhash64(sh_col), F.lit(MINHASH_P))
 
 
+def _mod_p31(x):
+    """``x % MINHASH_P`` for int64 numpy arrays with 0 <= x < 2^62, via
+    two Mersenne folds + one conditional subtract (P = 2^31 - 1, so
+    x mod P folds as (x >> 31) + (x & P)) — no integer division. The
+    affine map's ``%`` was the signature kernel's hottest instruction
+    (int64 division); the fold form computes the identical value (folds
+    preserve the residue, the final value is in [0, P)) at shift/mask
+    cost (r6, guide §1.2 'per-task work')."""
+    x = (x >> 31) + (x & MINHASH_P)
+    x = (x >> 31) + (x & MINHASH_P)
+    return x - (x >= MINHASH_P) * MINHASH_P
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -166,7 +179,7 @@ def minhash_signatures(
     hash_fn: str = "sha",
     seed: int = 11,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm]) — component p is
+    """(id, sig: array<int>[num_perm]) — component p is
     min((a_p * h(shingle) + b_p) mod P) over the doc's distinct shingles.
 
     One base hash per shingle + num_perm cheap integer affine maps —
@@ -184,13 +197,22 @@ def minhash_signatures(
     arithmetic leaves the interpreted-expression path. Byte-identical
     output (pytest-pinned vs the aggregate form): h < 2^31 and
     a_p < P keep every product < 2^62, so int64 numpy arithmetic is
-    exact and ``%`` agrees with the SQL ``%`` on non-negatives."""
+    exact and the Mersenne-fold ``_mod_p31`` agrees with the SQL ``%``
+    on non-negatives.
+
+    Components are < P < 2^31, so the signature is emitted (and cached,
+    and verified) as ``array<int>`` — r6: the int64 form made the
+    operator's internal signature cache ~3.5 GB at 6M docs, pushing
+    half of it (and the corpus cache) to disk; int32 halves every
+    signature byte downstream (guide §2.3 'narrower types'). The
+    INTEGERS are unchanged — band keys and agreement fractions are
+    computed on the same values, so pair outputs are byte-identical."""
     import pyarrow as pa
 
     a_c, b_c = minhash_coeffs(num_perm, seed)
     src = _shingle_hashes_src(df, id_col, text_col, shingle_n, hash_fn)
     out_schema = StructType(
-        [src.schema["id"], StructField("sig", ArrayType(LongType(), True), True)]
+        [src.schema["id"], StructField("sig", ArrayType(IntegerType(), True), True)]
     )
 
     def kern(batches):
@@ -205,9 +227,9 @@ def minhash_signatures(
             offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             flat = hs.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
             starts = offs[:-1] - offs[0]
-            sig = np.empty((n, num_perm), dtype=np.int64)
+            sig = np.empty((n, num_perm), dtype=np.int32)
             for p in range(num_perm):
-                v = (flat * A[p] + B[p]) % MINHASH_P
+                v = _mod_p31(flat * A[p] + B[p])
                 sig[:, p] = np.minimum.reduceat(v, starts)
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
@@ -275,7 +297,7 @@ def _banded_pairs(
     max_bucket: int,
     stride: int | None = None,
 ) -> DataFrame:
-    """Shared LSH tail over any (id, sig: array<long>[n_components])
+    """Shared LSH tail over any (id, sig: array<int>[n_components])
     signature table: polynomial band keys → capped in-bucket pairs →
     broadcast-pair agreement-fraction verify ≥ threshold.
 
@@ -333,7 +355,9 @@ def _banded_pairs(
             for band in range(bands):
                 acc = np.full(n, band + 1, dtype=np.int64)
                 for c in comp[band]:
-                    acc = (acc * _BAND_K + S[:, c]) % MINHASH_P
+                    # acc < P (< 2^31) and _BAND_K < 2^20, so the product
+                    # is < 2^51 and the Mersenne fold applies exactly
+                    acc = _mod_p31(acc * _BAND_K + S[:, c])
                 bk[:, band] = acc + band * MINHASH_P
             yield pa.RecordBatch.from_arrays(
                 [pa.array(bk.reshape(-1)), pa.array(np.repeat(ids, bands))], names=["bk", "id"]
@@ -377,12 +401,116 @@ def _banded_pairs(
         u = np.unique(np.stack([pa_ids, pb_ids], axis=1), axis=0)
         yield pa.RecordBatch.from_arrays([pa.array(u[:, 0]), pa.array(u[:, 1])], names=["id_a", "id_b"])
 
+    def pair_count_kern(batches):
+        """pair_kern variant for the min-band prefilter: emits each
+        bucket pair with its LOCAL multiplicity (no cross-band pre-dedup
+        — the global groupBy sums them into the pair's band-collision
+        count) plus one (id, NULL, 0) marker row per id seen in an
+        over-cap bucket (the prefilter's capped-id escape hatch)."""
+        bks, idsl = [], []
+        for b in batches:
+            bks.append(_combine(b.column(0)).to_numpy(zero_copy_only=False))
+            idsl.append(_combine(b.column(1)).to_numpy(zero_copy_only=False))
+        ea = np.empty(0, dtype=np.int64)
+        if not bks:
+            return
+        bk = np.concatenate(bks)
+        ids = np.concatenate(idsl)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        bnd = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        sizes = np.diff(bnd)
+        keep = (sizes >= 2) & (sizes <= max_bucket)
+        st, sz = bnd[:-1][keep], sizes[keep]
+        over = np.flatnonzero(sizes > max_bucket)
+        capped = (
+            np.unique(np.concatenate([ids[bnd[o] : bnd[o] + sizes[o]] for o in over]))
+            if len(over)
+            else ea
+        )
+        if len(sz) == 0:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(capped),
+                    pa.array(np.zeros(len(capped), dtype=np.int64), mask=np.ones(len(capped), dtype=bool)),
+                    pa.array(np.zeros(len(capped), dtype=np.int32)),
+                ],
+                names=["id_a", "id_b", "nb"],
+            )
+            return
+        m = sz * (sz - 1) // 2
+        goff = np.repeat(np.cumsum(m) - m, m)
+        gst = np.repeat(st, m)
+        t = np.arange(int(m.sum()), dtype=np.int64) - goff
+        j = ((1.0 + np.sqrt(8.0 * t + 1.0)) / 2.0).astype(np.int64)
+        lo = j * (j - 1) // 2
+        j = np.where(lo > t, j - 1, j)
+        lo = j * (j - 1) // 2
+        j = np.where(t - lo >= j, j + 1, j)
+        i = t - j * (j - 1) // 2
+        u, nb = np.unique(np.stack([ids[gst + i], ids[gst + j]], axis=1), axis=0, return_counts=True)
+        id_a = np.concatenate([u[:, 0], capped])
+        id_b_vals = np.concatenate([u[:, 1], np.zeros(len(capped), dtype=np.int64)])
+        id_b_mask = np.concatenate([np.zeros(len(u), dtype=bool), np.ones(len(capped), dtype=bool)])
+        counts = np.concatenate([nb.astype(np.int32), np.zeros(len(capped), dtype=np.int32)])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(id_a), pa.array(id_b_vals, mask=id_b_mask), pa.array(counts)],
+            names=["id_a", "id_b", "nb"],
+        )
+
     banded = sig.select("id", "sig").mapInArrow(band_kern, schema="bk long, id long")
-    pairs = (
+    # min-band candidate prefilter (r6): a pair whose agreement fraction
+    # clears ``threshold`` mismatches on at most floor((1-t)·n)
+    # components, and each mismatching component can break at most ONE
+    # band, so the pair must collide in >= bands - floor((1-t)·n) bands.
+    # When that bound exceeds 1, counting band collisions per pair and
+    # filtering BEFORE verification drops the junk candidates (measured
+    # on the 6M-doc bench corpus: 10.8M candidates -> ~0.4M, taking the
+    # verify stage from two corpus-scale shuffled-hash joins back to the
+    # broadcast form). Exactness: the bound ignores the bucket cap, so a
+    # pair with an id in ANY over-cap bucket bypasses the count filter
+    # (>= 1 surviving collision suffices, exactly the old semantics) —
+    # every pair the old path verified >= threshold is still verified.
+    # The slack term covers float error plus the ROUND(·, 6) window on
+    # est_jaccard. Declared gates (threshold 0.5) have min_bands <= 0 and
+    # keep the original distinct path byte-for-byte.
+    min_bands = bands - int(np.floor(n_components * (1.0 - threshold) + 1e-4))
+    if min_bands <= 1:
+        pairs = (
+            banded.repartition("bk")
+            .mapInArrow(pair_kern, schema="id_a long, id_b long")
+            .distinct()
+        )
+        return _verify_pairs(pairs, sig, n_components, threshold)
+    g = (
         banded.repartition("bk")
-        .mapInArrow(pair_kern, schema="id_a long, id_b long")
-        .distinct()
+        .mapInArrow(pair_count_kern, schema="id_a long, id_b long, nb int")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("nb").alias("__nb"))
+        .persist()
     )
+    capped_ids = g.where(F.col("id_b").isNull()).select("id_a").distinct()
+    cnt = g.where(F.col("id_b").isNotNull())
+    n_capped = capped_ids.count()
+    if n_capped == 0:
+        pairs = cnt.where(F.col("__nb") >= min_bands).select("id_a", "id_b")
+    elif n_capped > 4_000_000:
+        # pathological corpus: the capped-id set itself is too big to
+        # broadcast — disable the prefilter (old semantics, zero risk)
+        pairs = cnt.select("id_a", "id_b")
+    else:
+        ca = capped_ids.select(F.col("id_a").alias("id_a"), F.lit(True).alias("__ca"))
+        cb = capped_ids.select(F.col("id_a").alias("id_b"), F.lit(True).alias("__cb"))
+        pairs = (
+            cnt.join(F.broadcast(ca), "id_a", "left")
+            .join(F.broadcast(cb), "id_b", "left")
+            .where(
+                (F.col("__nb") >= min_bands)
+                | F.col("__ca").isNotNull()
+                | F.col("__cb").isNotNull()
+            )
+            .select("id_a", "id_b")
+        )
     return _verify_pairs(pairs, sig, n_components, threshold)
 
 
@@ -405,22 +533,23 @@ def _verify_pairs(
     pairs = pairs.cache()
     if pairs.count() <= max_broadcast_pairs:
         joined = broadcast_pair_join(pairs, sig, "sig", "sig_a", "sig_b")
-        agree = F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        verified = joined.withColumn("est_jaccard", F.round(agree / F.lit(n_components), 6))
-        return verified.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    else:
+        a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        # first join: shuffled-hash with the PAIR side as build (16 B/row
+        # — KB-scale hash tables per task; SMJ would sort the signature
+        # rows). second join: left to the planner — its left input
+        # already carries sig_a, so neither side is a safe in-memory
+        # build at scale.
+        joined = pairs.hint("shuffle_hash").join(a, "id_a").join(b, "id_b")
 
-    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    # first join: shuffled-hash with the PAIR side as build (16 B/row —
-    # KB-scale hash tables per task; SMJ would sort the signature rows).
-    # second join: left to the planner — its left input already carries
-    # sig_a, so neither side is a safe in-memory build at scale.
-    joined = pairs.hint("shuffle_hash").join(a, "id_a").join(b, "id_b")
-
+    # agreement counting always runs in the numpy kernel: the former
+    # broadcast-path JVM ``aggregate(zip_with(...))`` is an INTERPRETED
+    # higher-order expression (~per-element lambda dispatch) that
+    # measured as the whole warm-rep hot spot at 300k pairs x 64
+    # components (r6, guide §4.2); the kernel computes the identical
+    # integer count, and est_jaccard stays a JVM ROUND so the doubles
+    # are bit-identical.
     def agree_kern(batches):
         for bt in batches:
             n = bt.num_rows
@@ -516,7 +645,7 @@ def oph_signatures(
     regime densification exists for); the numpy scan is ~1000× fewer
     operations and rides the same Arrow path as the LPM probe kernel.
 
-    Returns (id, sig: array<long>[k], n_filled: int).
+    Returns (id, sig: array<int>[k], n_filled: int).
 
     r6 shape: bucket mins are computed ROW-LOCALLY in the same numpy
     kernel that densifies (a scatter-min over row·k + (h mod k) slots per
@@ -530,10 +659,14 @@ def oph_signatures(
     import pyarrow as pa
 
     src = _shingle_hashes_src(df, id_col, text_col, shingle_n, hash_fn)
+    # int32 signature (r6, same rationale as minhash_signatures): a
+    # densified component is v + j·C with v < P/k and j < 2k, which is
+    # < 2^31 for every practical k (asserted in the kernel) — halving
+    # the cached signature table and the verify traffic.
     out_schema = StructType(
         [
             src.schema["id"],
-            StructField("sig", ArrayType(LongType(), True), True),
+            StructField("sig", ArrayType(IntegerType(), True), True),
             StructField("n_filled", IntegerType(), True),
         ]
     )
@@ -567,6 +700,8 @@ def oph_signatures(
             nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1][:, :k]
             j = nxt - offs[None, :]
             sig = np.take_along_axis(np.concatenate([V, V], axis=1), nxt, axis=1) + j * _OPH_C
+            assert sig.max() < 2**31, "densified component overflows int32 (k too extreme)"
+            sig = sig.astype(np.int32)
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32)), pa.array(sig.reshape(-1))
             )

@@ -2047,3 +2047,27 @@ def test_snapshot_delete_double_keys_bloom_rendering(spark, tmp_path):
     got2 = t.read(spark)
     assert got2.count() == 95
     assert got2.where(F.col("k").isin([1.3e10, 1.4e10])).count() == 0
+
+
+def test_minband_prefilter_matches_jvm_tail(spark, docs):
+    """r6 min-band candidate prefilter (threshold high enough that
+    min_bands >= 2): the kernel tail with collision counting + capped-id
+    escape must emit EXACTLY the pairs of the reference JVM tail (the
+    pre-r6 collect_list semantics), including under an aggressive bucket
+    cap that forces over-cap buckets and low thresholds where the
+    prefilter is bypassed."""
+    from ip_filter_spark.operators.dedup import _banded_pairs, _banded_pairs_jvm, minhash_signatures
+
+    sample = docs.limit(120).selectExpr("doc_id as id", "text")
+    sig = minhash_signatures(sample, "id", "text", num_perm=64, shingle_n=3).cache()
+    for threshold, max_bucket in [(0.8, 2), (0.8, 200), (0.9, 3), (0.7, 2)]:
+        kern = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in _banded_pairs(sig, 64, 16, threshold, max_bucket).collect()
+        }
+        jvm = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in _banded_pairs_jvm(sig, 64, 16, threshold, max_bucket).collect()
+        }
+        assert kern == jvm, (threshold, max_bucket, len(kern), len(jvm))
+    sig.unpersist()
