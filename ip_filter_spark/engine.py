@@ -146,23 +146,41 @@ def build_partials(
 
     Returns the sketch-row DataFrame (one row per spec per partition).
     """
-    cols = []
+    pre, post = [], []
     needs_hash = any(s.on == "hash" for s in specs)
     needs_value = any(s.on == "value" for s in specs)
     if needs_hash:
         kc = F.col(key) if isinstance(key, str) else key
-        cols.append((kc if key_is_digest else sha256_digest(_hashable(df, kc))).alias(DIGEST_COL))
+        if key_is_digest:
+            pre.append(kc.alias(DIGEST_COL))
+            post.append(F.col(DIGEST_COL))
+        else:
+            pre.append(_hashable(df, kc).alias("__rawkey"))
+            post.append(sha256_digest(F.col("__rawkey")).alias(DIGEST_COL))
     if needs_value:
         vc = F.col(value) if isinstance(value, str) else value
-        cols.append(vc.cast("double").alias(VALUE_COL))
-    # repartition BEFORE the digest projection: sha2 (and any synthesis
-    # expressions in df's lineage) then run on num_partitions tasks
-    # instead of the source's split count — a single-file source
-    # otherwise computes every digest in 1-4 tasks and only the cheap
-    # kernels parallelize. Costs shuffling the raw key bytes instead of
-    # DIGEST_W-byte digests; when the source is already well-partitioned pass
-    # num_partitions=None and nothing shuffles at all.
-    proj = (df.repartition(num_partitions) if num_partitions else df).select(*cols)
+        pre.append(vc.cast("double").alias(VALUE_COL))
+        post.append(F.col(VALUE_COL))
+    # Project the NARROW (raw key, value) columns first, repartition
+    # second, compute sha2 third: the expensive digest (and the python
+    # kernels) then run on num_partitions tasks instead of the source's
+    # split count, and the exchange carries only the key/value bytes —
+    # never the full rows (guide §2.3 'project before the exchange'; the
+    # r6 first cut repartitioned df itself and measured 2x SLOWER on a
+    # value-only build, shuffling 11 lineitem columns to move one
+    # double). When the source is already well-partitioned nothing
+    # shuffles at all.
+    proj = df.select(*pre)
+    # r6 note — auto-spread was tried here (repartition scan-rooted
+    # sources up to session parallelism when their split count is lower,
+    # the dedup._spread policy) and REVERTED on measurement: at the
+    # 1M-10M-row gate tables the narrow shuffle + 32x partial-blob merge
+    # (a CBF partial is ~1.4M counters) cost MORE than the 1-2 s serial
+    # digest it parallelized (cbf 1.35 -> 2.16 s, cms 1.03 -> 1.69 s,
+    # kll 1.37 -> 1.85 s warm on the 10x proxy). Sketch kernels are
+    # cheap per row; spreading pays only when the per-row map work is
+    # heavy (signature hashing — which is why dedup._spread stays).
+    proj = (proj.repartition(num_partitions) if num_partitions else proj).select(*post)
     if skip_partitions:
         # resume path: drop already-checkpointed partitions AFTER the
         # (deterministic) repartition but BEFORE the python stage — the

@@ -371,13 +371,14 @@ def _quantile_sketch_query(spark, sf_dir, kind: str, rank_bound: float):
     from ip_filter_spark.operators.quantiles import exact_quantiles, sketch_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    n = li.count()
     vals = sketch_quantiles(li, "l_extendedprice", QS, kind=kind)
     rank_aggs = [
         F.sum((F.col("l_extendedprice") <= float(v)).cast("long")).alias(f"r{i}")
         for i, (_, v) in enumerate(vals)
     ]
-    ranks = li.agg(*rank_aggs).first()
+    # n rides the rank aggregate — one scan instead of a separate count()
+    ranks = li.agg(*rank_aggs, F.count("*").alias("__n")).first()
+    n = int(ranks["__n"])
     exact = {float(r.q): float(r.value) for r in exact_quantiles(li, "l_extendedprice", QS).collect()}
     rows = [
         (float(q), exact[float(q)], bool(abs(ranks[f"r{i}"] / n - q) <= rank_bound))

@@ -30,23 +30,31 @@ from ip_filter_spark.queries._shared import _dec_sum, _t
 # ---------------------------------------------------------------------
 def q4_order_priority_exists(spark, sf_dir):
     """Orders in a quarter with at least one lineitem shipped >30 days
-    after the order date, counted per priority. The EXISTS decorrelates to
-    a LEFT SEMI join with a composite equi (orderkey) + non-equi (date)
-    condition — Spark keeps the equi key as the shuffle key, so the plan
-    is a plain sort-merge semi-join, not a nested loop. At 100 TB both
-    sides shuffle once on orderkey; the date filter on orders prunes the
-    probe side before the exchange."""
+    after the order date, counted per priority.
+
+    r6 shape (guide §3.1): the EXISTS is computed as an INNER join with
+    the quarter-filtered orders on the RIGHT plus countDistinct on the
+    (unique) orderkey — semantically identical to the left-semi
+    (o_orderkey is orders' primary key), but the semi form forces the
+    6M-row lineitem through an orderkey Exchange because a left-semi
+    can only broadcast its right (build) side, which there was lineitem.
+    With orders as the build side the planner broadcasts the ~1/26
+    quarter slice (sf-scale; SortMergeJoin -> BroadcastHashJoin, both
+    lineitem Exchanges gone) and only the matched pairs reach the
+    distinct aggregate. Past broadcastable scale the planner falls back
+    to the same single orderkey shuffle the semi-join paid, with the
+    non-equi date predicate still applied inside the join."""
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
-    )
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     cond = (o.o_orderkey == li.l_orderkey) & (
         li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
     )
     return (
-        o.join(li, cond, "left_semi")
+        li.join(o, cond, "inner")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
+        .agg(F.countDistinct("o_orderkey").alias("order_count"))
     )
 
 

@@ -2071,3 +2071,27 @@ def test_minband_prefilter_matches_jvm_tail(spark, docs):
         }
         assert kern == jvm, (threshold, max_bucket, len(kern), len(jvm))
     sig.unpersist()
+
+
+def test_exact_quantiles_histogram_refinement_paths(spark, monkeypatch):
+    """Force the r6 histogram-selection refinement (tiny cap) and the
+    deep-refinement fallback (depth 0): both must return the identical
+    rank-based quantiles, including under heavy duplication where a
+    single value owns a whole bucket."""
+    import ip_filter_spark.operators.quantiles as q
+
+    vals = [float(i) for i in range(1000)] + [500.0] * 5000 + [1e12, -1e12]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    import numpy as np
+
+    arr = np.sort(np.array(vals))
+    expect = {float(x): float(arr[int((len(arr) - 1) * x)]) for x in qs}
+    base = {r.q: r.value for r in q.exact_quantiles(df, "v", qs).collect()}
+    assert base == expect
+    monkeypatch.setattr(q, "_HIST_CAP", 16)  # every target bucket refines
+    refined = {r.q: r.value for r in q.exact_quantiles(df, "v", qs).collect()}
+    assert refined == expect
+    monkeypatch.setattr(q, "_HIST_MAX_DEPTH", 0)  # straight to the old path
+    fallback = {r.q: r.value for r in q.exact_quantiles(df, "v", qs).collect()}
+    assert fallback == expect
