@@ -409,10 +409,17 @@ class PathLPM:
             rturns[d] += 1
         n_markers = sum(c * rturns[d] for d, c in zip(depths, counts))
         n_inserts_max = n_routes + 2 * n_markers  # patterns <= markers
+        fib_h64 = None
         if n_inserts_max <= local_build_max_inserts:
             pdf = inserts_plan.toPandas()
             bf = BloomFilter(**bf_params)
             _apply_insert_rows(bf, pdf)
+            # the kind-0 (full) insert rows ARE the per-route key hashes,
+            # one per route — reuse them as the FIB instead of running a
+            # separate collect action (r6: each extra driver action on a
+            # small build is ~0.3-0.5 s of pure stage latency)
+            fib_h64 = pdf.loc[pdf["kind"] == 0, "h64"].to_numpy()
+            assert len(fib_h64) == n_routes, (len(fib_h64), n_routes)
         else:
             # OR-merge the partial filters through the engine's
             # hierarchical tree_merge — O(P * blob) bytes over the
@@ -457,8 +464,11 @@ class PathLPM:
             f"FIB of {n_routes} routes exceeds the broadcastable design bound; "
             "shard the route table per depth-1 prefix and build one engine per shard"
         )
-        fib_pdf = prefix_df.select(_h64_expr(F.col("prefix"), F.col("depth")).alias("h")).toPandas()
-        fib = np.sort(fib_pdf["h"].to_numpy().astype(np.int64, copy=False).view(np.uint64))
+        if fib_h64 is None:
+            fib_h64 = prefix_df.select(
+                _h64_expr(F.col("prefix"), F.col("depth")).alias("h")
+            ).toPandas()["h"].to_numpy()
+        fib = np.sort(fib_h64.astype(np.int64, copy=False).view(np.uint64))
         if weighting == "by_share":
             with_bmp.unpersist()
         prefix_df.unpersist()

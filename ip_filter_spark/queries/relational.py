@@ -78,6 +78,12 @@ def q3_shipping_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r6 note: pre-joining customer into orders before the lineitem
+    # broadcast (to shrink the build side ~5x) was tried and REVERTED —
+    # building the broadcast from a derived join subquery measured 2.5 ->
+    # 4.6 s at the 10x proxy (the derived build is a separate collected
+    # query stage; broadcasting the raw orders scan pipelines straight
+    # from the file). Plan is already one Exchange + TakeOrdered.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

@@ -728,9 +728,19 @@ def q21_waiting_suppliers(spark, sf_dir):
         .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    # r6: two countDistinct on the same aggregate planned an Expand (2x
+    # the joined fact into the orderkey Exchange); the two-level form —
+    # per (orderkey, suppkey) first (map-side partial combine), then per
+    # orderkey — computes the identical counts (distinct suppkeys = rows
+    # of the first level; 'any late row' = max(late) per supplier) with
+    # no Expand and an un-doubled exchange (guide §2.3 'aggregate before
+    # you shuffle').
+    per_supp = li.groupBy(F.col("l_orderkey").alias("po_key"), "l_suppkey").agg(
+        F.max(late.cast("int")).alias("sup_late")
+    )
+    per_order = per_supp.groupBy("po_key").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("sup_late").alias("n_late_supp"),
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
