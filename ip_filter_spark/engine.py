@@ -94,19 +94,39 @@ def _params_hash(spec_params: dict) -> str:
 
 class SketchSpec:
     """Declarative sketch request: name, constructor params, and which
-    input it consumes ('hash' of the key digest, or 'value' double)."""
+    input it consumes ('hash' of the key digest, or 'value' double).
 
-    def __init__(self, sketch: str, params: dict[str, Any] | None = None, on: str = "hash"):
+    ``where`` (r6): optional row predicate (Column or SQL string) — the
+    spec consumes only matching rows, letting one scan build sketches
+    over several row subsets (e.g. a full filter and a deletions filter)
+    instead of one pass per subset. ``tag`` disambiguates specs that
+    share (sketch, params) within one build — it suffixes the merge
+    group key, so their partials never cross-merge."""
+
+    def __init__(
+        self,
+        sketch: str,
+        params: dict[str, Any] | None = None,
+        on: str = "hash",
+        where=None,
+        tag: str = "",
+    ):
         assert on in ("hash", "value")
         self.sketch = sketch
         self.params = dict(params or {})
         self.on = on
+        self.where = where
+        self.tag = tag
 
     def make(self) -> Sketch:
         return make_sketch(self.sketch, **self.params)
 
+    def _ph(self) -> str:
+        ph = _params_hash(self.params)
+        return f"{ph}:{self.tag}" if self.tag else ph
+
     def key(self) -> str:
-        return f"{self.sketch}:{_params_hash(self.params)}"
+        return f"{self.sketch}:{self._ph()}"
 
 
 def salted_repartition(
@@ -161,6 +181,19 @@ def build_partials(
         vc = F.col(value) if isinstance(value, str) else value
         pre.append(vc.cast("double").alias(VALUE_COL))
         post.append(F.col(VALUE_COL))
+    # r6: per-spec row predicates (SketchSpec.where) ride the projection
+    # as JVM boolean columns (null -> excluded), so ONE scan builds
+    # sketches over several row subsets instead of one pass per subset
+    _mask_names: list = []
+    for i, s in enumerate(specs):
+        if s.where is None:
+            _mask_names.append(None)
+        else:
+            w = F.expr(s.where) if isinstance(s.where, str) else s.where
+            mname = f"__m{i}"
+            pre.append(F.coalesce(w.cast("boolean"), F.lit(False)).alias(mname))
+            post.append(F.col(mname))
+            _mask_names.append(mname)
     # Project the NARROW (raw key, value) columns first, repartition
     # second, compute sha2 third: the expensive digest (and the python
     # kernels) then run on num_partitions tasks instead of the source's
@@ -188,13 +221,13 @@ def build_partials(
         # digest + exchange are recomputed (they define the partition ids)
         proj = proj.where(~F.spark_partition_id().isin([int(p) for p in skip_partitions]))
 
-    spec_list = [(s.sketch, s.params, s.on) for s in specs]
+    spec_list = [(s.sketch, s.params, s.on, _mask_names[i], s._ph()) for i, s in enumerate(specs)]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         t0 = time.monotonic()
-        sketches = [make_sketch(name, **params) for name, params, _ in spec_list]
+        sketches = [make_sketch(name, **params) for name, params, _, _, _ in spec_list]
         rows_seen = 0
         for batch in batches:
             rows_seen += len(batch)
@@ -202,11 +235,14 @@ def build_partials(
             if DIGEST_COL in batch.columns and len(batch):
                 h64 = fnv1a64(digests_to_matrix(batch[DIGEST_COL]))
             vals = batch[VALUE_COL].to_numpy() if VALUE_COL in batch.columns else None
-            for sk, (_, _, on) in zip(sketches, spec_list):
+            for sk, (_, _, on, mcol, _) in zip(sketches, spec_list):
+                m = None
+                if mcol is not None and len(batch):
+                    m = batch[mcol].to_numpy().astype(bool)
                 if on == "hash" and h64 is not None:
-                    sk.update_hashes(h64)
+                    sk.update_hashes(h64 if m is None else h64[m])
                 elif on == "value" and vals is not None:
-                    sk.update_values(vals)
+                    sk.update_values(vals if m is None else vals[m])
         pid = TaskContext.get().partitionId()
         wall = (time.monotonic() - t0) * 1000.0
         out = pd.DataFrame(
@@ -218,7 +254,7 @@ def build_partials(
                 "partition_id": [pid] * len(sketches),
                 "rows_seen": [rows_seen] * len(sketches),
                 "wall_ms": [wall] * len(sketches),
-                "params_hash": [_params_hash(p) for _, p, _ in spec_list],
+                "params_hash": [ph for _, _, _, _, ph in spec_list],
             }
         )
         yield out
@@ -315,8 +351,9 @@ def build_and_merge(
     partials = build_partials(df, specs, key=key, value=value, num_partitions=num_partitions, key_is_digest=key_is_digest)
     merged = tree_merge(partials, num_partials=num_partials or num_partitions)
     sketches = collect_sketches(merged)
-    # map back to spec order
-    return {spec.key(): sketches[f"{spec.sketch}:{_params_hash(spec.params)}"] for spec in specs}
+    # map back to spec order (spec.key() == "name:params_hash[:tag]",
+    # exactly the collect_sketches key)
+    return {spec.key(): sketches[spec.key()] for spec in specs}
 
 
 def build_keyed_sketches(

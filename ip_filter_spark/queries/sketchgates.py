@@ -597,11 +597,18 @@ def cbf_deletion_membership(spark, sf_dir):
     # subtract() now raises in that case), so size the filter for the
     # workload instead of maximal: m tracks n linearly, and per-batch
     # update cost tracks m
+    # r6: both filters come out of ONE scan — the deletions spec carries
+    # a row predicate (SketchSpec.where) instead of a second
+    # build_and_merge pass over the same events table (guide §1.2: the
+    # two-pass form re-scanned + re-digested every event). Counters are
+    # identical: each spec's kernel updates from exactly the rows its
+    # predicate admits.
     spec = SketchSpec("cbf", {"fpp": 1e-3, "n": 100_000})
-    full = build_and_merge(ev, [spec], key="user_id")[spec.key()]
-    dele = build_and_merge(ev.where(F.col("event_type") == "error"), [spec], key="user_id")[
-        spec.key()
-    ]
+    spec_dele = SketchSpec(
+        "cbf", {"fpp": 1e-3, "n": 100_000}, where=(F.col("event_type") == "error"), tag="dele"
+    )
+    got = build_and_merge(ev, [spec, spec_dele], key="user_id")
+    full, dele = got[spec.key()], got[spec_dele.key()]
     remaining = full.subtract(dele)
     exact = (
         ev.where(F.col("event_type") != "error")
