@@ -1034,8 +1034,13 @@ def connected_components(
     def cut_lineage(df):
         return df.checkpoint() if checkpoint_dir else df.localCheckpoint()
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = cut_lineage(sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    # r6: cut the lineage BEFORE the symmetrizing union — the union's two
+    # branches referenced the un-materialized edge plan, so the whole
+    # upstream pair pipeline (simhash/minhash + verify) executed twice in
+    # the materializing job (guide §1.2 'don't compute things twice');
+    # union over the checkpointed half reads blocks.
+    half = cut_lineage(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # right-size the iteration's parallelism to the GRAPH, not the
     # session default: near-dup edge sets are usually orders smaller
     # than the corpus that produced them, and each hop is several

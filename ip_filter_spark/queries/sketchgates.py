@@ -843,11 +843,17 @@ def bucketed_join_segment_revenue(spark, sf_dir):
     to, tc = f"b_orders_{tag}", f"b_cust_{tag}"
     work = tempfile.mkdtemp(prefix="ifs_bucketed_")
     try:
+        # r6: bucket only the columns the join + aggregate read (guide
+        # §2.3 'project before the exchange' — the bucketed write IS the
+        # exchange here); the query result is identical and the one-time
+        # partitioning write shrinks from 6 to 2 columns per table.
         write_bucketed(
-            _t(spark, sf_dir, "orders"), to, "o_custkey", 8, path=f"{work}/orders"
+            _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            to, "o_custkey", 8, path=f"{work}/orders"
         )
         write_bucketed(
-            _t(spark, sf_dir, "customer"), tc, "c_custkey", 8, path=f"{work}/cust"
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            tc, "c_custkey", 8, path=f"{work}/cust"
         )
         # merge hint: at gate SFs the planner would broadcast the small
         # side (its BroadcastExchange is not the shuffle being tested);

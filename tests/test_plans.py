@@ -173,15 +173,22 @@ def test_salted_agg_two_phase_shape_and_equivalence(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
 
 
-def test_q4_exists_is_semi_join_not_nested_loop(spark, sf_dir):
-    """The EXISTS decorrelation must keep the equi key as the join key:
-    a semi join (broadcast or sort-merge), never BroadcastNestedLoopJoin,
-    with the date predicate as a post-join condition."""
+def test_q4_exists_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The EXISTS decorrelation must keep the equi key as the join key —
+    never BroadcastNestedLoopJoin, with the date predicate as a post-join
+    condition. r6 shape: an INNER equi-join with the quarter-filtered
+    orders as the (broadcastable) build side + countDistinct on orders'
+    primary key — the former LeftSemi could only build its hash table
+    from the lineitem side (plans/r06/q4_order_priority_exists_before
+    .txt), a 6M-row broadcast at bench scale and a full lineitem shuffle
+    past it."""
     from ip_filter_spark.queries_tpch import q4_order_priority_exists
 
     plan = _plan(q4_order_priority_exists(spark, sf_dir))
     assert "NestedLoop" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "Inner" in plan, plan
+    # the distinct-orderkey aggregate that replaces the semi's dedup
+    assert "distinct" in plan.lower(), plan
 
 
 def test_curation_pipeline_two_exchanges(spark, sf_dir):
