@@ -47,8 +47,8 @@ sha256 digests, which themselves halved full sha256 — and the Python
 kernel starts from ready-made hashes (no per-batch FNV pass). The FIB is
 a sorted uint64 array; its confirm is exact up to 64-bit collisions
 between a probed non-route key and a stored route (expected wrong rows ≈
-n_routes·probes / 2^64 — about 5 per trillion probes against 100M
-routes; zero at any test scale). Every such wrong answer necessarily
+n_routes·probes / 2^64 — under 3 per trillion probes at the enforced
+50M-route design bound (see build()'s assert); zero at any test scale). Every such wrong answer necessarily
 names a (prefix, depth) that is NOT in the route table, so
 ``lookup(..., exact_repair=routes)`` restores full exactness with one
 broadcast anti-join against the route table plus an exact re-resolve of
@@ -457,7 +457,7 @@ class PathLPM:
             bf = from_bytes(bytes(merged[0].payload))
 
         # FIB key hashes do come to the driver: 8 B/route — 6 MB at 750k
-        # routes, ~800 MB at 100M routes; the confirm set must live
+        # routes, ~400 MB at the 50M-route design bound; the confirm set must live
         # wherever probes run, so it is bounded by design. Assert the
         # documented bound rather than failing opaquely later.
         assert n_routes <= 50_000_000, (
