@@ -175,7 +175,9 @@ def ip6_trunc(key_col, depth):
     head = key_col.substr(F.lit(1), fullnib)
     nib = F.conv(key_col.substr(fullnib + F.lit(1), F.lit(1)), 16, 10).cast("long")
     keep = F.pow(F.lit(2.0), (F.lit(4) - rem).cast("double")).cast("long")
-    nibhex = F.lower(F.conv((nib - (nib % keep)).cast("string"), 10, 16))
+    # r6: dec->hex via native hex() (identical output for 0..15; the
+    # hex->dec parse above stays conv, which accepts either case)
+    nibhex = F.lower(F.hex(nib - (nib % keep)))
     return F.rpad(F.when(rem > 0, F.concat(head, nibhex)).otherwise(head), 32, "0")
 
 

@@ -179,8 +179,11 @@ FROM q LEFT JOIN m ON q.event_id = m.event_id
 
 
 def _hex8(c):
-    """Non-negative long column -> 8-char lowercase hex (one v6 word)."""
-    return F.lpad(F.lower(F.conv(c.cast("string"), 10, 16)), 8, "0")
+    """Non-negative long column -> 8-char lowercase hex (one v6 word).
+    r6: native ``hex()`` instead of ``conv(cast(string), 10, 16)`` —
+    identical strings (verified mismatch-free at 1M rows), no
+    decimal-string round trip."""
+    return F.lpad(F.lower(F.hex(c)), 8, "0")
 
 
 def lpm_cidr6_events(spark, sf_dir):
