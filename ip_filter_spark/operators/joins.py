@@ -48,7 +48,13 @@ def bloom_semi_join(
     PRUNED probe side, which is the point of the prefilter).
     """
     build_key = build_key or probe_key
-    keys = build.select(F.col(build_key).alias("__k")).distinct()
+    # r6: the distinct-keys subplan feeds THREE consumers (the sizing
+    # count, the filter build, the exact confirm join) — persist it so
+    # the build-side scan + distinct shuffle run once instead of three
+    # times (guide §5 'caching is worth it when reused'). The persisted
+    # set is the build side's distinct keys — broadcast-side scale by
+    # the operator's own contract.
+    keys = build.select(F.col(build_key).alias("__k")).distinct().persist()
     n = expected_n if expected_n is not None else keys.count()
     spec = SketchSpec("bloom", {"fpp": fpp, "n": max(int(n), 1)})
     bf = build_and_merge(keys, [spec], key="__k")[spec.key()]
@@ -83,7 +89,9 @@ def bloom_anti_join(
     lost; the confirm removes every false positive).
     """
     build_key = build_key or probe_key
-    keys = build.select(F.col(build_key).alias("__k")).distinct()
+    # persist: three consumers of the distinct-keys subplan, same as
+    # bloom_semi_join (r6)
+    keys = build.select(F.col(build_key).alias("__k")).distinct().persist()
     n = expected_n if expected_n is not None else keys.count()
     spec = SketchSpec("bloom", {"fpp": fpp, "n": max(int(n), 1)})
     bf = build_and_merge(keys, [spec], key="__k")[spec.key()]
